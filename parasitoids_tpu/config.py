@@ -1,0 +1,309 @@
+"""Simulation configuration (L0).
+
+Re-implements the parameter surface of the reference ``Params`` class
+(Run.py:34-385) with the same layered precedence:
+
+    class defaults -> dataset preset -> config.txt -> CLI args -> saved JSON
+
+Parameter names and the on-disk JSON format are kept compatible with the
+reference so saved runs interoperate (Run.py:512-516, Run.py:355-368).  The
+reference's silent-no-op bug for ``r_start``/``r_number`` CLI overrides
+(``==`` instead of ``=`` at Run.py:293-295) is intentionally fixed here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional, Tuple
+
+
+class Params:
+    """All model/run parameters plus parsing helpers.
+
+    Class-level flags are shared across instances, as in the reference
+    (Run.py:36-39).  ``CUDA`` is kept for config compatibility but simply
+    means "use the accelerator" — on this stack the accelerator path is the
+    default jitted TPU path and the flag is ignored by the solver.
+    """
+
+    OUTPUT = True
+    PLOT = True
+    CUDA = True
+
+    def __init__(self):
+        ### MODEL TYPE
+        self.PROB_MODEL = True
+
+        ### I/O — dataset presets: 'kalbar', 'carnarvon' or None
+        self.dataset: Optional[str] = 'kalbar'
+        self.my_datasets()
+
+        # (dist (m), cells) from release point to side of the domain
+        self.domain_info: Tuple[float, int] = (10000.0, 400)  # 25 m resolution
+        # interpolation points per wind reading (30 -> 1-minute resolution)
+        self.interp_num = 30
+        # >= 0 limits the simulation to the first n days
+        self.ndays = -1
+
+        ### take-off probability function parameters
+        # g: wind logistic (aw: half-max wind speed, bw: steepness)
+        self.g_params = (1.263, 3.913)
+        # f: time-of-day logistics (a1,b1 morning; a2,b2 afternoon)
+        self.f_params = (7.302, 2.614, 23.999, 2.350)
+        # in-flow diffusion (sig_x, sig_y, rho) in meters
+        self.Dparams = (171.82, 144.58, 0.253)
+        # out-of-flow (local) diffusion
+        self.Dlparams = (7.096, 7.260, 0.000)
+
+        ### flight parameters
+        self.lam = 1.       # flight probability under ideal conditions
+        self.mu_r = 1.179   # flight advection / wind advection scaling
+        self.n_periods = 30  # interp periods per flight (minutes if interp_num=30)
+
+        ### satellite imagery (viz only)
+        self.maps_key = None
+        self.maps_service = 'Google'
+
+        # retained for config compatibility with the reference's
+        # multiprocessing threshold (Run.py:91); the TPU build vmaps per-day
+        # kernel construction so this has no effect on execution.
+        self.min_ndays = 6
+
+        ### TPU-specific numerics (no reference equivalent)
+        # half-width (cells) of the static per-minute kernel window; the
+        # reference grows its window adaptively (ParasitoidModel.py:348).
+        self.kernel_rad = 50
+        # half-width for the local-diffusion kernel window
+        self.kernel_rad_local = 12
+        # Gauss-Legendre nodes per cell column for BVN cell integration
+        self.quad_nodes = 16
+
+        self.default_chg()
+
+    # ------------------------------------------------------------------
+    # dataset presets (ref: Run.py:96-153)
+    # ------------------------------------------------------------------
+    def my_datasets(self):
+        if self.dataset is None:
+            self.site_name = 'data/carnarvonearl'
+            self.start_time = '00:30'
+            self.coord = None
+            self.r_dur = None
+            self.r_dist = None
+            self.r_start = None
+            self.r_number = None
+        elif self.dataset == 'carnarvon':
+            self.site_name = 'data/carnarvonearl'
+            self.start_time = '00:30'
+            self.coord = (-24.851614, 113.731267)
+            self.r_dur = 5            # release duration, days
+            self.r_dist = 'uniform'   # release emergence distribution
+            self.r_start = 0.354      # 8:30am as fraction of day
+            self.r_number = 40000
+        elif self.dataset == 'kalbar':
+            self.site_name = 'data/kalbar'
+            self.start_time = '00:00'
+            self.coord = (-27.947131, 152.584171)
+            self.r_dur = 1
+            self.r_dist = 'uniform'
+            self.r_start = None       # wind recording began midnight post release
+            self.r_number = 130000
+        else:
+            print('Unknown dataset in Params.dataset.')
+
+        if self.dataset is not None:
+            stamp = time.strftime('%m%d-%H%M')
+            tag = self.dataset if self.PROB_MODEL else self.dataset + '_pop'
+            self.outfile = 'output/' + tag + stamp
+        else:
+            tag = '' if self.PROB_MODEL else 'poprun'
+            self.outfile = 'output/' + tag + time.strftime('%m%d-%H%M')
+
+    # ------------------------------------------------------------------
+    # release emergence distribution (ref: Run.py:159-179)
+    # ------------------------------------------------------------------
+    def uniform(self, day):
+        '''Uniform distribution over emergence days, 1 <= day <= r_dur.'''
+        return 1. / self.r_dur
+
+    def custom(self, day):
+        raise NotImplementedError('custom release distribution not defined')
+
+    def r_mthd(self):
+        if self.r_dist == 'uniform':
+            return self.uniform
+        elif self.r_dist == 'custom':
+            return self.custom
+        raise ValueError('unknown r_dist {!r}'.format(self.r_dist))
+
+    # ------------------------------------------------------------------
+    # layered parameter updates
+    # ------------------------------------------------------------------
+    def default_chg(self, path='config.txt'):
+        '''Apply overrides from config.txt; create a template if absent
+        (ref: Run.py:185-215).'''
+        try:
+            with open(path, 'r') as f:
+                for line in f:
+                    c = line.find('#')
+                    if c >= 0:
+                        line = line[:c]
+                    key, eq, val = line.partition('=')
+                    if eq:
+                        self.chg_param(key.strip(), val.strip())
+            self.my_datasets()
+        except FileNotFoundError:
+            try:
+                with open(path, 'w') as f:
+                    f.write('# local configuration file\n\n'
+                            '# Accepts keyword parameter assignments of the '
+                            'form <parameter> = <value>\n'
+                            '# Any line starting with # will be ignored.\n\n'
+                            '# To include satellite imagery, obtain a maps key '
+                            "and assign it to 'maps_key' here.\n")
+            except OSError:
+                pass
+
+    _FLAG_ACTIONS = {
+        'no_output': ('OUTPUT', False), 'output': ('OUTPUT', True),
+        'no_plot': ('PLOT', False), 'plot': ('PLOT', True),
+        'no_cuda': ('CUDA', False), 'cuda': ('CUDA', True),
+    }
+
+    def cmd_line_chg(self, args):
+        '''Apply CLI overrides: ``--flag`` options and ``key=value`` pairs
+        (ref: Run.py:218-261).'''
+        for argstr in args:
+            if argstr.startswith('--'):
+                opt = argstr[2:].lower()
+                if opt in self._FLAG_ACTIONS:
+                    name, value = self._FLAG_ACTIONS[opt]
+                    setattr(self, name, value)
+                elif opt in ('pop', 'popmodel', 'pop_model'):
+                    self.PROB_MODEL = False
+                    self.my_datasets()
+                elif opt in ('prob', 'probmodel', 'prob_model'):
+                    self.PROB_MODEL = True
+                    self.my_datasets()
+                elif opt in ('carnarvon', 'kalbar'):
+                    self.dataset = opt
+                    self.my_datasets()
+                else:
+                    raise ValueError('Unrecognized option {0}.'.format(argstr))
+            else:
+                arg, _, val = argstr.partition('=')
+                self.chg_param(arg, val)
+
+    @staticmethod
+    def _parse_bool(val):
+        if val in ('True', 'true', '1'):
+            return True
+        if val in ('False', 'false', '0'):
+            return False
+        return bool(val)
+
+    @staticmethod
+    def _parse_tuple(val, types):
+        parts = val.strip(' ()').split(',')
+        if len(parts) != len(types):
+            raise ValueError('expected {} values'.format(len(types)))
+        return tuple(t(p) for t, p in zip(types, parts))
+
+    def chg_param(self, arg, val):
+        '''Set one parameter from its string representation
+        (ref: Run.py:263-352).'''
+        f, i = float, int
+        try:
+            if arg.lower() == 'prob_model':
+                self.PROB_MODEL = self._parse_bool(val)
+                self.my_datasets()
+            elif arg == 'outfile':
+                self.outfile = val
+            elif arg == 'dataset':
+                self.dataset = val
+                self.my_datasets()
+            elif arg == 'site_name':
+                self.site_name = val
+            elif arg == 'start_time':
+                self.start_time = val
+            elif arg == 'coord':
+                self.coord = self._parse_tuple(val, (f, f))
+            elif arg == 'domain_info':
+                self.domain_info = self._parse_tuple(val, (f, i))
+            elif arg in ('interp_num', 'ndays', 'r_dur', 'n_periods',
+                         'min_ndays', 'kernel_rad', 'kernel_rad_local',
+                         'quad_nodes'):
+                setattr(self, arg, i(val))
+            elif arg == 'r_start':
+                self.r_start = f(val)
+            elif arg == 'r_number':
+                self.r_number = i(val)
+            elif arg == 'r_dist':
+                self.r_dist = val
+            elif arg == 'g_params':
+                self.g_params = self._parse_tuple(val, (f, f))
+            elif arg == 'f_params':
+                self.f_params = self._parse_tuple(val, (f, f, f, f))
+            elif arg in ('Dparams', 'Dlparams'):
+                setattr(self, arg, self._parse_tuple(val, (f, f, f)))
+            elif arg in ('lam', 'mu_r'):
+                setattr(self, arg, f(val))
+            elif arg == 'maps_key':
+                self.maps_key = val
+            elif arg == 'maps_service':
+                self.maps_service = val
+            elif arg == 'output':
+                self.OUTPUT = self._parse_bool(val)
+            elif arg == 'plot':
+                self.PLOT = self._parse_bool(val)
+            elif arg == 'cuda':
+                self.CUDA = self._parse_bool(val)
+            else:
+                raise LookupError('Unrecognized parameter {0}.'.format(arg))
+        except LookupError:
+            print('Could not parse {0}.\n '.format(arg))
+            raise
+        except ValueError:
+            print('Could not parse {0}.'.format(arg) +
+                  ' Try enclosing this argument in quotations.\n ')
+            raise
+
+    def file_read_chg(self, filename):
+        '''Load parameters from a saved-run JSON sidecar
+        (ref: Run.py:355-368).  Unknown keys are set verbatim so sidecars
+        written by the reference load cleanly.'''
+        if not filename.rstrip().endswith('.json'):
+            filename = filename.rstrip() + '.json'
+        with open(filename) as fobj:
+            param_dict = json.load(fobj)
+        for key, value in param_dict.items():
+            if isinstance(value, list):
+                value = tuple(value)
+            setattr(self, key, value)
+
+    def save_json(self, filename=None):
+        '''Write the parameter sidecar, stripping the maps key
+        (ref: Run.py:512-516).'''
+        filename = filename or self.outfile + '.json'
+        d = dirname = os.path.dirname(filename)
+        if d and not os.path.exists(d):
+            os.makedirs(dirname)
+        param_dict = dict(self.__dict__)
+        param_dict.pop('maps_key', None)
+        with open(filename, 'w') as fobj:
+            json.dump(param_dict, fobj)
+
+    # ------------------------------------------------------------------
+    # packers (ref: Run.py:374-384)
+    # ------------------------------------------------------------------
+    def get_model_params(self):
+        '''Params in the order of the daily-kernel builder signature,
+        minus day & wind data.'''
+        hparams = (self.lam, *self.g_params, *self.f_params)
+        return (hparams, self.Dparams, self.Dlparams, self.mu_r,
+                self.n_periods, *self.domain_info)
+
+    def get_wind_params(self):
+        return (self.site_name, self.interp_num, self.start_time)

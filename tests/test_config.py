@@ -1,0 +1,90 @@
+"""Tests for the Params config layer (L0) — precedence, parsing, JSON IO."""
+
+import json
+import os
+
+import pytest
+
+from parasitoids_tpu.config import Params
+
+
+def test_defaults_kalbar():
+    p = Params()
+    assert p.dataset == 'kalbar'
+    assert p.site_name == 'data/kalbar'
+    assert p.start_time == '00:00'
+    assert p.r_dur == 1
+    assert p.r_number == 130000
+    assert p.domain_info == (10000.0, 400)
+
+
+def test_dataset_switch():
+    p = Params()
+    p.cmd_line_chg(['--carnarvon'])
+    assert p.site_name == 'data/carnarvonearl'
+    assert p.start_time == '00:30'
+    assert p.r_dur == 5
+    assert p.r_number == 40000
+
+
+def test_cmd_line_values():
+    p = Params()
+    p.cmd_line_chg(['ndays=4', 'domain_info=(5000.0,200)',
+                    'g_params=(1.5, 2.5)', 'lam=0.9', 'n_periods=20'])
+    assert p.ndays == 4
+    assert p.domain_info == (5000.0, 200)
+    assert p.g_params == (1.5, 2.5)
+    assert p.lam == 0.9
+    assert p.n_periods == 20
+
+
+def test_cmd_line_r_start_not_silently_ignored():
+    # The reference had a ==/= typo making these no-ops (Run.py:293-295);
+    # we fix it.
+    p = Params()
+    p.cmd_line_chg(['r_start=0.25', 'r_number=5000'])
+    assert p.r_start == 0.25
+    assert p.r_number == 5000
+
+
+def test_flags():
+    p = Params()
+    p.cmd_line_chg(['--no_plot', '--no_output', '--pop'])
+    assert not p.PLOT
+    assert not p.OUTPUT
+    assert not p.PROB_MODEL
+    p.cmd_line_chg(['--plot', '--output', '--prob'])
+    assert p.PLOT and p.OUTPUT and p.PROB_MODEL
+
+
+def test_unknown_raises():
+    p = Params()
+    with pytest.raises(ValueError):
+        p.cmd_line_chg(['--not_an_option'])
+    with pytest.raises(LookupError):
+        p.chg_param('bogus_param', '3')
+
+
+def test_json_roundtrip(tmp_path):
+    p = Params()
+    p.cmd_line_chg(['ndays=7', 'mu_r=1.5'])
+    p.maps_key = 'SECRET'
+    out = tmp_path / 'run.json'
+    p.save_json(str(out))
+    saved = json.loads(out.read_text())
+    assert 'maps_key' not in saved  # stripped, as in reference Run.py:515
+
+    q = Params()
+    q.file_read_chg(str(out))
+    assert q.ndays == 7
+    assert q.mu_r == 1.5
+    assert tuple(q.domain_info) == (10000.0, 400)
+
+
+def test_model_param_packers():
+    p = Params()
+    hparams, Dp, Dlp, mu_r, n_periods, rad_dist, rad_res = p.get_model_params()
+    assert hparams == (p.lam, *p.g_params, *p.f_params)
+    assert Dp == p.Dparams and Dlp == p.Dlparams
+    assert (rad_dist, rad_res) == p.domain_info
+    assert p.get_wind_params() == (p.site_name, p.interp_num, p.start_time)

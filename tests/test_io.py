@@ -1,0 +1,89 @@
+"""Tests for wind/emergence ingestion (L1).
+
+Ports the structural/property tests of the reference suite
+(test_ParsitoidModel.py:96-145) against our implementations.
+"""
+
+import numpy as np
+import pytest
+
+from parasitoids_tpu.io import (emergence_data, get_wind_data, pack_wind,
+                                read_wind_file)
+
+SITES = [('data/carnarvonearl', '00:30'), ('data/kalbar', '00:00')]
+
+
+@pytest.mark.parametrize('site_name,start_time', SITES)
+def test_emerg_data(site_name, start_time):
+    em = emergence_data(site_name)
+    assert isinstance(em, dict)
+    assert len(em) > 0
+    for field, by_day in em.items():
+        for date, count in by_day.items():
+            assert isinstance(date, int)
+            assert isinstance(count, int)
+
+
+@pytest.mark.parametrize('site_name,start_time', SITES)
+def test_read_wind_file(site_name, start_time):
+    wind_data, days = read_wind_file(site_name)
+    assert sorted(days) == days
+    assert len(set(days)) == len(days)
+    for day in days:
+        assert day in wind_data
+        assert wind_data[day].shape == (48, 3)  # 30-min readings
+        # magnitude consistent with components
+        w = wind_data[day]
+        np.testing.assert_allclose(w[:, 2], np.hypot(w[:, 0], w[:, 1]),
+                                   atol=1e-4)
+
+
+@pytest.mark.parametrize('site_name,start_time', SITES)
+@pytest.mark.parametrize('interp_num', [1, 6, 30])
+def test_get_wind_data(site_name, start_time, interp_num):
+    raw, days_raw = read_wind_file(site_name)
+    wind_data, days = get_wind_data(site_name, interp_num, start_time)
+    assert days == days_raw
+    time_pts = raw[days[0]].shape[0]
+    for day in days:
+        assert wind_data[day].shape == (time_pts * interp_num, 3)
+        w = wind_data[day]
+        # magnitude recomputed after interpolation (ParasitoidModel.py:180)
+        np.testing.assert_allclose(w[:, 2], np.hypot(w[:, 0], w[:, 1]),
+                                   rtol=1e-12, atol=1e-12)
+
+    if start_time == '00:00':
+        # each raw reading appears at the start of its interp block
+        for day in days:
+            np.testing.assert_allclose(
+                wind_data[day][::interp_num, :2], raw[day][:, :2], atol=1e-12)
+    else:
+        # data offset by one block: raw reading k lands at block k+1
+        for day in days:
+            np.testing.assert_allclose(
+                wind_data[day][interp_num::interp_num, :2],
+                raw[day][:-1, :2], atol=1e-12)
+        # first block of first day repeats the first reading
+        np.testing.assert_allclose(
+            wind_data[days[0]][:interp_num, :2],
+            np.tile(raw[days[0]][0, :2], (interp_num, 1)), atol=1e-12)
+
+    # interpolation is linear: midpoint of a block is the average of its
+    # endpoints (components only; magnitude is nonlinear)
+    if interp_num == 6:
+        day = days[0] if start_time == '00:00' else days[1]
+        w = wind_data[day]
+        for blk in range(2, 40):
+            a = w[blk * interp_num, :2]
+            b = w[(blk + 1) * interp_num, :2]
+            mid = w[blk * interp_num + 3, :2]
+            np.testing.assert_allclose(mid, 0.5 * (a + b), atol=1e-10)
+
+
+def test_pack_wind():
+    wind_data, days = get_wind_data('data/kalbar', 5, '00:00')
+    packed = pack_wind(wind_data, days)
+    assert packed.shape == (len(days), 48 * 5, 2)
+    np.testing.assert_allclose(packed[0], wind_data[days[0]][:, :2])
+    packed2 = pack_wind(wind_data, days, ndays=3)
+    assert packed2.shape == (3, 48 * 5, 2)
