@@ -1,0 +1,216 @@
+"""Daily dispersal-kernel builder (L2 hot path).
+
+TPU-native replacement for the reference's ``prob_mass``
+(ParasitoidModel.py:384-613).  The reference loops 1,440 flight minutes in
+Python, calling a Fortran integrator with an adaptive window per minute and
+scatter-adding variable-size blocks into a sparse host array.  Here the whole
+day is one jitted, fixed-shape program:
+
+* per-minute advection means come from a prefix-sum over the concatenated
+  multi-day wind array — one gather per minute replaces the reference's
+  three-way in-day / next-day-wrap / last-day-extrapolation branching
+  (ParasitoidModel.py:439-460) with identical semantics,
+* per-minute kernels are built densely on a static ``(2K+1)²`` window by the
+  closed-form BVN integrator under ``vmap`` (chunked to bound VMEM/HBM),
+* accumulation into the domain is a single windowed ``lax.scatter_add`` with
+  CLIP index mode onto a K-cell padded buffer: blocks straddling the domain
+  edge are clipped cell-exactly and clipped mass is accounted as ``loss``,
+  reproducing the reference's edge handling (ParasitoidModel.py:506-558),
+* the "didn't fly" remainder is the local-diffusion kernel scaled by
+  ``1 - total_flight_prob`` (ParasitoidModel.py:581-599), and
+* small values are dropped and the lost mass redistributed uniformly over the
+  surviving support, matching ``CalcSol.r_small_vals(prob_model=True)``
+  (CalcSol.py:112-136) which the reference applies to every daily kernel.
+
+The result is a dense ``(2*rad_res+1,)²`` pmf that sums to 1, ready for the
+FFT propagation layer.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .bvn import bvn_cell_masses
+from .flight import h_flight_prob
+
+__all__ = ['KernelConfig', 'build_daily_kernel', 'r_small_vals_dense']
+
+_SECONDS_PER_DAY = 3600 * 24
+_NEGVAL = 1e-8  # sparsity threshold, ref CalcSol.py:112
+
+_SCATTER_DNUMS = lax.ScatterDimensionNumbers(
+    update_window_dims=(1, 2), inserted_window_dims=(),
+    scatter_dims_to_operand_dims=(0, 1))
+
+
+class KernelConfig(NamedTuple):
+    """Static configuration of the kernel builder (shapes & quadrature)."""
+    rad_res: int          # cells from release point to domain side
+    periods: int          # wind samples per day (48 * interp_num)
+    K: int                # flight-kernel window half-width (cells)
+    K_local: int          # local-diffusion window half-width (cells)
+    G: int = 16           # quadrature nodes per cell column
+    chunk: int = 240      # minutes per accumulation chunk (bounds memory)
+
+
+def r_small_vals_dense(field, prob_model=False, negval=_NEGVAL):
+    """Dense equivalent of the reference's sparsifier/renormalizer
+    (CalcSol.py:112-136): zero entries below ``negval``; in probability-model
+    mode redistribute the removed mass uniformly over the surviving support
+    so the field remains a pmf."""
+    keep = field >= negval
+    kept = jnp.where(keep, field, 0.0)
+    if prob_model:
+        n = jnp.maximum(jnp.sum(keep), 1)
+        kept = kept + jnp.where(keep, (1.0 - kept.sum()) / n, 0.0)
+    return kept
+
+
+def _advection_means(wind_flat, wind_cumsum, day_idx, n_periods, periods,
+                     mu_r):
+    """Windowed mean advection per minute of the day, already scaled to
+    flight meters per period (ParasitoidModel.py:439-472).
+
+    The window runs ``n_periods`` samples forward from each minute on the
+    concatenated wind timeline, truncating at the end of the data — this
+    reproduces the reference's in-day, next-day-wrap and final-day
+    extrapolation cases in one expression.
+    """
+    total = wind_flat.shape[0]
+    g0 = day_idx * periods
+    t = jnp.arange(periods)
+    starts = g0 + t
+    ends = jnp.minimum(starts + n_periods, total)
+    counts = (ends - starts).astype(wind_flat.dtype)
+    sums = wind_cumsum[ends] - wind_cumsum[starts]        # (T, 2)
+    mu_v = sums / counts[:, None]                          # m/s
+    # m/s -> meters per flight, scaled by the wind->flight factor
+    scale = _SECONDS_PER_DAY * (n_periods.astype(mu_v.dtype) / periods) * mu_r
+    return mu_v * scale
+
+
+@partial(jax.jit, static_argnames=('config',))
+def build_daily_kernel(wind_flat, wind_cumsum, day_idx, hparams, Dparams,
+                       Dlparams, mu_r, n_periods, rad_dist, start_idx,
+                       config: KernelConfig):
+    """Build one day's dispersal pmf as a dense ``(2*rad_res+1,)²`` array.
+
+    Args:
+        wind_flat: (ndays*periods, 2) concatenated interpolated wind (m/s).
+        wind_cumsum: (ndays*periods + 1, 2) prefix sum of ``wind_flat``.
+        day_idx: which day to build (traced int).
+        hparams: (lam, aw, bw, a1, b1, a2, b2) take-off parameters.
+        Dparams: (sig_x, sig_y, rho) flight diffusion.
+        Dlparams: (sig_x, sig_y, rho) local diffusion.
+        mu_r: wind-to-flight advection scaling.
+        n_periods: flight duration in wind samples (traced int).
+        rad_dist: meters from release point to domain side.
+        start_idx: first active minute (release-day start), 0 otherwise.
+        config: static shapes/quadrature settings.
+
+    Returns:
+        (pmf, loss): the renormalized daily kernel and the probability mass
+        advected beyond the domain (before renormalization).
+    """
+    T, K, Kl, G = config.periods, config.K, config.K_local, config.G
+    rad_res = config.rad_res
+    D = 2 * rad_res + 1
+    K2 = 2 * K + 1
+    cell = rad_dist / rad_res
+    dtype = wind_flat.dtype
+
+    n_periods = jnp.asarray(n_periods)
+
+    # --- per-minute take-off probability -------------------------------
+    day_wind = lax.dynamic_slice(wind_flat, (day_idx * T, 0), (T, 2))
+    windr = jnp.hypot(day_wind[:, 0], day_wind[:, 1])
+    lam, aw, bw, a1, b1, a2, b2 = hparams
+    hprob = h_flight_prob(windr, lam, aw, bw, a1, b1, a2, b2)
+    active = jnp.arange(T) >= start_idx
+    h_eff = jnp.where(active, hprob, 0.0)
+
+    # --- per-minute advection and window placement ---------------------
+    mu_v = _advection_means(wind_flat, wind_cumsum, day_idx, n_periods, T,
+                            mu_r)                                  # (T, 2)
+    grid_off = jnp.round(mu_v / cell)
+    cdf_mu = mu_v - grid_off * cell                                # (T, 2)
+    col_off = grid_off[:, 0].astype(jnp.int32)
+    row_off = -grid_off[:, 1].astype(jnp.int32)   # +y decreases row index
+
+    # Blocks whose center is more than K cells beyond the domain edge cannot
+    # overlap the domain at all: the reference counts their entire take-off
+    # probability as loss (the warning path, ParasitoidModel.py:547-558).
+    # Every other block fits the 2K-padded buffer without clamping, so edge
+    # clipping is cell-exact and never translates a block.
+    outside = ((jnp.abs(row_off) > rad_res + K) |
+               (jnp.abs(col_off) > rad_res + K))
+    # blocks that straddle the domain boundary (partial, cell-exact clip)
+    clipped = (~outside & ((jnp.abs(row_off) + K > rad_res) |
+                           (jnp.abs(col_off) + K > rad_res)))
+    # scatter start index in the 2K-padded buffer
+    idx = jnp.stack(
+        [jnp.where(outside, rad_res, rad_res + K + row_off),
+         jnp.where(outside, rad_res, rad_res + K + col_off)], axis=1)
+
+    sig_x, sig_y, rho = Dparams
+    build_block = jax.vmap(
+        lambda m: bvn_cell_masses(m, sig_x, sig_y, rho, cell, K, G))
+
+    # --- chunked accumulation into the padded domain buffer ------------
+    h_scat = jnp.where(outside, 0.0, h_eff)   # fully-outside blocks add 0
+
+    C = min(config.chunk, T)
+    n_chunks = -(-T // C)
+    Tp = n_chunks * C
+    pad = Tp - T
+    h_p = jnp.pad(h_scat, (0, pad))
+    mu_p = jnp.pad(cdf_mu, ((0, pad), (0, 0)))
+    idx_p = jnp.pad(idx, ((0, pad), (0, 0)),
+                    constant_values=rad_res)  # harmless in-bounds position
+
+    def chunk_step(buf, args):
+        h_c, mu_c, idx_c = args
+        blocks = build_block(mu_c)                       # (C, K2, K2)
+        b_total = blocks.sum(axis=(1, 2))
+        blocks = blocks * h_c[:, None, None]
+        buf = lax.scatter_add(buf, idx_c, blocks, _SCATTER_DNUMS,
+                              mode=lax.GatherScatterMode.CLIP)
+        return buf, b_total
+
+    buf0 = jnp.zeros((D + 4 * K, D + 4 * K), dtype)
+    buf, b_tot = lax.scan(
+        chunk_step, buf0,
+        (h_p.reshape(n_chunks, C), mu_p.reshape(n_chunks, C, 2),
+         idx_p.reshape(n_chunks, C, 2)))
+    b_total = b_tot.reshape(Tp)[:T]
+
+    pmf = buf[2 * K:2 * K + D, 2 * K:2 * K + D]
+    pad_mass = buf.sum() - pmf.sum()
+    # loss = mass scattered beyond the domain, plus window-truncation
+    # shortfall of boundary-straddling blocks, plus the full take-off
+    # probability of blocks entirely off-domain (ref ParasitoidModel.py:546,558)
+    loss = (pad_mass +
+            jnp.sum(jnp.where(clipped, h_eff * (1.0 - b_total), 0.0)) +
+            jnp.sum(jnp.where(outside, h_eff, 0.0)))
+
+    # --- "didn't fly" local-diffusion remainder ------------------------
+    total_flight_prob = pmf.sum() + loss
+    sl_x, sl_y, sl_rho = Dlparams
+    local = bvn_cell_masses(jnp.zeros(2, dtype), sl_x, sl_y, sl_rho, cell,
+                            Kl, G)
+    stay = jnp.where(total_flight_prob < 0.99999,
+                     1.0 - total_flight_prob, 0.0)
+    pmf = lax.dynamic_update_slice(
+        pmf,
+        lax.dynamic_slice(pmf, (rad_res - Kl, rad_res - Kl),
+                          (2 * Kl + 1, 2 * Kl + 1)) + stay * local,
+        (rad_res - Kl, rad_res - Kl))
+
+    # --- sparsify + renormalize (ref CalcSol.r_small_vals, prob model) --
+    pmf = r_small_vals_dense(pmf, prob_model=True)
+    return pmf, loss
