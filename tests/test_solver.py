@@ -1,0 +1,148 @@
+"""Tests for the FFT propagation layer (L3).
+
+Ports the reference's numerical-oracle strategy (test_CalcSol.py:75-139):
+convolution chains are checked against scipy.signal oracles, and additionally
+against the reference CalcSol CPU implementation run on the same inputs.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from scipy import signal, sparse
+
+from parasitoids_tpu.models import (SolverConfig, fft_conv_once,
+                                    propagate_pop, propagate_prob)
+from parasitoids_tpu.models.solver import next_fast_len
+from tests import _reference_oracle as ref_oracle
+
+RNG = np.random.default_rng(42)
+
+
+def _random_kernel(D, support):
+    """Random pmf kernel with support confined to a central block (keeps the
+    reference's data-sized FFT pad alias-free for parity tests)."""
+    k = np.zeros((D, D))
+    c, h = D // 2, support // 2
+    block = RNG.uniform(0.2, 1.0, (2 * h + 1, 2 * h + 1))
+    k[c - h:c + h + 1, c - h:c + h + 1] = block
+    return k / k.sum()
+
+
+def test_next_fast_len():
+    for n, want in [(5, 5), (7, 8), (17, 18), (801, 810), (1601, 1620)]:
+        got = next_fast_len(n)
+        assert got >= n
+        m = got
+        for p in (2, 3, 5):
+            while m % p == 0:
+                m //= p
+        assert m == 1
+        assert got == want
+
+
+def test_fft_conv_matches_scipy():
+    D = 33
+    cfg = SolverConfig.for_domain(D // 2)
+    a = _random_kernel(D, 15)
+    b = _random_kernel(D, 9)
+    got = np.asarray(fft_conv_once(jnp.asarray(a), jnp.asarray(b),
+                                   cfg.fft_len))
+    want = signal.fftconvolve(a, b, mode='same')
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_propagate_prob_vs_scipy_chain():
+    D, ndays = 31, 5
+    cfg = SolverConfig.for_domain(D // 2)
+    kernels = np.stack([_random_kernel(D, 11) for _ in range(ndays)])
+    got = np.asarray(propagate_prob(jnp.asarray(kernels), cfg))
+
+    # oracle: raw convolution chain; outputs thresholded+renormalized as in
+    # CalcSol.get_solutions (threshold applies to outputs, not the chain)
+    sol = kernels[0]
+    want = [kernels[0]]
+    for k in kernels[1:]:
+        sol = signal.fftconvolve(sol, k, mode='same')
+        keep = sol >= 1e-8
+        out = np.where(keep, sol, 0.0)
+        out += np.where(keep, (1 - out.sum()) / keep.sum(), 0.0)
+        want.append(out)
+    want = np.stack(want)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    # each day's output is a pmf
+    np.testing.assert_allclose(got.sum(axis=(1, 2)), 1.0, atol=1e-4)
+
+
+@pytest.mark.parametrize('r_dur', [1, 3])
+def test_propagate_pop_conservation(r_dur):
+    """Population totals stay within 1% of the release number
+    (ref test_Result.py:12-25)."""
+    D, ndays, r_number = 31, 6, 10000.0
+    # support 5: six days of radius-2 kernels spread at most 12 cells < 15
+    cfg = SolverConfig.for_domain(D // 2)
+    kernels = np.stack([_random_kernel(D, 5) for _ in range(ndays)])
+    w = np.full(r_dur, 1.0 / r_dur)
+    pop = np.asarray(propagate_pop(jnp.asarray(kernels), r_dur, r_number,
+                                   jnp.asarray(w), cfg))
+    assert pop.shape == (ndays, D, D)
+    sums = pop.sum(axis=(1, 2))
+    np.testing.assert_allclose(sums, r_number, rtol=1e-2)
+    assert pop.min() >= 0.0
+
+
+def test_propagate_prob_vs_reference_calcsol():
+    if ref_oracle.load_reference() is None:
+        pytest.skip('reference tree unavailable')
+    _, ref_cs = ref_oracle.load_reference()
+    import globalvars
+    globalvars.cuda = False
+
+    D, ndays = 31, 5
+    cfg = SolverConfig.for_domain(D // 2)
+    kernels = np.stack([_random_kernel(D, 11) for _ in range(ndays)])
+
+    pmf_list = [sparse.coo_matrix(k) for k in kernels]
+    modelsol = [sparse.coo_matrix(kernels[0])]
+    with ref_oracle.quiet():
+        ref_cs.get_solutions(modelsol, pmf_list, list(range(ndays)), ndays,
+                             D, np.array([D, D]))
+    want = np.stack([m.toarray() for m in modelsol])
+
+    got = np.asarray(propagate_prob(jnp.asarray(kernels), cfg))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.mark.parametrize('r_dur', [1, 3])
+def test_propagate_pop_vs_reference_calcsol(r_dur):
+    """Parity with the reference population propagator.
+
+    Inputs are sized so no Fourier-boundary event triggers: the reference's
+    ``back_solve`` re-FFT path crashes when it does (CalcSol.py:105 passes
+    the padded shape where ``fft2`` expects the filter shape, producing a
+    mismatched array — a latent reference bug our dense solver does not
+    reproduce)."""
+    if ref_oracle.load_reference() is None:
+        pytest.skip('reference tree unavailable')
+    _, ref_cs = ref_oracle.load_reference()
+    import globalvars
+    globalvars.cuda = False
+
+    D, ndays, r_number = 41, 6, 5000.0
+    cfg = SolverConfig.for_domain(D // 2)
+    kernels = np.stack([_random_kernel(D, 5) for _ in range(ndays)])
+
+    pmf_list = [sparse.coo_matrix(k) for k in kernels]
+    r_spread = [sparse.coo_matrix(kernels[i]).tocsr() for i in range(r_dur)]
+    dist = lambda day: 1.0 / r_dur
+    with ref_oracle.quiet():
+        popmodel = ref_cs.get_populations(r_spread, pmf_list,
+                                          list(range(ndays)), ndays, D,
+                                          np.array([D, D]), r_dur, r_number,
+                                          dist)
+    want = np.stack([np.asarray(p.todense()) for p in popmodel])
+
+    w = np.full(r_dur, 1.0 / r_dur)
+    got = np.asarray(propagate_pop(jnp.asarray(kernels), r_dur, r_number,
+                                   jnp.asarray(w), cfg))
+    # absolute tolerance scales with r_number (f32 fields vs f64 reference)
+    np.testing.assert_allclose(got, want, atol=r_number * 2e-6)
