@@ -1,0 +1,358 @@
+"""Field/location data import (L1) — the reference ``LocInfo`` rebuilt.
+
+Loads everything the Bayesian layer compares against (ref Data_Import.py):
+sentinel-field boundary polygons, the release-field sampling grid, and the
+xlsx observation workbooks (sentinel/release emergence, grid counts,
+cardinal-transect counts), producing the same inference-ready arrays
+(``release_emerg``, ``release_collection``, ``sentinel_emerg``,
+``grid_obs``/``grid_samples``, ``card_obs``).
+
+Differences from the reference, all host-side and deliberate:
+* xlsx files are read by our zero-dependency reader (io/xlsx.py) instead of
+  pandas.read_excel's engine,
+* polygon rasterization uses a first-party vectorized crossing-number test
+  instead of matplotlib.path (parity-tested against it),
+* coordinate matching between the sampling grid and observation rows
+  tolerates float rounding instead of exact equality after rotation.
+
+Site-specific parsing is implemented for Kalbar, as in the reference
+(Data_Import.py:491-492 raises NotImplementedError for other sites).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from .xlsx import read_sheet
+
+__all__ = ['LocInfo', 'points_in_polygon', 'latlong_to_xy']
+
+EARTH_RADIUS_M = 6378100.0  # equatorial radius, ref Data_Import.py:285
+GRID_ROTATION_DEG = -33.0   # release grid/road alignment, Data_Import.py:100
+
+
+def latlong_to_xy(center, lat, long):
+    """Equirectangular lat/long -> meters from ``center``
+    (ref Data_Import.py:273-296)."""
+    o_lat, o_long = math.radians(center[0]), math.radians(center[1])
+    lat, long = math.radians(lat), math.radians(long)
+    x = EARTH_RADIUS_M * (long - o_long) * math.cos((o_lat + lat) / 2)
+    y = EARTH_RADIUS_M * (lat - o_lat)
+    return (x, y)
+
+
+def points_in_polygon(points, verts):
+    """Vectorized crossing-number point-in-polygon test.
+
+    Args:
+        points: (N, 2) xy points.
+        verts: (M, 2) polygon vertices (closed implicitly).
+    Returns:
+        (N,) bool array.
+    """
+    pts = np.asarray(points, float)
+    v = np.asarray(verts, float)
+    x, y = pts[:, 0][:, None], pts[:, 1][:, None]
+    x1, y1 = v[:, 0][None, :], v[:, 1][None, :]
+    x2, y2 = np.roll(v[:, 0], -1)[None, :], np.roll(v[:, 1], -1)[None, :]
+    crosses = ((y1 <= y) != (y2 <= y))
+    with np.errstate(divide='ignore', invalid='ignore'):
+        x_at_y = x1 + (y - y1) / (y2 - y1) * (x2 - x1)
+    hits = crosses & (x < x_at_y)
+    return (hits.sum(axis=1) % 2).astype(bool)
+
+
+def _rot_mat(theta_deg):
+    th = math.radians(theta_deg)
+    return np.array([[math.cos(th), -math.sin(th)],
+                     [math.sin(th), math.cos(th)]])
+
+
+class LocInfo:
+    """All experimental-location data (ref Data_Import.LocInfo,
+    Data_Import.py:12-254).  See the reference docstring for the full
+    attribute inventory; names and array layouts are kept identical so the
+    Bayes layer and plotting tools can consume either implementation."""
+
+    def __init__(self, location, release_latlong, domain_info,
+                 data_dir='./data'):
+        self.data_dir = data_dir
+        res = domain_info[0] / domain_info[1]
+        rad_res = int(domain_info[1])
+
+        ### sentinel field polygons -> cells -> sizes
+        self.field_polys = self.get_fields(
+            '{}/{}fields.txt'.format(data_dir, location), release_latlong)
+        self.field_cells = self.get_field_cells(self.field_polys, domain_info)
+        self.field_sizes = {key: max(val.shape)
+                            for key, val in self.field_cells.items()}
+
+        ### release-field sampling grid
+        self.grid_data = self.get_release_grid(
+            '{}/{}releasegrid.txt'.format(data_dir, location))
+        xmax = self.grid_data['xcoord'].max() + 50
+        xmin = self.grid_data['xcoord'].min() - 50
+        ymax = self.grid_data['ycoord'].max() + 50
+        ymin = self.grid_data['ycoord'].min() - 50
+        edges = [np.array([np.linspace(xmin, xmax), ymax * np.ones(50)]),
+                 np.array([np.linspace(xmin, xmax), ymin * np.ones(50)]),
+                 np.array([xmin * np.ones(50), np.linspace(ymin, ymax)]),
+                 np.array([xmax * np.ones(50), np.linspace(ymin, ymax)])]
+        self.grid_boundary = np.concatenate(edges, axis=1)
+
+        # rotate grid to align with the road (ref Data_Import.py:99-105)
+        rot = _rot_mat(GRID_ROTATION_DEG)
+        xy = self.grid_data[['xcoord', 'ycoord']].to_numpy(float) @ rot.T
+        self.grid_data[['xcoord', 'ycoord']] = xy
+        self.grid_boundary = rot @ self.grid_boundary
+
+        # grid point -> (row, col) cell indices
+        self.grid_cells = np.stack(
+            [-self.grid_data['ycoord'].to_numpy(float),
+             self.grid_data['xcoord'].to_numpy(float)])
+        self.grid_cells = (np.around(self.grid_cells / res) +
+                           rad_res).T.astype(int)
+
+        ### sentinel emergence observations
+        self.get_sentinel_emergence(location)
+        self.sent_ids = list(self.sent_DataFrames[0]['id'].unique())
+
+        ### release-field emergence observations
+        self.get_releasefield_emergence(location)
+        for dframe in self.release_DataFrames:
+            xy = dframe[['xcoord', 'ycoord']].to_numpy(float) @ rot.T
+            dframe[['xcoord', 'ycoord']] = xy
+        self.emerg_grids = []
+        for dframe in self.release_DataFrames:
+            dframe['row'] = ((-dframe['ycoord'] / res).round(0) +
+                             rad_res).astype(int)
+            dframe['column'] = ((dframe['xcoord'] / res).round(0) +
+                                rad_res).astype(int)
+            dframe.sort_values(['datePR', 'row', 'column'], inplace=True)
+            dframe.reset_index(inplace=True, drop=True)
+            oneday = dframe['datePR'] == dframe['datePR'].min()
+            self.emerg_grids.append(list(zip(
+                dframe['row'][oneday].values.tolist(),
+                dframe['column'][oneday].values.tolist())))
+
+        ### release-field grid adult observations
+        self.get_grid_observations(location)
+        xy = self.grid_obs_DataFrame[['xcoord', 'ycoord']].to_numpy(float) \
+            @ rot.T
+        self.grid_obs_DataFrame[['xcoord', 'ycoord']] = xy
+        n_grid = self.grid_cells.shape[0]
+        n_dates = len(self.grid_obs_datesPR)
+        self.grid_obs = np.zeros((n_grid, n_dates))
+        self.grid_samples = np.zeros((n_grid, n_dates))
+        gx = self.grid_data['xcoord'].to_numpy(float)
+        gy = self.grid_data['ycoord'].to_numpy(float)
+        for nday, date in enumerate(self.grid_obs_datesPR):
+            obs = self.grid_obs_DataFrame[
+                self.grid_obs_DataFrame['datePR'] == date]
+            ox = obs['xcoord'].to_numpy(float)
+            oy = obs['ycoord'].to_numpy(float)
+            oc = obs['obs_count'].to_numpy(float)
+            for n in range(n_grid):
+                self.grid_samples[n, nday] = self.grid_data['samples'].iloc[n]
+                hit = (np.abs(ox - gx[n]) < 1e-6) & (np.abs(oy - gy[n]) < 1e-6)
+                if hit.any():
+                    self.grid_obs[n, nday] = oc[hit].sum()
+        self.grid_samples = self.grid_samples / self.grid_samples.max()
+
+        ### cardinal-direction observations
+        self.get_card_observations(location)
+        self.card_obs = []
+        for dframe in self.card_obs_DataFrames:
+            dframe.sort_values(['direction', 'distance'], inplace=True)
+            by_dir = {d: dframe[dframe['direction'] == d]['obs_count'].values
+                      for d in ('north', 'south', 'east', 'west')}
+            maxlen = max(len(v) for v in by_dir.values())
+            card = np.zeros((4, maxlen))
+            for i, d in enumerate(('north', 'south', 'east', 'west')):
+                card[i, :len(by_dir[d])] = by_dir[d]
+            self.card_obs.append(card)
+
+        ### inference-ready arrays (ref Data_Import.py:215-254)
+        self.release_emerg = []
+        self.release_collection = []
+        self.sentinel_emerg = []
+        for dframe in self.release_DataFrames:
+            obs_datesPR = dframe['datePR'].unique()
+            first = dframe['datePR'] == dframe['datePR'].min()
+            datelen = int(first.sum())
+            r_array = []
+            for x, y in dframe.loc[first, ['xcoord', 'ycoord']].values:
+                hit = (np.abs(gx - x) < 1e-6) & (np.abs(gy - y) < 1e-6)
+                vals = self.grid_data['collection'].to_numpy(float)[hit]
+                assert vals.shape == (1,), 'grid point must be unique'
+                r_array.append(vals[0])
+            r_array = np.array(r_array)
+            self.release_collection.append(r_array / r_array.max())
+            E = np.zeros((datelen, len(obs_datesPR)))
+            for ndate, date in enumerate(obs_datesPR):
+                E[:, ndate] = dframe[dframe['datePR'] == date][
+                    'E_total'].values
+            self.release_emerg.append(E)
+        for dframe in self.sent_DataFrames:
+            obs_datesPR = dframe['datePR'].unique()
+            E = np.zeros((len(self.sent_ids), len(obs_datesPR)))
+            for ndate, date in enumerate(obs_datesPR):
+                E[:, ndate] = dframe[dframe['datePR'] == date][
+                    'E_total'].values
+            self.sentinel_emerg.append(E)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def get_fields(filename, center):
+        """Parse field boundary polygons (lat/long vertex lists separated by
+        blank lines, each preceded by a field id) into vertex arrays
+        (ref Data_Import.py:258-338)."""
+        polys = {}
+        verts = []
+        fid = None
+
+        def flush():
+            nonlocal verts, fid
+            if verts:
+                polys[fid] = np.array(verts)
+                verts, fid = [], None
+
+        with open(filename) as f:
+            for line in f:
+                c = line.find('#')
+                if c >= 0:
+                    line = line[:c]
+                line = line.strip()
+                if not line:
+                    flush()
+                elif fid is None:
+                    fid = line
+                else:
+                    lat, long = (float(v) for v in line.split(','))
+                    verts.append(latlong_to_xy(center, lat, long))
+        flush()
+        return polys
+
+    @staticmethod
+    def get_field_cells(polys, domain_info):
+        """Rasterize each polygon onto the simulation grid; returns
+        {field: (n, 2) array of (row, col)} (ref Data_Import.py:342-368)."""
+        res = domain_info[0] / domain_info[1]
+        N = int(domain_info[1])
+        colm, rowm = np.meshgrid(res * np.arange(-N, N + 1),
+                                 res * np.arange(N, -N - 1, -1))
+        centers = np.column_stack([colm.ravel(), rowm.ravel()])
+        fields = {}
+        for fid, verts in polys.items():
+            mask = points_in_polygon(centers, verts).reshape(2 * N + 1,
+                                                             2 * N + 1)
+            fields[fid] = np.argwhere(mask)
+        return fields
+
+    @staticmethod
+    def get_release_grid(filename):
+        """Release-field sampling grid: comma-delimited columns xcoord,
+        ycoord, area, samples, collection (ref Data_Import.py:372-415)."""
+        rows = []
+        with open(filename) as f:
+            for line in f:
+                c = line.find('#')
+                if c >= 0:
+                    line = line[:c]
+                if line.strip():
+                    rows.append([float(v) for v in line.split(',')])
+        grid = np.array(rows)
+        assert grid.ndim == 2, 'incomplete line in {}'.format(filename)
+        return pd.DataFrame(grid, columns=['xcoord', 'ycoord', 'area',
+                                           'samples', 'collection'])
+
+    # ------------------------------------------------------------------
+    def get_sentinel_emergence(self, location):
+        """Sentinel-field emergence observations
+        (ref Data_Import.py:417-492, Kalbar only)."""
+        if location != 'kalbar':
+            raise NotImplementedError
+        data_loc = '{}/sampling_details.xlsx'.format(self.data_dir)
+        self.release_date = pd.Timestamp('2005-03-13')
+        self.collection_datesPR = [pd.Timestamp('2005-03-31') -
+                                   self.release_date]
+        df = read_sheet(data_loc, 'Kal-sentinels-raw')
+        df = df.rename(columns={'Field descrip': 'descrip',
+                                'date emerged': 'date',
+                                'Field ID (jpgs)': 'id',
+                                'Field ID (paper)': 'paperid'})
+        df = df.drop(columns=['descrip', 'paperid'])
+        df = df.sort_values(['id', 'date'])
+        count_cols = [c for c in df.columns if c not in ('id', 'date')]
+        df['All_total'] = df[count_cols].sum(axis=1)
+        df['E_total'] = df[['Efemales', 'Emales']].sum(axis=1)
+        df['datePR'] = df['date'] - self.release_date
+        df = df.sort_values(['datePR', 'id']).reset_index(drop=True)
+        self.sent_DataFrames = [df]
+
+    def get_releasefield_emergence(self, location):
+        """Release-field emergence observations
+        (ref Data_Import.py:494-562, Kalbar only).  North was left on the
+        recorded grid, so coordinates are swapped/flipped and the release
+        point moved to the origin."""
+        if location != 'kalbar':
+            raise NotImplementedError
+        data_loc = '{}/sampling_details.xlsx'.format(self.data_dir)
+        self.releasefield_id = 'A'
+        df = read_sheet(data_loc, 'Kal-releasefield-raw')
+        tmp = df['xcoord'].copy()
+        df['xcoord'] = df['ycoord']
+        df['ycoord'] = -tmp
+        df['ycoord'] += 300
+        df['xcoord'] -= 200
+        count_cols = [c for c in df.columns
+                      if c not in ('Field', 'xcoord', 'ycoord',
+                                   'date emerged')]
+        df['All_total'] = df[count_cols].sum(axis=1)
+        df['E_total'] = df[['Efemales', 'Emales']].sum(axis=1)
+        df['datePR'] = df['date emerged'] - self.release_date
+        df = df[(df['xcoord'] != 0) | (df['ycoord'] != 0)]
+        self.release_DataFrames = [df.reset_index(drop=True)]
+
+    def get_grid_observations(self, location):
+        """Release-field grid adult counts
+        (ref Data_Import.py:564-614, Kalbar only)."""
+        if location != 'kalbar':
+            raise NotImplementedError
+        data_loc = '{}/adult_counts_kalbar.xlsx'.format(self.data_dir)
+        df = read_sheet(data_loc, 'adult counts field A')
+        df = df.rename(columns={'x coor': 'x', 'y coor': 'y',
+                                'num leaves viewed': 'leaves',
+                                'num hayati': 'obs_count'})
+        df = df[['date', 'collector', 'x', 'y', 'leaves', 'obs_count']]
+        df = df.assign(xcoord=df['y'], ycoord=-df['x'])
+        df = df.drop(columns=['x', 'y'])
+        df['ycoord'] += 300
+        df['xcoord'] -= 200
+        df['datePR'] = df['date'] - self.release_date
+        df = df.sort_values(['datePR', 'xcoord', 'ycoord'])
+        df = df.reset_index(drop=True)
+        self.grid_obs_datesPR = [pd.Timedelta(d)
+                                 for d in df['datePR'].unique()]
+        self.grid_obs_DataFrame = df
+
+    def get_card_observations(self, location):
+        """Cardinal-direction transect counts
+        (ref Data_Import.py:616-651, Kalbar only)."""
+        if location != 'kalbar':
+            raise NotImplementedError
+        data_loc = '{}/adult_counts_kalbar.xlsx'.format(self.data_dir)
+        sheets = ['cardinal 15 mar 05', 'cardinal 21 mar 05']
+        self.step_size = [2, 2]
+        self.card_obs_DataFrames = []
+        self.card_obs_datesPR = []
+        for sheet in sheets:
+            df = read_sheet(data_loc, sheet)
+            df = df.rename(columns={'num adults': 'obs_count'})
+            df = df.drop(columns=['num viewers'])
+            df['datePR'] = df['date'] - self.release_date
+            self.card_obs_datesPR.append(df['datePR'].iloc[0])
+            self.card_obs_DataFrames.append(df)
