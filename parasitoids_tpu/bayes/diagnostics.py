@@ -1,0 +1,91 @@
+"""MCMC convergence diagnostics (L4 support, host-side numpy).
+
+The reference gets Geweke scores and Gelman–Rubin statistics from PyMC
+(Bayes_Plot.py:106-143, Bayes_Run.py:685-692); we compute the same three
+standard diagnostics directly from chain arrays, plus effective sample size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ['geweke', 'gelman_rubin', 'effective_sample_size']
+
+
+def _spectral_var_0(x):
+    """Spectral density at frequency zero (batch-means estimate)."""
+    n = len(x)
+    if n < 16:
+        return x.var(ddof=1) if n > 1 else 0.0
+    b = max(4, int(np.sqrt(n)))
+    nb = n // b
+    means = x[:nb * b].reshape(nb, b).mean(axis=1)
+    return b * means.var(ddof=1)
+
+
+def geweke(trace, first=0.1, last=0.5, intervals=20):
+    """Geweke z-scores comparing early-window means against the final
+    ``last`` fraction, over ``intervals`` starting points (as PyMC's
+    ``geweke``).  Returns (start_index, z) pairs."""
+    trace = np.asarray(trace, float)
+    n = len(trace)
+    last_start = int((1 - last) * n)
+    tail = trace[last_start:]
+    tail_mean = tail.mean()
+    tail_var = _spectral_var_0(tail) / len(tail)
+    out = []
+    for start in np.linspace(0, (1 - first) * n * (1 - 1e-9),
+                             intervals).astype(int):
+        seg = trace[start:start + int(first * n)]
+        if len(seg) < 2:
+            continue
+        seg_var = _spectral_var_0(seg) / len(seg)
+        denom = np.sqrt(seg_var + tail_var)
+        z = (seg.mean() - tail_mean) / denom if denom > 0 else 0.0
+        out.append((int(start), float(z)))
+    return np.array(out)
+
+
+def gelman_rubin(chains):
+    """Potential scale reduction R-hat per parameter.
+
+    Args:
+        chains: (n_chains, n_samples) or (n_chains, n_samples, n_params).
+    Returns:
+        scalar or (n_params,) R-hat.
+    """
+    chains = np.asarray(chains, float)
+    if chains.ndim == 2:
+        chains = chains[:, :, None]
+    m, n = chains.shape[0], chains.shape[1]
+    if m < 2:
+        raise ValueError('Gelman-Rubin requires at least 2 chains')
+    chain_means = chains.mean(axis=1)             # (m, p)
+    chain_vars = chains.var(axis=1, ddof=1)       # (m, p)
+    W = chain_vars.mean(axis=0)
+    B = n * chain_means.var(axis=0, ddof=1)
+    var_hat = (n - 1) / n * W + B / n
+    rhat = np.sqrt(var_hat / np.where(W > 0, W, 1.0))
+    return rhat[0] if rhat.size == 1 else rhat
+
+
+def effective_sample_size(trace, max_lag=None):
+    """ESS via initial-positive-sequence autocorrelation summation."""
+    x = np.asarray(trace, float)
+    n = len(x)
+    x = x - x.mean()
+    var = x.var()
+    if var == 0 or n < 4:
+        return float(n)
+    if max_lag is None:
+        max_lag = min(n // 2, 1000)
+    f = np.fft.rfft(x, 2 * n)
+    acf = np.fft.irfft(f * np.conj(f))[:max_lag] / (var * n)
+    # sum consecutive pairs until they go negative (Geyer initial positive)
+    s = 0.0
+    for k in range(1, max_lag - 1, 2):
+        pair = acf[k] + acf[k + 1]
+        if pair < 0:
+            break
+        s += pair
+    return float(n / (1.0 + 2.0 * s))

@@ -1,0 +1,186 @@
+"""Bayesian model assembly (L4): log-posterior over the full forward sim.
+
+Replaces the reference's PyMC model graph (Bayes_Run.py:199-473) with two
+jitted functions:
+
+* ``forward_projections(theta_model)`` — the reference's ``pop_model``
+  deterministic (Bayes_Run.py:204-336): full forward population simulation
+  plus observation projections, entirely on device, re-run for every
+  proposed model-parameter block;
+* ``log_likelihood(projections, theta_obs)`` — the thinned-Poisson
+  observation model (Bayes_Run.py:344-433), cheap to re-evaluate when only
+  observation parameters move (mirroring PyMC's per-stochastic step
+  structure where obs-parameter updates reuse the cached deterministic).
+
+The optional Kalbar pre-wind spread day (``sprd_factor``,
+Bayes_Run.py:241-267 — disabled for MCMC, active in Bayes_MAP.py:200-277)
+prepends a mixture kernel of drifted flight spread and local spread.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.scipy.special import gammaln, xlogy
+
+from ..config import Params
+from ..io.locinfo import LocInfo
+from ..models.forward import ForwardSetup, setup_forward
+from ..models.observe import ObservationOps
+from ..models.solver import propagate_pop
+from ..ops.bvn import bvn_cell_masses
+from ..ops.daily_kernel import build_daily_kernel
+from .priors import (ModelParams, ObsParams, log_prior_model, log_prior_obs)
+
+__all__ = ['BayesSetup', 'poisson_loglik']
+
+
+def poisson_loglik(obs, rate):
+    """Sum of independent Poisson log-pmfs (PyMC flib equivalent)."""
+    return jnp.sum(xlogy(obs, rate) - rate - gammaln(obs + 1.0))
+
+
+class BayesSetup:
+    """Everything needed to evaluate the posterior for one site/domain."""
+
+    def __init__(self, params: Params | None = None, sprd_factor=None,
+                 dtype=jnp.float32):
+        if params is None:
+            params = Params()
+            params.cmd_line_chg(['--kalbar'])
+            params.PLOT = False
+            params.OUTPUT = False
+            params.PROB_MODEL = False
+            params.domain_info = (10000.0, 400)  # Bayes_Run.py:91
+        self.params = params
+        self.sprd_factor = sprd_factor  # None, or a fixed/initial value
+        self.setup: ForwardSetup = setup_forward(params, dtype=dtype)
+        self.locinfo = LocInfo(params.dataset, params.coord,
+                               params.domain_info)
+        self.ndays = self.setup.ndays
+        self.obs_ops = ObservationOps(self.locinfo, params.domain_info,
+                                      self.ndays)
+
+        res = params.domain_info[0] / params.domain_info[1]
+        cell_area = res * res
+        self.cell_res = res
+        self.field_areas = jnp.asarray(
+            [self.locinfo.field_sizes[k] * cell_area
+             for k in self.locinfo.sent_ids], dtype)
+        self.min_field_area = float(
+            min(self.locinfo.field_sizes.values()) * cell_area)
+        self.n_sent = len(self.locinfo.sent_ids)
+
+        # observed data (device constants)
+        self.obs_sentinel = [jnp.asarray(a, dtype)
+                             for a in self.locinfo.sentinel_emerg]
+        self.obs_release = [jnp.asarray(a, dtype)
+                            for a in self.locinfo.release_emerg]
+        self.obs_grid = jnp.asarray(self.locinfo.grid_obs, dtype)
+        self.release_effort = [jnp.asarray(a, dtype)
+                               for a in self.locinfo.release_collection]
+        self.grid_samples = jnp.asarray(self.locinfo.grid_samples, dtype)
+
+        self.dist_weights = jnp.asarray(self.setup.dist_weights, dtype)
+        self.r_dur = int(params.r_dur)
+        self.r_number = float(params.r_number)
+
+    # ------------------------------------------------------------------
+    def _pre_spread_kernel(self, m: ModelParams, sprd_factor):
+        """Kalbar pre-wind local-spread kernel (Bayes_Run.py:243-267):
+        sprd_factor of the population drifts with the flight covariance
+        around a fixed mean wind displacement, the rest spreads locally."""
+        res = self.cell_res
+        kcfg = self.setup.kcfg
+        D = 2 * kcfg.rad_res + 1
+        drift = np.array([-25.0, 15.0])
+        dint = np.floor(drift / res).astype(int)        # cell offsets (x, y)
+        drem = drift - dint * res                        # sub-cell remainder
+        K, Kl, G = kcfg.K, kcfg.K_local, kcfg.G
+        long_spread = bvn_cell_masses(jnp.asarray(drem), m.sig_x, m.sig_y,
+                                      m.corr, res, K, G)
+        short_spread = bvn_cell_masses(jnp.zeros(2), m.sig_xl, m.sig_yl,
+                                       m.corr_l, res, Kl, G)
+        field = jnp.zeros((D, D), long_spread.dtype)
+        c = kcfg.rad_res
+        # rows shift by -y drift, cols by +x drift (screen coordinates)
+        field = lax.dynamic_update_slice(
+            field, sprd_factor * long_spread,
+            (c - int(dint[1]) - K, c + int(dint[0]) - K))
+        patch = lax.dynamic_slice(field, (c - Kl, c - Kl),
+                                  (2 * Kl + 1, 2 * Kl + 1))
+        field = lax.dynamic_update_slice(
+            field, patch + (1.0 - sprd_factor) * short_spread,
+            (c - Kl, c - Kl))
+        field = field.at[c, c].add(jnp.maximum(0.0, 1.0 - field.sum()))
+        return field
+
+    @partial(jax.jit, static_argnums=(0,))
+    def forward_projections(self, m: ModelParams, sprd_factor=None):
+        """Run the full population model for a model-parameter block and
+        project to observables (the reference ``pop_model``)."""
+        s = self.setup
+        n_per = jnp.round(m.n_periods).astype(jnp.int32)
+
+        def day_kernel(_, d):
+            start = jnp.where(d == 0, jnp.int32(s.start_idx), 0)
+            pmf, _ = build_daily_kernel(
+                s.wind_flat, s.wind_cumsum, d, m.hparams(), m.Dparams(),
+                m.Dlparams(), m.mu_r, n_per, s.rad_dist, start, s.kcfg)
+            return None, pmf
+
+        _, kernels = lax.scan(day_kernel, None,
+                              jnp.arange(self.ndays, dtype=jnp.int32))
+
+        if sprd_factor is not None:
+            pre = self._pre_spread_kernel(m, sprd_factor)
+            kernels = jnp.concatenate([pre[None], kernels], axis=0)
+            fields = propagate_pop(kernels, self.r_dur, self.r_number,
+                                   self.dist_weights, s.scfg)[1:]
+        else:
+            fields = propagate_pop(kernels, self.r_dur, self.r_number,
+                                   self.dist_weights, s.scfg)
+
+        rel, sent = self.obs_ops.project_emergence(fields)
+        grid = self.obs_ops.project_grid(fields)
+        return tuple(rel), tuple(sent), grid
+
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnums=(0,))
+    def log_likelihood(self, projections, o: ObsParams):
+        """Thinned-Poisson observation likelihood
+        (Bayes_Run.py:344-433)."""
+        rel, sent, grid = projections
+        lp = 0.0
+        for model, data, effort in zip(rel, self.obs_release,
+                                       self.release_effort):
+            rate = o.xi * model * (effort * o.em_obs_prob)[:, None]
+            lp += poisson_loglik(data, rate)
+        for model, data in zip(sent, self.obs_sentinel):
+            rate = o.xi * model * o.sent_obs_probs[:, None]
+            lp += poisson_loglik(data, rate)
+        grid_rate = o.grid_obs_prob * self.grid_samples * grid
+        lp += poisson_loglik(self.obs_grid, grid_rate)
+        return lp
+
+    @partial(jax.jit, static_argnums=(0,))
+    def log_posterior(self, m: ModelParams, o: ObsParams, sprd_factor=None):
+        """Full joint log posterior; -inf outside prior support without
+        running the forward model."""
+        lp_m = log_prior_model(m)
+        lp_o = log_prior_obs(o, self.field_areas, self.min_field_area)
+        prior = lp_m + lp_o
+
+        def run(_):
+            proj = self.forward_projections(m, sprd_factor)
+            return self.log_likelihood(proj, o)
+
+        loglik = lax.cond(jnp.isfinite(prior), run,
+                          lambda _: jnp.asarray(-jnp.inf, prior.dtype),
+                          operand=None)
+        return prior + loglik

@@ -1,0 +1,192 @@
+"""Prior distributions for the Bayesian model (L4).
+
+Reproduces the reference's PyMC-2 prior system (Bayes_Run.py:102-196)
+as jit-compatible log-density functions over the *underlying* sampled
+parameters (the reference block-updates the underlying stochastics —
+``corr_p``, ``f_b1_p``, … — and exposes deterministic reparameterizations;
+we do the same: ``corr = 2*corr_p - 1``, ``f_b1 = f_b1_p + 1``).
+
+PyMC-2 parameterization notes: ``Gamma(alpha, beta)`` uses rate beta;
+``Normal(mu, tau)`` and ``TruncatedNormal(mu, tau, a, b)`` use precision
+tau; ``Poisson(mu)`` is the discrete prior over the flight-duration
+``n_periods``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.special import gammaln, xlogy
+from jax.scipy.stats import norm
+
+__all__ = ['ModelParams', 'ObsParams', 'log_prior_model', 'log_prior_obs',
+           'MODEL_PARAM_NAMES', 'OBS_PARAM_NAMES', 'initial_model_params',
+           'initial_obs_params', 'STEP_SCALES', 'sent_obs_prior_alpha']
+
+# sampled model-parameter order = the reference's AM block
+# (Bayes_Run.py:186-187)
+MODEL_PARAM_NAMES = ('g_aw', 'g_bw', 'f_a1', 'f_b1_p', 'f_a2', 'f_b2_p',
+                     'sig_x', 'sig_y', 'corr_p', 'sig_xl', 'sig_yl',
+                     'corr_l_p', 'lam', 'n_periods', 'mu_r')
+
+# observation-model parameters get individual Metropolis updates in the
+# reference (PyMC default step methods); sent_obs_probs appended at runtime
+OBS_PARAM_NAMES = ('xi', 'em_obs_prob', 'grid_obs_prob', 'A_collected')
+
+# AM block starting proposal scales (Bayes_Run.py:188-196)
+STEP_SCALES = np.array([0.04, 0.08, 0.25, 0.05, 0.25, 0.05, 2.0, 2.0,
+                        0.0005, 2.0, 2.0, 0.0005, 0.0005, 1.0, 0.005])
+
+# initial values (the `value=` kwargs, Bayes_Run.py:102-132)
+_INIT_MODEL = np.array([1.0, 3.8, 6.0, 1.5, 20.0, 1.5, 180.0, 150.0, 0.5,
+                        10.0, 10.0, 0.5, 0.95, 30.0, 1.0])
+
+
+class ModelParams(NamedTuple):
+    """The 15-dimensional AM block, in reference order."""
+    g_aw: jnp.ndarray
+    g_bw: jnp.ndarray
+    f_a1: jnp.ndarray
+    f_b1_p: jnp.ndarray
+    f_a2: jnp.ndarray
+    f_b2_p: jnp.ndarray
+    sig_x: jnp.ndarray
+    sig_y: jnp.ndarray
+    corr_p: jnp.ndarray
+    sig_xl: jnp.ndarray
+    sig_yl: jnp.ndarray
+    corr_l_p: jnp.ndarray
+    lam: jnp.ndarray
+    n_periods: jnp.ndarray
+    mu_r: jnp.ndarray
+
+    @property
+    def corr(self):
+        return 2.0 * self.corr_p - 1.0
+
+    @property
+    def corr_l(self):
+        return 2.0 * self.corr_l_p - 1.0
+
+    @property
+    def f_b1(self):
+        return self.f_b1_p + 1.0
+
+    @property
+    def f_b2(self):
+        return self.f_b2_p + 1.0
+
+    def hparams(self):
+        return (self.lam, self.g_aw, self.g_bw, self.f_a1, self.f_b1,
+                self.f_a2, self.f_b2)
+
+    def Dparams(self):
+        return (self.sig_x, self.sig_y, self.corr)
+
+    def Dlparams(self):
+        return (self.sig_xl, self.sig_yl, self.corr_l)
+
+
+class ObsParams(NamedTuple):
+    xi: jnp.ndarray
+    em_obs_prob: jnp.ndarray
+    grid_obs_prob: jnp.ndarray
+    A_collected: jnp.ndarray
+    sent_obs_probs: jnp.ndarray   # (n_sentinel_fields,)
+
+
+def initial_model_params():
+    return _INIT_MODEL.copy()
+
+
+def initial_obs_params(field_sizes_cells, cell_area):
+    """Initial obs-parameter vector (Bayes_Run.py:132-164): sentinel
+    observation probabilities start at 0.1*3600/field_area."""
+    sent0 = 0.1 * 3600.0 / (np.asarray(field_sizes_cells) * cell_area)
+    return np.concatenate([[0.75, 0.05, 0.005, 2500.0], sent0])
+
+
+# ----------------------------------------------------------------------
+# log densities
+# ----------------------------------------------------------------------
+
+def _beta_logpdf(x, a, b):
+    inside = (x > 0) & (x < 1)
+    xs = jnp.clip(x, 1e-12, 1 - 1e-12)
+    lp = (xlogy(a - 1, xs) + xlogy(b - 1, 1 - xs)
+          + gammaln(a + b) - gammaln(a) - gammaln(b))
+    return jnp.where(inside, lp, -jnp.inf)
+
+
+def _gamma_logpdf(x, alpha, beta):
+    """PyMC-2 Gamma(alpha, beta) with beta = rate."""
+    lp = (xlogy(alpha - 1, x) - beta * x + alpha * jnp.log(beta)
+          - gammaln(alpha))
+    return jnp.where(x > 0, lp, -jnp.inf)
+
+
+def _truncnorm_logpdf(x, mu, tau, a, b):
+    """PyMC-2 TruncatedNormal(mu, tau, a, b); tau is precision."""
+    sd = 1.0 / jnp.sqrt(tau)
+    z = norm.logpdf(x, mu, sd)
+    norm_const = jnp.log(norm.cdf((b - mu) / sd) - norm.cdf((a - mu) / sd))
+    return jnp.where((x >= a) & (x <= b), z - norm_const, -jnp.inf)
+
+
+def _normal_logpdf(x, mu, tau):
+    return norm.logpdf(x, mu, 1.0 / jnp.sqrt(tau))
+
+
+def _poisson_logpmf(k, mu):
+    lp = xlogy(k, mu) - mu - gammaln(k + 1.0)
+    return jnp.where(k >= 0, lp, -jnp.inf)
+
+
+def log_prior_model(p: ModelParams):
+    """Joint log prior over the AM block (Bayes_Run.py:102-131)."""
+    lp = _beta_logpdf(p.lam, 5.0, 1.0)
+    lp += _truncnorm_logpdf(p.f_a1, 6.0, 0.3, 0.0, 9.0)
+    lp += _truncnorm_logpdf(p.f_a2, 20.0, 0.3, 15.0, 24.0)
+    lp += _gamma_logpdf(p.f_b1_p, 2.0, 1.0)
+    lp += _gamma_logpdf(p.f_b2_p, 2.0, 1.0)
+    lp += _gamma_logpdf(p.g_aw, 2.2, 1.0)
+    lp += _gamma_logpdf(p.g_bw, 5.0, 1.0)
+    lp += _gamma_logpdf(p.sig_x, 26.0, 0.15)
+    lp += _gamma_logpdf(p.sig_y, 15.0, 0.15)
+    lp += _beta_logpdf(p.corr_p, 5.0, 5.0)
+    lp += _gamma_logpdf(p.sig_xl, 2.0, 0.08)
+    lp += _gamma_logpdf(p.sig_yl, 2.0, 0.14)
+    lp += _beta_logpdf(p.corr_l_p, 5.0, 5.0)
+    lp += _normal_logpdf(p.mu_r, 1.0, 1.0)
+    lp += _poisson_logpmf(p.n_periods, 30.0)
+    return lp
+
+
+def sent_obs_prior_alpha(A_collected, field_areas, sent_beta=40.0):
+    """Per-field Beta alpha for sentinel observation probabilities: the Beta
+    mean is A_collected/field_area with fixed beta=40
+    (Bayes_Run.py:155-166)."""
+    mean = A_collected / field_areas
+    return mean * sent_beta / (1.0 - mean)
+
+
+def log_prior_obs(o: ObsParams, field_areas, min_field_area):
+    """Joint log prior over observation parameters (Bayes_Run.py:132-166).
+
+    ``field_areas``: sentinel field areas in m² (cells × cell area);
+    ``min_field_area``: truncation upper bound for A_collected.
+    """
+    lp = _gamma_logpdf(o.xi, 1.0, 1.0)
+    lp += _beta_logpdf(o.em_obs_prob, 1.0, 1.0)
+    lp += _beta_logpdf(o.grid_obs_prob, 1.0, 1.0)
+    lp += _truncnorm_logpdf(o.A_collected, 2500.0, 1.0 / 2500.0, 0.0,
+                            min_field_area)
+    alpha = sent_obs_prior_alpha(o.A_collected, field_areas)
+    # hierarchical: invalid whenever A_collected >= a field's area
+    valid = jnp.all(alpha > 0)
+    lp += jnp.where(valid,
+                    jnp.sum(_beta_logpdf(o.sent_obs_probs, alpha, 40.0)),
+                    -jnp.inf)
+    return lp

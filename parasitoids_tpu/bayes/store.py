@@ -1,0 +1,83 @@
+"""MCMC trace persistence with resume (L4 support).
+
+The reference stores traces in a PyMC HDF5 database opened in append mode
+and resumes chains from it (Bayes_Run.py:484-537).  We store traces plus
+the complete sampler state (positions, cached moments, proposal adaptation,
+RNG key) in an ``.npz``, so a resumed run continues *exactly* where the
+previous one stopped — including the adaptive-proposal state, which the
+reference also persists via PyMC's database.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from .sampler import ChainState
+
+__all__ = ['save_chain', 'load_chain', 'append_traces']
+
+_STATE_FIELDS = ('m', 'o', 'loglik', 'prior_m', 'prior_o', 'key', 'count',
+                 'mean', 'm2', 'accepts_m', 'accepts_o')
+
+
+def save_chain(path, traces, state: ChainState, meta=None):
+    """Write traces (n_chains, n_samples, dim) + sampler state.  Projections
+    are not stored; they are recomputed on resume (one forward sim)."""
+    if path.endswith('.npz'):
+        path = path[:-4]
+    d = os.path.dirname(path)
+    if d and not os.path.exists(d):
+        os.makedirs(d)
+    payload = {'traces': np.asarray(traces)}
+    for f in _STATE_FIELDS:
+        payload['state_' + f] = np.asarray(getattr(state, f))
+    np.savez(path, **payload)
+    with open(path + '.meta.json', 'w') as fh:
+        json.dump(meta or {}, fh)
+
+
+def load_chain(path, setup):
+    """Load traces and rebuild the chain state (re-evaluating the cached
+    forward projections at the stored position)."""
+    from .sampler import _as_model, _as_obs
+    if not path.endswith('.npz'):
+        path = path + '.npz'
+    with np.load(path) as npz:
+        traces = npz['traces']
+        fields = {f: jnp.asarray(npz['state_' + f]) for f in _STATE_FIELDS}
+    meta_path = path[:-4] + '.meta.json'
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+
+    def rebuild(m, o, **kw):
+        proj = setup.forward_projections(_as_model(m))
+        return ChainState(m=m, o=o, proj=proj, **kw)
+
+    if fields['m'].ndim == 2:     # vmapped chains
+        import jax
+        state = jax.vmap(lambda m, o, ll, pm, po, key, c, mu, m2, am, ao:
+                         rebuild(m, o, loglik=ll, prior_m=pm, prior_o=po,
+                                 key=key, count=c, mean=mu, m2=m2,
+                                 accepts_m=am, accepts_o=ao))(
+            fields['m'], fields['o'], fields['loglik'], fields['prior_m'],
+            fields['prior_o'], fields['key'], fields['count'],
+            fields['mean'], fields['m2'], fields['accepts_m'],
+            fields['accepts_o'])
+    else:
+        state = rebuild(fields['m'], fields['o'],
+                        loglik=fields['loglik'], prior_m=fields['prior_m'],
+                        prior_o=fields['prior_o'], key=fields['key'],
+                        count=fields['count'], mean=fields['mean'],
+                        m2=fields['m2'], accepts_m=fields['accepts_m'],
+                        accepts_o=fields['accepts_o'])
+    return traces, state, meta
+
+
+def append_traces(old, new):
+    return np.concatenate([np.asarray(old), np.asarray(new)], axis=-2)

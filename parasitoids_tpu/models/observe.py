@@ -1,0 +1,164 @@
+"""Observation model (L3→L4 bridge): population fields → expected counts.
+
+Rebuilds the reference's ``Bayes_funcs`` projections
+(popdensity_to_emergence Bayes_funcs.py:20-152, popdensity_grid :156-179,
+popdensity_card :183-221) in a TPU-friendly form.  The reference loops over
+oviposition days and grid points in Python per MCMC sample; here every
+projection is factored into *static* gather indices and weight matrices
+(precomputed once from LocInfo on the host), so inside the jitted likelihood
+each projection is a gather plus a small matmul:
+
+    emergence[n, obs_col] = sum_day pop[day, point_n] * W[day, obs_col]
+
+where ``W = M @ B`` combines the incubation-time distribution M (oviposition
+day → feasible emergence day, 19-25 days at weights .05/.1/.2/.3/.2/.1/.05,
+Bayes_funcs.py:17-18) and the binning matrix B (emergence day → observation
+date, Bayes_funcs.py:76-89).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+__all__ = ['ObservationOps', 'INCUBATION_TIME', 'MAX_INCUBATION']
+
+# oviposition-to-emergence time distribution (19..25 days inclusive),
+# ref Bayes_funcs.py:17-18
+INCUBATION_TIME = np.array([0.05, 0.1, 0.2, 0.3, 0.2, 0.1, 0.05])
+MAX_INCUBATION = 25
+
+
+def _emergence_weights(collection_day, obs_cols, ndays):
+    """W[day, obs_col]: contribution of day-``day`` population (per wasp) to
+    expected emergence counted on observation column ``obs_col``."""
+    M = np.zeros((ndays, MAX_INCUBATION))
+    start_day = max(collection_day - MAX_INCUBATION, 0)
+    for day in range(start_day, min(collection_day, ndays)):
+        max_post = day + MAX_INCUBATION - collection_day
+        if max_post < 0:
+            continue
+        min_post = max(0, max_post + 1 - INCUBATION_TIME.size)
+        span = max_post - min_post + 1
+        M[day, min_post:max_post + 1] = INCUBATION_TIME[-span:]
+    B = np.zeros((MAX_INCUBATION, len(obs_cols)))
+    col_indices = [int(c) - collection_day for c in obs_cols]
+    B[0:col_indices[0] + 1, 0] = 1.0
+    for n, col in enumerate(col_indices[1:]):
+        B[col_indices[n] + 1:col + 1, n + 1] = 1.0
+    return M @ B
+
+
+class _Projection(NamedTuple):
+    point_rows: jnp.ndarray    # flattened gather index (row*D + col)
+    weights: jnp.ndarray       # (ndays, n_obs_cols)
+
+
+class ObservationOps:
+    """Precomputed observation projections for one LocInfo + domain.
+
+    Methods are jit-compatible; build once per inference run.
+    """
+
+    def __init__(self, locinfo, domain_info, ndays):
+        D = int(domain_info[1]) * 2 + 1
+        res = domain_info[0] / domain_info[1]
+        self.dom_len = D
+        self.ndays = ndays
+
+        ### release-field grid emergence (per collection)
+        self.release_proj = []
+        for nframe, dframe in enumerate(locinfo.release_DataFrames):
+            cd = locinfo.collection_datesPR[nframe].days
+            obs = [int(d / np.timedelta64(1, 'D'))
+                   for d in dframe['datePR'].unique()]
+            idx = np.array([r * D + c for r, c in
+                            locinfo.emerg_grids[nframe]], np.int32)
+            W = _emergence_weights(cd, obs, ndays)
+            self.release_proj.append(_Projection(
+                jnp.asarray(idx), jnp.asarray(W, jnp.float32)))
+
+        ### sentinel-field emergence (per collection)
+        # field sums via concatenated cell gather + per-field segment ids
+        cells = []
+        seg = []
+        for n, fid in enumerate(locinfo.sent_ids):
+            fc = locinfo.field_cells[fid]
+            cells.append(fc[:, 0] * D + fc[:, 1])
+            seg.append(np.full(fc.shape[0], n))
+        self.sent_cells = jnp.asarray(np.concatenate(cells), jnp.int32)
+        self.sent_seg = jnp.asarray(np.concatenate(seg), jnp.int32)
+        self.n_sent = len(locinfo.sent_ids)
+        self.sentinel_W = []
+        for nframe, dframe in enumerate(locinfo.sent_DataFrames):
+            cd = locinfo.collection_datesPR[nframe].days
+            obs = [int(d / np.timedelta64(1, 'D'))
+                   for d in dframe['datePR'].unique()]
+            self.sentinel_W.append(jnp.asarray(
+                _emergence_weights(cd, obs, ndays), jnp.float32))
+
+        ### grid adult counts: end-of-day density at sampled cells
+        # (ref Bayes_funcs.py:167-173: modelsol[date.days-1])
+        gidx = np.array([r * D + c for r, c in locinfo.grid_cells], np.int32)
+        self.grid_idx = jnp.asarray(gidx)
+        self.grid_days = jnp.asarray(
+            np.array([d.days - 1 for d in locinfo.grid_obs_datesPR],
+                     np.int32))
+
+        ### cardinal-direction transects (list of static gathers per day)
+        self.card_gathers = []
+        center = int(domain_info[1])
+        for nday, date in enumerate(locinfo.card_obs_datesPR):
+            obslen = locinfo.card_obs[nday].shape[1]
+            dist = 5 + locinfo.step_size[nday] * (1 + np.arange(obslen))
+            delta = (dist // res).astype(np.int32)
+            rows = np.stack([center - delta, center + delta,
+                             np.full(obslen, center),
+                             np.full(obslen, center)])
+            cols = np.stack([np.full(obslen, center),
+                             np.full(obslen, center),
+                             center + delta, center - delta])
+            self.card_gathers.append(
+                (int(date.days) - 1,
+                 jnp.asarray(rows * D + cols)))   # (4, obslen) flat index
+
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnums=(0,))
+    def project_emergence(self, fields):
+        """fields (ndays, D, D) → (release_emerg list, sentinel_emerg list)
+        matching the reference's array layout: rows = grid points / fields,
+        cols = observation dates (Bayes_funcs.py:145-152)."""
+        flat = fields.reshape(fields.shape[0], -1)       # (ndays, D*D)
+        release = []
+        for proj in self.release_proj:
+            pts = flat[:, proj.point_rows]               # (ndays, n_pts)
+            release.append(jnp.matmul(pts.T, proj.weights,
+                                      precision=lax.Precision.HIGHEST))
+        sentinel = []
+        cell_vals = flat[:, self.sent_cells]             # (ndays, n_cells)
+        field_tot = jax.ops.segment_sum(
+            cell_vals.T, self.sent_seg, num_segments=self.n_sent)
+        for W in self.sentinel_W:
+            sentinel.append(jnp.matmul(field_tot, W,
+                                       precision=lax.Precision.HIGHEST))
+        return release, sentinel
+
+    @partial(jax.jit, static_argnums=(0,))
+    def project_grid(self, fields):
+        """fields → (n_grid_points, n_obs_dates) expected counts
+        (ref Bayes_funcs.py:156-179)."""
+        flat = fields.reshape(fields.shape[0], -1)
+        pts = flat[:, self.grid_idx]                     # (ndays, n_grid)
+        return pts[self.grid_days].T                     # (n_grid, n_dates)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def project_card(self, fields):
+        """fields → list of (4, obslen) cardinal transect densities
+        (ref Bayes_funcs.py:183-221)."""
+        flat = fields.reshape(fields.shape[0], -1)
+        return [flat[day][idx] for day, idx in self.card_gathers]

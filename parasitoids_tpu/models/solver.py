@@ -185,7 +185,9 @@ def propagate_pop(kernels, r_dur: int, r_number, dist_weights,
         cohort_hat = cursol_hat[None] * suffix
         fields = jnp.fft.ifft2(cohort_hat).real[:, :D, :D]   # (day+1, D, D)
         w = dist_weights[:day + 1]
-        pop = thresh(jnp.tensordot(w, fields, axes=1) * r_number)
+        pop = thresh(jnp.tensordot(w, fields, axes=1,
+                                   precision=lax.Precision.HIGHEST)
+                     * r_number)
         released = jnp.sum(w)
         pop = pop.at[c, c].add(r_number * (1.0 - released))
         out.append(pop)
@@ -205,7 +207,8 @@ def propagate_pop(kernels, r_dur: int, r_number, dist_weights,
                            lambda: cur_hat)
         cohort_fields = jnp.fft.ifft2(cur_hat[None] * suffix_fixed).real
         pop = thresh(jnp.tensordot(dist_weights,
-                                   cohort_fields[:, :D, :D], axes=1)
+                                   cohort_fields[:, :D, :D], axes=1,
+                                   precision=lax.Precision.HIGHEST)
                      * r_number)
         return cur_hat, pop
 

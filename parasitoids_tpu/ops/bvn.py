@@ -97,4 +97,8 @@ def bvn_cell_masses(mu, sig_x, sig_y, rho, cell, K, G=16):
     d_phi = cdf[..., :-1] - cdf[..., 1:]                      # (n, G, n) cols,G,rows
 
     # mass(i, j) = sum_g half_j * w_g * d_phi[j, g, i]
-    return jnp.einsum('j,jgi,g->ij', half, d_phi, w)
+    # HIGHEST precision: JAX's default contraction precision truncates f32
+    # inputs to bf16 on TPU (and mirrors that on CPU), costing ~1e-3
+    # relative error; these contractions are tiny, so full f32 is free.
+    return jnp.einsum('j,jgi,g->ij', half, d_phi, w,
+                      precision=jax.lax.Precision.HIGHEST)

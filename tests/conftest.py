@@ -24,6 +24,10 @@ os.chdir(REPO_ROOT)  # data files are addressed repo-relative, as in reference
 
 import pytest  # noqa: E402
 
+from parasitoids_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 
 def pytest_addoption(parser):
     parser.addoption('--runslow', action='store_true', help='run slow tests')

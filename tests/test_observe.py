@@ -1,0 +1,107 @@
+"""Tests for the observation projections (L3→L4).
+
+Direct numerical parity with the reference's Bayes_funcs on identical
+inputs: the reference functions are pure numpy/scipy, so we feed them the
+same synthetic population fields (as the CSR lists they expect) and our
+LocInfo object (attribute-compatible with the reference's)."""
+
+import numpy as np
+import pytest
+from scipy import sparse
+
+from parasitoids_tpu.io.locinfo import LocInfo
+from parasitoids_tpu.models.observe import ObservationOps
+from tests import _reference_oracle as ref_oracle
+
+KALBAR_LATLONG = (-27.947131, 152.584171)
+DOMAIN = (10000.0, 400)
+NDAYS = 18
+
+
+@pytest.fixture(scope='module')
+def locinfo():
+    return LocInfo('kalbar', KALBAR_LATLONG, DOMAIN)
+
+
+@pytest.fixture(scope='module')
+def fields():
+    rng = np.random.default_rng(3)
+    D = 2 * DOMAIN[1] + 1
+    f = np.zeros((NDAYS, D, D), np.float32)
+    # population concentrated near the center, like a real run
+    c = DOMAIN[1]
+    for d in range(NDAYS):
+        r = 30 + 3 * d
+        block = rng.uniform(0, 50, (2 * r + 1, 2 * r + 1))
+        f[d, c - r:c + r + 1, c - r:c + r + 1] = block
+    return f
+
+
+@pytest.fixture(scope='module')
+def obs_ops(locinfo):
+    return ObservationOps(locinfo, DOMAIN, NDAYS)
+
+
+def _load_ref_bayes_funcs():
+    import sys
+    if ref_oracle.load_reference() is None:
+        return None
+    sys.path.insert(0, ref_oracle.REF_PATH)
+    try:
+        import Bayes_funcs
+    finally:
+        sys.path.remove(ref_oracle.REF_PATH)
+    return Bayes_funcs
+
+
+def test_emergence_parity(locinfo, fields, obs_ops):
+    bf = _load_ref_bayes_funcs()
+    if bf is None:
+        pytest.skip('reference tree unavailable')
+    modelsol = [sparse.csr_matrix(f) for f in fields]
+    want_rel, want_sent = bf.popdensity_to_emergence(modelsol, locinfo)
+
+    got_rel, got_sent = obs_ops.project_emergence(fields)
+    assert len(got_rel) == len(want_rel) == 1
+    assert len(got_sent) == len(want_sent) == 1
+    np.testing.assert_allclose(np.asarray(got_rel[0]), want_rel[0],
+                               rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_sent[0]), want_sent[0],
+                               rtol=2e-4)
+
+
+def test_grid_parity(locinfo, fields, obs_ops):
+    bf = _load_ref_bayes_funcs()
+    if bf is None:
+        pytest.skip('reference tree unavailable')
+    modelsol = [sparse.csr_matrix(f) for f in fields]
+    want = bf.popdensity_grid(modelsol, locinfo)
+    got = np.asarray(obs_ops.project_grid(fields))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_card_parity(locinfo, fields, obs_ops):
+    bf = _load_ref_bayes_funcs()
+    if bf is None:
+        pytest.skip('reference tree unavailable')
+    modelsol = [sparse.csr_matrix(f) for f in fields]
+    want = bf.popdensity_card(modelsol, locinfo, DOMAIN)
+    got = obs_ops.project_card(fields)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), w, rtol=1e-5)
+
+
+def test_shapes_match_observations(locinfo, fields, obs_ops):
+    """Model projections must align with observed-data arrays — the shape
+    contract the Poisson likelihood depends on (ref test_Bayes.py:135-191)."""
+    rel, sent = obs_ops.project_emergence(fields)
+    for model, data in zip(rel, locinfo.release_emerg):
+        assert model.shape == data.shape
+    for model, data in zip(sent, locinfo.sentinel_emerg):
+        assert model.shape == data.shape
+    grid = obs_ops.project_grid(fields)
+    assert grid.shape == locinfo.grid_obs.shape
+    card = obs_ops.project_card(fields)
+    for model, data in zip(card, locinfo.card_obs):
+        assert model.shape == data.shape
