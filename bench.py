@@ -1,0 +1,82 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline metric (BASELINE.json): full forward simulations per hour on the
+reference Bayes workload — Kalbar population model, 801x801 domain at 25 m,
+18 wind days x 1440 minute-kernels, release + FFT propagation + observation
+projections.  Every MCMC likelihood evaluation runs exactly this program,
+so sims/hr bounds achievable samples/hr.
+
+``vs_baseline`` compares against the measured single-stream reference CPU
+path (BASELINE_MEASURED.json: per-day prob_mass + per-day conv on this
+machine, scaled to 18 days).  The reference publishes no numbers
+(BASELINE.md), so the baseline is measured, not copied.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def measure(n_iters=20):
+    import jax
+    import jax.numpy as jnp
+    from parasitoids_tpu.config import Params
+    from parasitoids_tpu.models.forward import forward_fields, setup_forward
+    from parasitoids_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    p = Params()
+    p.cmd_line_chg(['--kalbar'])
+    p.PLOT = False
+    p.OUTPUT = False
+    p.PROB_MODEL = False
+    s = setup_forward(p)
+    hparams = tuple(np.float32(v)
+                    for v in (p.lam, *p.g_params, *p.f_params))
+    w = jnp.asarray(s.dist_weights, jnp.float32)
+
+    def run(mu_r):
+        fields = forward_fields(
+            s.wind_flat, s.wind_cumsum, hparams, p.Dparams, p.Dlparams,
+            mu_r, jnp.int32(p.n_periods), s.rad_dist, jnp.int32(0),
+            float(p.r_number), w, s.kcfg, s.scfg, s.ndays, int(p.r_dur),
+            False)
+        return fields[-1].sum()
+
+    # warm-up / compile
+    run(jnp.float32(1.179)).block_until_ready()
+    t0 = time.time()
+    outs = [run(jnp.float32(1.179 + 1e-6 * i)) for i in range(n_iters)]
+    jax.block_until_ready(outs)
+    dt = (time.time() - t0) / n_iters
+    return dt, s.ndays
+
+
+def main():
+    dt, ndays = measure()
+    sims_per_hr = 3600.0 / dt
+    sim_days_per_sec = ndays / dt
+
+    vs_baseline = None
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             'BASELINE_MEASURED.json')
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        ref_total = (base['per_day_prob_mass_s'] +
+                     base['conv_per_day_s']) * base['ndays']
+        vs_baseline = ref_total / dt   # speedup factor
+    print(json.dumps({
+        'metric': 'kalbar_full_forward_sims_per_hr',
+        'value': round(sims_per_hr, 1),
+        'unit': 'sims/hr (801x801, 18 days; sim-days/s={:.1f})'.format(
+            sim_days_per_sec),
+        'vs_baseline': round(vs_baseline, 1) if vs_baseline else None,
+    }))
+
+
+if __name__ == '__main__':
+    main()

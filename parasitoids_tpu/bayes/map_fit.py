@@ -167,3 +167,56 @@ def map_report(setup: BayesSetup, fit, laplace=None, out=None):
         with open(out, 'w') as f:
             f.write(text + '\n')
     return text
+
+
+def main(argv=None):
+    """CLI like the reference ``python Bayes_MAP.py --MAP | --norm``
+    (Bayes_MAP.py:572-651): coarser domain (10000 m, 200 cells,
+    Bayes_MAP.py:95), n_periods fixed, Kalbar pre-spread factor active."""
+    import argparse
+    from ..config import Params
+    from ..utils.cache import enable_compilation_cache
+
+    parser = argparse.ArgumentParser(prog='parasitoids_tpu.bayes.map_fit')
+    g = parser.add_mutually_exclusive_group(required=True)
+    g.add_argument('--MAP', action='store_true',
+                   help='find the posterior mode')
+    g.add_argument('--norm', action='store_true',
+                   help='MAP + Laplace normal approximation')
+    parser.add_argument('-o', '--outname', default='map_fit.txt')
+    parser.add_argument('--steps', type=int, default=300)
+    parser.add_argument('overrides', nargs='*')
+    args = parser.parse_args(argv)
+    enable_compilation_cache()
+
+    params = Params()
+    params.cmd_line_chg(['--kalbar'])
+    params.PLOT = False
+    params.OUTPUT = False
+    params.PROB_MODEL = False
+    params.domain_info = (10000.0, 200)
+    for ov in args.overrides:
+        if '=' in ov:
+            k, _, v = ov.partition('=')
+            params.chg_param(k, v)
+    setup = BayesSetup(params)
+
+    import time
+    tic = time.time()
+    fit = map_fit(setup, n_steps=args.steps)
+    print('optimization: {:.1f} s for {} steps '
+          '({:.2f} sec./model eval incl. gradient)'.format(
+              time.time() - tic, args.steps, (time.time() - tic) /
+              args.steps))
+    lap = None
+    if args.norm:
+        tic = time.time()
+        lap = laplace_approximation(setup, fit)
+        print('laplace: {:.1f} s'.format(time.time() - tic))
+    report = map_report(setup, fit, lap, out=args.outname)
+    print(report)
+    print('written to', args.outname)
+
+
+if __name__ == '__main__':
+    main()

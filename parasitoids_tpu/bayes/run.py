@@ -1,0 +1,133 @@
+"""MCMC driver CLI (L4/L5).
+
+Reference entry point: ``python Bayes_Run.py --new <iters> <burn> <db>`` /
+``--resume <db> <iters>`` (Bayes_Run.py:31-36,475-537).  Ours:
+
+    python -m parasitoids_tpu.bayes.run --new 1000 100 runs/kalbar
+    python -m parasitoids_tpu.bayes.run --resume runs/kalbar 1000
+    # options: --chains N, plus key=value Params overrides after the mode args
+
+Differences by design: chains are vmapped (and sharded across chips when
+more than one device is present) instead of one sequential PyMC chain; the
+trace store is an npz with exact sampler-state resume instead of a PyMC
+HDF5 database; Gelman–Rubin is printed automatically when >= 2 chains.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import jax
+import numpy as np
+from jax import random
+
+from ..config import Params
+from ..utils.cache import enable_compilation_cache
+from .diagnostics import effective_sample_size, gelman_rubin
+from .model import BayesSetup
+from .priors import MODEL_PARAM_NAMES
+from .sampler import MCMCConfig
+from .store import append_traces, load_chain, save_chain
+
+parser = argparse.ArgumentParser(prog='parasitoids_tpu.bayes.run')
+group = parser.add_mutually_exclusive_group(required=True)
+group.add_argument('--new', nargs=3,
+                   metavar=('iterations', 'burn-in', 'db_name'),
+                   help='Start a new MCMC run.')
+group.add_argument('--resume', nargs=2, metavar=('db_name', 'iterations'),
+                   help='Resume sampling from a saved run.')
+parser.add_argument('--chains', type=int, default=1,
+                    help='number of parallel chains (vmapped/sharded)')
+parser.add_argument('--seed', type=int, default=0)
+parser.add_argument('overrides', nargs='*',
+                    help='Params key=value overrides (e.g. interp_num=30)')
+
+
+def build_setup(overrides=()):
+    params = Params()
+    params.cmd_line_chg(['--kalbar'])
+    params.PLOT = False
+    params.OUTPUT = False
+    params.PROB_MODEL = False
+    params.domain_info = (10000.0, 400)   # ref Bayes_Run.py:91
+    for ov in overrides:
+        if '=' in ov:
+            key, _, val = ov.partition('=')
+            params.chg_param(key, val)
+    return BayesSetup(params)
+
+
+def _report(traces, setup):
+    names = list(MODEL_PARAM_NAMES)
+    print('posterior means (model block):')
+    flat = traces.reshape(-1, traces.shape[-1])
+    for i, n in enumerate(names):
+        print('  {:>12s}: {:.5g}'.format(n, flat[:, i].mean()))
+    print('mean log-posterior: {:.2f}'.format(flat[:, -1].mean()))
+    if traces.shape[0] >= 2:
+        rhat = gelman_rubin(traces[:, :, :len(names)])
+        print('Gelman-Rubin R-hat (model block):')
+        for n, r in zip(names, np.atleast_1d(rhat)):
+            print('  {:>12s}: {:.4f}'.format(n, r))
+    ess = effective_sample_size(flat[:, 0])
+    print('ESS (g_aw, pooled): {:.1f}'.format(ess))
+
+
+def main(argv=None):
+    args = parser.parse_args(argv)
+    enable_compilation_cache()
+
+    print('devices: {}'.format(jax.devices()))
+    setup = build_setup(args.overrides)
+    from ..parallel.chains import chain_mesh, init_chains, run_chains
+
+    n_dev = len(jax.devices())
+    mesh = chain_mesh() if (args.chains > 1 and n_dev > 1) else None
+
+    if args.new is not None:
+        n_samples, burn, db = int(args.new[0]), int(args.new[1]), args.new[2]
+        key = random.PRNGKey(args.seed)
+        print('Initializing {} chain(s)...'.format(args.chains))
+        states = init_chains(setup, key, args.chains)
+        if burn:
+            print('Burn-in: {} steps...'.format(burn))
+            tic = time.time()
+            states, _ = run_chains(setup, states, MCMCConfig(burn), mesh)
+            jax.block_until_ready(states.m)
+            print('  {:.1f} s'.format(time.time() - tic))
+        print('Sampling {} steps...'.format(n_samples))
+        tic = time.time()
+        states, traces = run_chains(setup, states, MCMCConfig(n_samples),
+                                    mesh)
+        traces = np.asarray(traces)
+        dt = time.time() - tic
+        print('Sampling finished: {:.1f} s ({:.3f} s/sample/chain, '
+              '{:.0f} samples/hr total)'.format(
+                  dt, dt / n_samples, 3600.0 / dt * n_samples * args.chains))
+        save_chain(db, traces, states,
+                   meta={'n_samples': n_samples, 'burn': burn,
+                         'chains': args.chains})
+        print('Saved to {}.npz'.format(db))
+        _report(traces, setup)
+    else:
+        db, n_samples = args.resume[0], int(args.resume[1])
+        print('Resuming from {}...'.format(db))
+        old_traces, states, meta = load_chain(db, setup)
+        print('Sampling {} more steps...'.format(n_samples))
+        tic = time.time()
+        states, traces = run_chains(setup, states, MCMCConfig(n_samples),
+                                    mesh)
+        traces = np.asarray(traces)
+        dt = time.time() - tic
+        print('Sampling finished: {:.1f} s'.format(dt))
+        traces = append_traces(old_traces, traces)
+        save_chain(db, traces, states, meta=meta)
+        print('Saved to {}.npz ({} total samples/chain)'.format(
+            db, traces.shape[-2]))
+        _report(traces, setup)
+
+
+if __name__ == '__main__':
+    main()

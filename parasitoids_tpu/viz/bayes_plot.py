@@ -1,0 +1,158 @@
+"""MCMC diagnostics plots (L5).
+
+Rebuilds ``Bayes_Plot.py``: trace plots with Geweke z-score panels saved to
+``./diagnostics/``, and posterior histograms grouped the same way as the
+reference (f/g take-off parameters :147-209, spread covariances :213-290,
+sentinel observation probabilities :294-328, remaining scalars :332-375) —
+driven from our npz trace store instead of a PyMC HDF5 database.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..bayes.diagnostics import geweke
+from ..bayes.priors import MODEL_PARAM_NAMES, OBS_PARAM_NAMES
+
+__all__ = ['plot_traces', 'plot_f_g', 'plot_sprd_vars',
+           'plot_sent_obs_probs', 'plot_other', 'main']
+
+
+def _mpl():
+    import matplotlib
+    if not os.environ.get('DISPLAY'):
+        matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    return plt
+
+
+def _param_names(n_total):
+    n_sent = n_total - len(MODEL_PARAM_NAMES) - len(OBS_PARAM_NAMES) - 1
+    return (list(MODEL_PARAM_NAMES) + list(OBS_PARAM_NAMES) +
+            ['sent_obs_prob_{}'.format(i) for i in range(n_sent)] +
+            ['log_posterior'])
+
+
+def _flatten(traces):
+    traces = np.asarray(traces)
+    if traces.ndim == 2:
+        traces = traces[None]
+    return traces
+
+
+def plot_traces(traces, outdir='./diagnostics', start=0):
+    """Per-parameter trace plot + Geweke z-scores
+    (ref Bayes_Plot.py:28-143)."""
+    plt = _mpl()
+    os.makedirs(outdir, exist_ok=True)
+    traces = _flatten(traces)[:, start:, :]
+    names = _param_names(traces.shape[-1])
+    written = []
+    for i, name in enumerate(names):
+        fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(8, 6), sharex=False)
+        for c in range(traces.shape[0]):
+            ax1.plot(traces[c, :, i], lw=0.6)
+        ax1.set_title('{} trace'.format(name))
+        gz = geweke(traces[0, :, i])
+        if len(gz):
+            ax2.plot(gz[:, 0], gz[:, 1], 'o')
+            ax2.axhline(2, color='r', ls='--')
+            ax2.axhline(-2, color='r', ls='--')
+        ax2.set_title('Geweke z-scores')
+        fig.tight_layout()
+        path = os.path.join(outdir, 'trace_{}.png'.format(name))
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+        written.append(path)
+    return written
+
+
+def _hist_group(traces, idxs, title, outfile, start=0):
+    plt = _mpl()
+    traces = _flatten(traces)
+    names = _param_names(traces.shape[-1])
+    flat = traces[:, start:, :].reshape(-1, traces.shape[-1])
+    n = len(idxs)
+    ncol = min(n, 3)
+    nrow = -(-n // ncol)
+    fig, axes = plt.subplots(nrow, ncol, figsize=(4 * ncol, 3 * nrow),
+                             squeeze=False)
+    for k, i in enumerate(idxs):
+        ax = axes[k // ncol][k % ncol]
+        ax.hist(flat[:, i], bins=40, density=True, alpha=0.8)
+        ax.set_title(names[i])
+    for k in range(n, nrow * ncol):
+        axes[k // ncol][k % ncol].axis('off')
+    fig.suptitle(title)
+    fig.tight_layout()
+    fig.savefig(outfile, dpi=120)
+    plt.close(fig)
+    return outfile
+
+
+def plot_f_g(traces, outdir='./diagnostics', start=0):
+    """Take-off function posteriors (ref Bayes_Plot.py:147-209)."""
+    idxs = [MODEL_PARAM_NAMES.index(k)
+            for k in ('g_aw', 'g_bw', 'f_a1', 'f_b1_p', 'f_a2', 'f_b2_p')]
+    os.makedirs(outdir, exist_ok=True)
+    return _hist_group(traces, idxs, 'take-off f/g parameters',
+                       os.path.join(outdir, 'posterior_f_g.png'), start)
+
+
+def plot_sprd_vars(traces, outdir='./diagnostics', start=0):
+    """Spread covariance posteriors (ref Bayes_Plot.py:213-290)."""
+    idxs = [MODEL_PARAM_NAMES.index(k)
+            for k in ('sig_x', 'sig_y', 'corr_p', 'sig_xl', 'sig_yl',
+                      'corr_l_p')]
+    os.makedirs(outdir, exist_ok=True)
+    return _hist_group(traces, idxs, 'diffusion parameters',
+                       os.path.join(outdir, 'posterior_sprd.png'), start)
+
+
+def plot_sent_obs_probs(traces, outdir='./diagnostics', start=0):
+    """Sentinel observation probability posteriors
+    (ref Bayes_Plot.py:294-328)."""
+    traces = _flatten(traces)
+    n_total = traces.shape[-1]
+    first = len(MODEL_PARAM_NAMES) + len(OBS_PARAM_NAMES)
+    idxs = list(range(first, n_total - 1))
+    os.makedirs(outdir, exist_ok=True)
+    return _hist_group(traces, idxs, 'sentinel observation probabilities',
+                       os.path.join(outdir, 'posterior_sent_obs.png'),
+                       start)
+
+
+def plot_other(traces, outdir='./diagnostics', start=0):
+    """Remaining scalar posteriors (ref Bayes_Plot.py:332-375)."""
+    idxs = [MODEL_PARAM_NAMES.index(k)
+            for k in ('lam', 'n_periods', 'mu_r')]
+    idxs += [len(MODEL_PARAM_NAMES) + OBS_PARAM_NAMES.index(k)
+             for k in ('xi', 'em_obs_prob', 'grid_obs_prob', 'A_collected')]
+    os.makedirs(outdir, exist_ok=True)
+    return _hist_group(traces, idxs, 'other parameters',
+                       os.path.join(outdir, 'posterior_other.png'), start)
+
+
+def main(argv=None):
+    import sys
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print('usage: python -m parasitoids_tpu.viz.bayes_plot '
+              '<trace.npz> [start]')
+        return
+    with np.load(argv[0] if argv[0].endswith('.npz') else argv[0] + '.npz') \
+            as npz:
+        traces = npz['traces']
+    start = int(argv[1]) if len(argv) > 1 else 0
+    plot_traces(traces, start=start)
+    plot_f_g(traces, start=start)
+    plot_sprd_vars(traces, start=start)
+    plot_sent_obs_probs(traces, start=start)
+    plot_other(traces, start=start)
+    print('diagnostics written to ./diagnostics/')
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,118 @@
+"""Unit tests for the Bayes-layer building blocks (priors, transforms,
+diagnostics) — fast, no forward simulation."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy import stats
+
+from parasitoids_tpu.bayes.diagnostics import (effective_sample_size,
+                                               gelman_rubin, geweke)
+from parasitoids_tpu.bayes.priors import (ModelParams, ObsParams,
+                                          initial_model_params,
+                                          initial_obs_params,
+                                          log_prior_model, log_prior_obs,
+                                          MODEL_PARAM_NAMES)
+from parasitoids_tpu.bayes.transforms import (MODEL_TRANSFORMS,
+                                              obs_transforms)
+
+
+def test_prior_finite_at_init():
+    m = ModelParams(*jnp.asarray(initial_model_params(), jnp.float32))
+    lp = float(log_prior_model(m))
+    assert np.isfinite(lp)
+
+    sizes = [127, 79, 58, 130, 314, 81]
+    o0 = initial_obs_params(sizes, 25.0 ** 2)
+    o = ObsParams(o0[0], o0[1], o0[2], o0[3], jnp.asarray(o0[4:]))
+    areas = jnp.asarray([s * 625.0 for s in sizes])
+    lp_o = float(log_prior_obs(o, areas, min(sizes) * 625.0))
+    assert np.isfinite(lp_o)
+
+
+def test_prior_rejects_out_of_support():
+    m0 = initial_model_params()
+    for idx, bad in [(MODEL_PARAM_NAMES.index('lam'), 1.5),
+                     (MODEL_PARAM_NAMES.index('sig_x'), -1.0),
+                     (MODEL_PARAM_NAMES.index('f_a1'), 12.0),
+                     (MODEL_PARAM_NAMES.index('corr_p'), -0.2)]:
+        v = m0.copy()
+        v[idx] = bad
+        lp = float(log_prior_model(ModelParams(*jnp.asarray(v))))
+        assert lp == -np.inf, (idx, bad)
+
+
+def test_prior_matches_scipy_densities():
+    """Spot-check the PyMC-2 parameterization conventions against scipy."""
+    m0 = initial_model_params()
+    base = float(log_prior_model(ModelParams(*jnp.asarray(m0, jnp.float64))))
+
+    def with_(name, val):
+        v = m0.copy()
+        v[MODEL_PARAM_NAMES.index(name)] = val
+        return float(log_prior_model(ModelParams(*jnp.asarray(
+            v, jnp.float64))))
+
+    # Gamma(26, 0.15) with beta = rate -> scale 1/0.15
+    d = with_('sig_x', 200.0) - base
+    want = (stats.gamma.logpdf(200.0, 26, scale=1 / 0.15) -
+            stats.gamma.logpdf(m0[MODEL_PARAM_NAMES.index('sig_x')], 26,
+                               scale=1 / 0.15))
+    np.testing.assert_allclose(d, want, atol=5e-3)  # f32 gammaln
+
+    # Normal(1, tau=1) -> sd 1
+    d = with_('mu_r', 1.7) - base
+    want = (stats.norm.logpdf(1.7, 1, 1) - stats.norm.logpdf(
+        m0[MODEL_PARAM_NAMES.index('mu_r')], 1, 1))
+    np.testing.assert_allclose(d, want, atol=5e-3)
+
+    # Poisson(30) pmf ratio
+    d = with_('n_periods', 25.0) - base
+    want = (stats.poisson.logpmf(25, 30) - stats.poisson.logpmf(30, 30))
+    np.testing.assert_allclose(d, want, atol=5e-3)
+
+
+def test_transforms_roundtrip():
+    vals = np.asarray(initial_model_params(), np.float64)
+    for i, t in enumerate(MODEL_TRANSFORMS):
+        z = t.fwd(jnp.asarray(vals[i]))
+        back = float(t.inv(z))
+        np.testing.assert_allclose(back, vals[i], rtol=1e-3)  # f32 logit
+    for t, v in zip(obs_transforms(2, 1000.0), [0.75, 0.05, 0.005, 250.0,
+                                                0.1, 0.2]):
+        np.testing.assert_allclose(float(t.inv(t.fwd(jnp.asarray(v)))), v,
+                                   rtol=1e-3)
+
+
+def test_gelman_rubin():
+    rng = np.random.default_rng(0)
+    same = rng.normal(0, 1, (4, 2000))
+    r = gelman_rubin(same)
+    assert 0.99 < r < 1.05
+    shifted = same + np.arange(4)[:, None] * 3
+    assert gelman_rubin(shifted) > 1.5
+    with pytest.raises(ValueError):
+        gelman_rubin(same[:1])
+
+
+def test_geweke_stationary_vs_drifting():
+    rng = np.random.default_rng(1)
+    stat = rng.normal(0, 1, 4000)
+    z = geweke(stat)[:, 1]
+    assert np.abs(z).max() < 3.5
+    drift = stat + np.linspace(0, 6, 4000)
+    zd = geweke(drift)[:, 1]
+    assert np.abs(zd).max() > 4.0
+
+
+def test_effective_sample_size():
+    rng = np.random.default_rng(2)
+    iid = rng.normal(0, 1, 4000)
+    ess = effective_sample_size(iid)
+    assert ess > 2000
+    # AR(1) with strong correlation has far fewer effective samples
+    ar = np.empty(4000)
+    ar[0] = 0
+    for i in range(1, 4000):
+        ar[i] = 0.95 * ar[i - 1] + rng.normal()
+    assert effective_sample_size(ar) < 500
