@@ -25,13 +25,19 @@ REF_PATH = '/root/reference'
 
 def _fake_mvn_module():
     from parasitoids_tpu.utils import bvn_rect
+    from parasitoids_tpu.utils.native import load_bvnlib
+
+    rect = bvn_rect
+    if load_bvnlib() is not None:          # prefer the native C++ library
+        from parasitoids_tpu.utils.native import bvn_rect_native
+        rect = bvn_rect_native
 
     def mvnun(low, upp, mu, S, **kwargs):
         sx = math.sqrt(S[0][0])
         sy = math.sqrt(S[1][1])
         rho = S[0][1] / (sx * sy)
-        val = bvn_rect((low[0], low[1]), (upp[0], upp[1]),
-                       (mu[0], mu[1]), sx, sy, rho)
+        val = rect((low[0], low[1]), (upp[0], upp[1]),
+                   (mu[0], mu[1]), sx, sy, rho)
         return float(val), 0
 
     mod = types.ModuleType('scipy.stats.mvn')

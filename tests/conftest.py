@@ -24,6 +24,14 @@ os.chdir(REPO_ROOT)  # data files are addressed repo-relative, as in reference
 
 import pytest  # noqa: E402
 
+# The hosted-TPU environment's site hook force-registers its PJRT plugin and
+# sets jax_platforms to include it, overriding JAX_PLATFORMS; pin the config
+# itself so the suite runs on CPU even when the device tunnel is unreachable.
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms',
+                  os.environ.get('PARA_TPU_TEST_PLATFORM', 'cpu'))
+
 from parasitoids_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
