@@ -79,6 +79,9 @@ class Params:
         self.kernel_rad_local = 12
         # Gauss-Legendre nodes per cell column for BVN cell integration
         self.quad_nodes = 16
+        # fused Pallas day-accumulate kernel: None = auto (on for TPU),
+        # True/False to force (CLI: use_pallas=True/False)
+        self.use_pallas = None
 
         self.default_chg()
 
@@ -236,6 +239,8 @@ class Params:
                          'min_ndays', 'kernel_rad', 'kernel_rad_local',
                          'quad_nodes'):
                 setattr(self, arg, i(val))
+            elif arg == 'use_pallas':
+                self.use_pallas = val.strip().lower() in ('1', 'true', 'yes')
             elif arg == 'r_start':
                 self.r_start = f(val)
             elif arg == 'r_number':

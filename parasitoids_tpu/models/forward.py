@@ -50,9 +50,14 @@ def setup_forward(params: Params, dtype=jnp.float32) -> ForwardSetup:
     cumsum = jnp.concatenate(
         [jnp.zeros((1, 2), flat.dtype), jnp.cumsum(flat, axis=0)])
     rad_dist, rad_res = params.domain_info
+    # the fused Pallas accumulate is the TPU hot path; elsewhere (CPU tests,
+    # virtual multi-chip dry runs) the XLA scatter path is used
+    use_pallas = (getattr(params, 'use_pallas', None)
+                  if getattr(params, 'use_pallas', None) is not None
+                  else jax.default_backend() == 'tpu')
     kcfg = KernelConfig(rad_res=int(rad_res), periods=T,
                         K=params.kernel_rad, K_local=params.kernel_rad_local,
-                        G=params.quad_nodes)
+                        G=params.quad_nodes, pallas=bool(use_pallas))
     scfg = SolverConfig.for_domain(int(rad_res))
     if (not params.PROB_MODEL) and params.r_start is not None:
         start_idx = int(params.r_start * T)

@@ -6,15 +6,22 @@ Design departures, deliberate and TPU-idiomatic:
 
 * density fields stay **dense in HBM** end to end (an 801² f32 field is
   ~2.6 MB); the reference's COO/CSR sparse bookkeeping disappears,
-* the running solution lives in Fourier space exactly as the GPU path keeps
-  ``sol_hat_gpu`` resident on-device (cuda_lib.py:35-54), and the daily update
-  is one fused complex multiply under ``lax.scan`` — no host round trips,
+* all transforms are **real** FFTs (`rfft2`/`irfft2`) — fields and kernels
+  are real, so the Hermitian half-spectrum halves both FLOPs and memory
+  versus the reference's complex FFTs (scipy fftpack / Reikna complex64),
 * the FFT pad is a *static* shape ≥ 2·dom_len − 1, so every per-day circular
-  convolution is alias-free by construction (the reference sizes its pad from
-  the largest trimmed kernel per run, CalcSol.py:20-21, which is data
-  dependent); the reference's Fourier-wraparound detection + re-FFT mechanism
-  (``bndry_flag``, CalcSol.py:28-41,199-201) is kept for multi-day mass
-  accumulation against the domain edge, as a ``lax.cond``,
+  convolution is alias-free by construction (the reference sizes its pad
+  from the largest trimmed kernel per run, CalcSol.py:20-21, which is data
+  dependent and aliases when wrong),
+* the zero/absorbing boundary is enforced **every day**: the daily update
+  truncates the solution to the domain and re-transforms it.  The reference
+  does this lazily — it detects pad-region mass and re-FFTs only then (the
+  ``bndry_flag``, CalcSol.py:28-41,199-201, re-injecting the *truncated,
+  un-thresholded* field) — but on the headline workloads the flag fires
+  every single day (measured on Kalbar: 17/17 days at population scale), and
+  a `lax.cond` in a TPU scan costs more than the re-FFT it tries to avoid
+  (both branches are materialized).  Unconditional daily absorption is the
+  same physics, branch-free, and strictly enforces the boundary,
 * kernels are corner-shifted ("fftshift by hand", CalcSol.py:56-64) with a
   single ``jnp.roll`` on the padded array.
 
@@ -22,7 +29,9 @@ Population mode reproduces ``CalcSol.get_populations`` (CalcSol.py:205-325):
 release-day cohorts are chained in Fourier space; the reference's per-day
 ``back_solve`` re-convolution of earlier cohorts (CalcSol.py:72-109) becomes
 a batched multiply with precomputed suffix products of the release-day
-kernel FFTs, followed by one batched inverse FFT.
+kernel FFTs, followed by one batched inverse FFT.  The forward transform of
+the truncated field is computed once per day and shared between the cohort
+back-solve and the next day's chain update.
 """
 
 from __future__ import annotations
@@ -38,8 +47,6 @@ from ..ops.daily_kernel import r_small_vals_dense
 
 __all__ = ['SolverConfig', 'signal_fft', 'filter_fft', 'fft_conv_once',
            'propagate_prob', 'propagate_pop', 'next_fast_len']
-
-_BNDRY_EPS = 1e-8  # pad-region mass threshold, ref CalcSol.py:37
 
 
 def next_fast_len(n: int) -> int:
@@ -70,45 +77,41 @@ class SolverConfig(NamedTuple):
 
 
 def signal_fft(field, P):
-    """FFT of a domain field placed at the top-left of the padded grid
+    """Real FFT of a domain field placed at the top-left of the padded grid
     (ref CalcSol.fft2, CalcSol.py:11-24)."""
     D = field.shape[-1]
     pad = [(0, 0)] * (field.ndim - 2) + [(0, P - D), (0, P - D)]
-    return jnp.fft.fft2(jnp.pad(field, pad))
+    return jnp.fft.rfft2(jnp.pad(field, pad))
 
 
 def filter_fft(kernel, P):
-    """FFT of an odd-sized convolution kernel, corner-shifted so its center
-    sits at index (0, 0) with wraparound (ref CalcSol.fftconv2,
+    """Real FFT of an odd-sized convolution kernel, corner-shifted so its
+    center sits at index (0, 0) with wraparound (ref CalcSol.fftconv2,
     CalcSol.py:56-65)."""
     D = kernel.shape[-1]
     c = D // 2
     pad = [(0, 0)] * (kernel.ndim - 2) + [(0, P - D), (0, P - D)]
     shifted = jnp.roll(jnp.pad(kernel, pad), (-c, -c), axis=(-2, -1))
-    return jnp.fft.fft2(shifted)
+    return jnp.fft.rfft2(shifted)
 
 
-def _boundary_leaked(full, D):
-    """True if mass beyond the domain block exceeds the threshold
-    (ref CalcSol.ifft2, CalcSol.py:36-40)."""
-    P = full.shape[-1]
-    mask = (jnp.arange(P) >= D)
-    outside = mask[:, None] | mask[None, :]
-    return jnp.max(jnp.where(outside, full, 0.0)) > _BNDRY_EPS
+def _irfft(x_hat, P):
+    return jnp.fft.irfft2(x_hat, s=(P, P))
 
 
 def fft_conv_once(field, kernel, P):
     """One alias-free FFT convolution of a domain field with a domain-sized
     kernel (testing / single-step use)."""
     D = field.shape[-1]
-    out = jnp.fft.ifft2(signal_fft(field, P) * filter_fft(kernel, P)).real
+    out = _irfft(signal_fft(field, P) * filter_fft(kernel, P), P)
     return out[..., :D, :D]
 
 
 @partial(jax.jit, static_argnames=('config',))
 def propagate_prob(kernels, config: SolverConfig):
     """Chain daily kernels into per-day probability fields
-    (ref CalcSol.get_solutions, CalcSol.py:140-201, CPU semantics).
+    (ref CalcSol.get_solutions, CalcSol.py:140-201, CPU semantics; the
+    boundary re-FFT applied unconditionally — see module docstring).
 
     Args:
         kernels: (ndays, D, D) daily pmfs; day 0 is the recentered initial
@@ -118,20 +121,14 @@ def propagate_prob(kernels, config: SolverConfig):
         with removed mass redistributed (prob-model ``r_small_vals``).
     """
     D, P = config.dom_len, config.fft_len
-    sol_hat0 = signal_fft(kernels[0], P)
 
-    def step(sol_hat, kernel):
-        sol_hat = sol_hat * filter_fft(kernel, P)
-        full = jnp.fft.ifft2(sol_hat).real
-        dom = full[:D, :D]
-        out = r_small_vals_dense(dom, prob_model=True)
-        # enforce the zero boundary condition if mass reached the pad
-        sol_hat = lax.cond(_boundary_leaked(full, D),
-                           lambda: signal_fft(dom, P),
-                           lambda: sol_hat)
-        return sol_hat, out
+    def step(dom, kernel):
+        full = _irfft(signal_fft(dom, P) * filter_fft(kernel, P), P)
+        dom_next = full[:D, :D]
+        out = r_small_vals_dense(dom_next, prob_model=True)
+        return dom_next, out
 
-    _, rest = lax.scan(step, sol_hat0, kernels[1:])
+    _, rest = lax.scan(step, kernels[0], kernels[1:])
     return jnp.concatenate([kernels[:1], rest], axis=0)
 
 
@@ -171,9 +168,11 @@ def propagate_pop(kernels, r_dur: int, r_number, dist_weights,
     out.append(day0)
 
     # release-day kernel filters (for cohort back-chaining)
-    rel_filter_hat = filter_fft(kernels[:r_dur], P)       # (r_dur, P, P)
+    rel_filter_hat = filter_fft(kernels[:r_dur], P)     # (r_dur, P, Ph)
+    Ph = rel_filter_hat.shape[-1]
 
     # --- release ramp: days 1..r_dur-1 (python loop; r_dur is static) ----
+    last_dom = kernels[r_dur - 1] if r_dur == 1 else None
     for day in range(1, r_dur):
         # current day's own spread as the running signal
         cursol_hat = signal_fft(kernels[day], P)
@@ -181,9 +180,8 @@ def propagate_pop(kernels, r_dur: int, r_number, dist_weights,
         # intermediate release-day kernels d..day-1 (CalcSol.py:91-106)
         suffix = jnp.concatenate([
             jnp.cumprod(rel_filter_hat[:day][::-1], axis=0)[::-1],
-            jnp.ones((1, P, P), cursol_hat.dtype)], axis=0)  # (day+1, P, P)
-        cohort_hat = cursol_hat[None] * suffix
-        fields = jnp.fft.ifft2(cohort_hat).real[:, :D, :D]   # (day+1, D, D)
+            jnp.ones((1, P, Ph), cursol_hat.dtype)], axis=0)  # (day+1,P,Ph)
+        fields = _irfft(cursol_hat[None] * suffix, P)[:, :D, :D]
         w = dist_weights[:day + 1]
         pop = thresh(jnp.tensordot(w, fields, axes=1,
                                    precision=lax.Precision.HIGHEST)
@@ -191,29 +189,32 @@ def propagate_pop(kernels, r_dur: int, r_number, dist_weights,
         released = jnp.sum(w)
         pop = pop.at[c, c].add(r_number * (1.0 - released))
         out.append(pop)
+        last_dom = fields[-1]  # cohort `day`'s own truncated spread
 
     # after the ramp the suffix products are fixed: cohort_d(n) =
-    # cursol_hat(n) * prod_{i=d}^{r_dur-2} rel_filter_hat[i]
-    suffix_fixed = jnp.concatenate([
-        jnp.cumprod(rel_filter_hat[:r_dur - 1][::-1], axis=0)[::-1],
-        jnp.ones((1, P, P), rel_filter_hat.dtype)], axis=0)  # (r_dur, P, P)
-    cursol_hat = signal_fft(kernels[r_dur - 1], P)
+    # fft(dom_n) * prod_{i=d}^{r_dur-2} rel_filter_hat[i]; the last cohort
+    # is dom_n itself, so only r_dur-1 extra inverse transforms per day.
+    suffix_earlier = (jnp.cumprod(rel_filter_hat[:r_dur - 1][::-1],
+                                  axis=0)[::-1]
+                      if r_dur > 1 else None)            # (r_dur-1, P, Ph)
 
-    def step(cur_hat, kernel):
-        cur_hat = cur_hat * filter_fft(kernel, P)
-        full = jnp.fft.ifft2(cur_hat).real
-        cur_hat = lax.cond(_boundary_leaked(full, D),
-                           lambda: signal_fft(full[:D, :D], P),
-                           lambda: cur_hat)
-        cohort_fields = jnp.fft.ifft2(cur_hat[None] * suffix_fixed).real
-        pop = thresh(jnp.tensordot(dist_weights,
-                                   cohort_fields[:, :D, :D], axes=1,
-                                   precision=lax.Precision.HIGHEST)
-                     * r_number)
-        return cur_hat, pop
+    def step(dom, kernel):
+        z = signal_fft(dom, P)
+        full = _irfft(z * filter_fft(kernel, P), P)
+        dom_next = full[:D, :D]
+        if r_dur == 1:
+            pop = thresh(dom_next * (dist_weights[0] * r_number))
+        else:
+            z_next = signal_fft(dom_next, P)
+            cohorts = _irfft(z_next[None] * suffix_earlier, P)[:, :D, :D]
+            mix = (jnp.tensordot(dist_weights[:-1], cohorts, axes=1,
+                                 precision=lax.Precision.HIGHEST)
+                   + dist_weights[-1] * dom_next)
+            pop = thresh(mix * r_number)
+        return dom_next, pop
 
     if ndays > r_dur:
-        _, post = lax.scan(step, cursol_hat, kernels[r_dur:])
+        _, post = lax.scan(step, last_dom, kernels[r_dur:])
         out = jnp.concatenate([jnp.stack(out), post], axis=0)
     else:
         out = jnp.stack(out)

@@ -56,6 +56,8 @@ class KernelConfig(NamedTuple):
     K_local: int          # local-diffusion window half-width (cells)
     G: int = 16           # quadrature nodes per cell column
     chunk: int = 240      # minutes per accumulation chunk (bounds memory)
+    pallas: bool = False       # fused Pallas accumulate (TPU hot path)
+    interpret: bool = False    # Pallas interpret mode (tests off-TPU)
 
 
 def r_small_vals_dense(field, prob_model=False, negval=_NEGVAL):
@@ -161,41 +163,48 @@ def build_daily_kernel(wind_flat, wind_cumsum, day_idx, hparams, Dparams,
     build_block = jax.vmap(
         lambda m: bvn_cell_masses(m, sig_x, sig_y, rho, cell, K, G))
 
-    # --- chunked accumulation into the padded domain buffer ------------
+    # --- accumulation into the padded domain buffer ---------------------
     h_scat = jnp.where(outside, 0.0, h_eff)   # fully-outside blocks add 0
 
-    C = min(config.chunk, T)
-    n_chunks = -(-T // C)
-    Tp = n_chunks * C
-    pad = Tp - T
-    h_p = jnp.pad(h_scat, (0, pad))
-    mu_p = jnp.pad(cdf_mu, ((0, pad), (0, 0)))
-    idx_p = jnp.pad(idx, ((0, pad), (0, 0)),
-                    constant_values=rad_res)  # harmless in-bounds position
+    if config.pallas:
+        # fused on-chip build+accumulate (ops/pallas_kernel.py)
+        from .pallas_kernel import pallas_accumulate_day
+        buf, clip_loss = pallas_accumulate_day(
+            h_scat, cdf_mu, idx, clipped.astype(dtype), Dparams, cell,
+            K, G, D + 4 * K, interpret=config.interpret)
+    else:
+        C = min(config.chunk, T)
+        n_chunks = -(-T // C)
+        Tp = n_chunks * C
+        pad = Tp - T
+        h_p = jnp.pad(h_scat, (0, pad))
+        mu_p = jnp.pad(cdf_mu, ((0, pad), (0, 0)))
+        idx_p = jnp.pad(idx, ((0, pad), (0, 0)),
+                        constant_values=rad_res)  # harmless in-bounds spot
 
-    def chunk_step(buf, args):
-        h_c, mu_c, idx_c = args
-        blocks = build_block(mu_c)                       # (C, K2, K2)
-        b_total = blocks.sum(axis=(1, 2))
-        blocks = blocks * h_c[:, None, None]
-        buf = lax.scatter_add(buf, idx_c, blocks, _SCATTER_DNUMS,
-                              mode=lax.GatherScatterMode.CLIP)
-        return buf, b_total
+        def chunk_step(buf, args):
+            h_c, mu_c, idx_c = args
+            blocks = build_block(mu_c)                   # (C, K2, K2)
+            b_total = blocks.sum(axis=(1, 2))
+            blocks = blocks * h_c[:, None, None]
+            buf = lax.scatter_add(buf, idx_c, blocks, _SCATTER_DNUMS,
+                                  mode=lax.GatherScatterMode.CLIP)
+            return buf, b_total
 
-    buf0 = jnp.zeros((D + 4 * K, D + 4 * K), dtype)
-    buf, b_tot = lax.scan(
-        chunk_step, buf0,
-        (h_p.reshape(n_chunks, C), mu_p.reshape(n_chunks, C, 2),
-         idx_p.reshape(n_chunks, C, 2)))
-    b_total = b_tot.reshape(Tp)[:T]
+        buf0 = jnp.zeros((D + 4 * K, D + 4 * K), dtype)
+        buf, b_tot = lax.scan(
+            chunk_step, buf0,
+            (h_p.reshape(n_chunks, C), mu_p.reshape(n_chunks, C, 2),
+             idx_p.reshape(n_chunks, C, 2)))
+        b_total = b_tot.reshape(Tp)[:T]
+        clip_loss = jnp.sum(jnp.where(clipped, h_eff * (1.0 - b_total), 0.0))
 
     pmf = buf[2 * K:2 * K + D, 2 * K:2 * K + D]
     pad_mass = buf.sum() - pmf.sum()
     # loss = mass scattered beyond the domain, plus window-truncation
     # shortfall of boundary-straddling blocks, plus the full take-off
     # probability of blocks entirely off-domain (ref ParasitoidModel.py:546,558)
-    loss = (pad_mass +
-            jnp.sum(jnp.where(clipped, h_eff * (1.0 - b_total), 0.0)) +
+    loss = (pad_mass + clip_loss +
             jnp.sum(jnp.where(outside, h_eff, 0.0)))
 
     # --- "didn't fly" local-diffusion remainder ------------------------

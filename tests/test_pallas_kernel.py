@@ -1,0 +1,51 @@
+"""Parity tests for the fused Pallas day-accumulate kernel.
+
+Off-TPU the kernel runs in Pallas interpret mode; results must match the
+XLA scatter path bit-for-tolerance.  (On TPU the same comparison runs
+compiled; set PARA_TPU_TEST_PLATFORM=tpu.)
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from parasitoids_tpu.io import get_wind_data, pack_wind
+from parasitoids_tpu.ops.daily_kernel import KernelConfig, build_daily_kernel
+
+_DAY = {}
+
+
+def _wind_setup(interp=2):
+    if interp not in _DAY:
+        wind_data, days = get_wind_data('data/kalbar', interp, '00:00')
+        packed = pack_wind(wind_data, days, ndays=len(days))
+        T = packed.shape[1]
+        flat = jnp.asarray(packed.reshape(-1, 2), jnp.float32)
+        cumsum = jnp.concatenate(
+            [jnp.zeros((1, 2), flat.dtype), jnp.cumsum(flat, axis=0)])
+        _DAY[interp] = (flat, cumsum, T)
+    return _DAY[interp]
+
+
+@pytest.mark.parametrize('day_idx,start', [(0, 0), (3, 0), (0, 37)])
+def test_pallas_matches_xla_path(day_idx, start):
+    flat, cumsum, T = _wind_setup()
+    import jax
+    interpret = jax.default_backend() != 'tpu'
+    base = dict(rad_res=60, periods=T, K=10, K_local=4, G=8)
+    cfg_x = KernelConfig(**base)
+    cfg_p = KernelConfig(**base, pallas=True, interpret=interpret)
+
+    hparams = tuple(np.float32(v)
+                    for v in (1.0, 1.8, 6.0, 7.0, 2.0, 19.0, 2.0))
+    args = (flat, cumsum, jnp.int32(day_idx), hparams,
+            (21.1, 10.6, 0.3), (5.8, 5.0, 0.1), jnp.float32(1.1),
+            jnp.int32(10), jnp.float32(1500.0), jnp.int32(start))
+
+    pmf_x, loss_x = build_daily_kernel(*args, cfg_x)
+    pmf_p, loss_p = build_daily_kernel(*args, cfg_p)
+
+    np.testing.assert_allclose(np.asarray(pmf_p), np.asarray(pmf_x),
+                               atol=2e-6)
+    np.testing.assert_allclose(float(loss_p), float(loss_x), atol=2e-6)
+    np.testing.assert_allclose(float(pmf_p.sum()), 1.0, atol=1e-4)
