@@ -46,11 +46,17 @@ def measure(n_iters=20):
             False)
         return fields[-1].sum()
 
-    # warm-up / compile
-    run(jnp.float32(1.179)).block_until_ready()
+    # warm-up / compile (transfer forces completion; block_until_ready has
+    # proven unreliable for timing through the hosted-TPU tunnel)
+    float(run(jnp.float32(1.179)))
+    # chain each sim's input on the previous result so the device must
+    # execute the sims strictly sequentially — measures true per-sim time
     t0 = time.time()
-    outs = [run(jnp.float32(1.179 + 1e-6 * i)) for i in range(n_iters)]
-    jax.block_until_ready(outs)
+    acc = jnp.float32(1.179)
+    for _ in range(n_iters):
+        out = run(acc)
+        acc = jnp.float32(1.179) + out * jnp.float32(1e-12)
+    float(acc)
     dt = (time.time() - t0) / n_iters
     return dt, s.ndays
 

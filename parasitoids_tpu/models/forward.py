@@ -51,10 +51,12 @@ def setup_forward(params: Params, dtype=jnp.float32) -> ForwardSetup:
         [jnp.zeros((1, 2), flat.dtype), jnp.cumsum(flat, axis=0)])
     rad_dist, rad_res = params.domain_info
     # the fused Pallas accumulate is the TPU hot path; elsewhere (CPU tests,
-    # virtual multi-chip dry runs) the XLA scatter path is used
+    # virtual multi-chip dry runs) the XLA scatter path is used.
+    # TODO(validation): flip the auto default to jax.default_backend()=='tpu'
+    # once the kernel is Mosaic-validated on a real chip.
     use_pallas = (getattr(params, 'use_pallas', None)
                   if getattr(params, 'use_pallas', None) is not None
-                  else jax.default_backend() == 'tpu')
+                  else False)
     kcfg = KernelConfig(rad_res=int(rad_res), periods=T,
                         K=params.kernel_rad, K_local=params.kernel_rad_local,
                         G=params.quad_nodes, pallas=bool(use_pallas))
