@@ -41,8 +41,18 @@ __all__ = ['BayesSetup', 'poisson_loglik']
 
 
 def poisson_loglik(obs, rate):
-    """Sum of independent Poisson log-pmfs (PyMC flib equivalent)."""
-    return jnp.sum(xlogy(obs, rate) - rate - gammaln(obs + 1.0))
+    """Sum of independent Poisson log-pmfs (PyMC flib equivalent).
+
+    Rates are floored at 1e-12: thresholded fields produce exact zeros, and
+    a zero rate under a positive count is a hard -inf in the reference's
+    PyMC model (instant rejection) but poisons autodiff two ways —
+    ``xlogy``'s gradient is x/y (NaN at 0/0, inf at obs/0) — so the floor
+    keeps the value a soft, steep penalty (~ -27.6 per observed count)
+    while every gradient stays finite for MAP/NUTS."""
+    floor = jnp.asarray(1e-12, rate.dtype)
+    safe_rate = jnp.maximum(rate, floor)
+    ll = jnp.where(obs > 0, xlogy(obs, safe_rate), 0.0)
+    return jnp.sum(ll - rate - gammaln(obs + 1.0))
 
 
 class BayesSetup:
@@ -127,14 +137,18 @@ class BayesSetup:
         s = self.setup
         n_per = jnp.round(m.n_periods).astype(jnp.int32)
 
-        def day_kernel(_, d):
+        @jax.checkpoint
+        def day_pmf(d):
+            # remat: reverse-mode (MAP gradients, NUTS) recomputes each
+            # day's kernel instead of storing the per-minute CDF tensors
+            # (~GBs/day at full config)
             start = jnp.where(d == 0, jnp.int32(s.start_idx), 0)
             pmf, _ = build_daily_kernel(
                 s.wind_flat, s.wind_cumsum, d, m.hparams(), m.Dparams(),
                 m.Dlparams(), m.mu_r, n_per, s.rad_dist, start, s.kcfg)
-            return None, pmf
+            return pmf
 
-        _, kernels = lax.scan(day_kernel, None,
+        _, kernels = lax.scan(lambda _, d: (None, day_pmf(d)), None,
                               jnp.arange(self.ndays, dtype=jnp.int32))
 
         if sprd_factor is not None:

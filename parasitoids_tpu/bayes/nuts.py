@@ -1,0 +1,391 @@
+"""No-U-Turn Sampler (L4 stretch goal, SURVEY.md section 7.6).
+
+The reference's PyMC 2.x offers only adaptive Metropolis; because this
+rebuild's forward simulation is differentiable end to end (closed-form BVN
+kernels + FFT propagation + gather-based observation projections), full
+gradient-based sampling is available.  This module implements multinomial
+NUTS (Hoffman & Gelman 2014; progressive multinomial variant as in Stan)
+with *iterative* tree construction (Phan & Pradhan, NumPyro): one
+``lax.while_loop`` over single leapfrog steps with an O(log depth)
+checkpoint stack for the balanced-subtree U-turn checks — the whole sampler
+is a single compiled XLA program, like the rest of the framework.
+
+Generic over the target: ``nuts_sample`` takes any ``logpdf(z)``.  For the
+parasitoid model use :func:`make_transformed_logpdf`, which maps the
+unconstrained vector through the parameter bijections *with* the log-Jacobian
+correction (unlike MAP, which by PyMC convention optimizes the
+constrained-space posterior) and holds the discrete ``n_periods`` fixed, as
+the reference's MAP does (Bayes_MAP.py:144-147).
+
+Warmup: dual-averaging step-size adaptation (target accept 0.8) and a
+diagonal mass matrix estimated by Welford accumulation over the middle
+warmup window — the standard Stan-style schedule, simplified to one window.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax, random
+
+__all__ = ['NUTSConfig', 'nuts_sample', 'make_transformed_logpdf']
+
+
+class NUTSConfig(NamedTuple):
+    num_warmup: int = 200
+    num_samples: int = 200
+    max_depth: int = 6
+    target_accept: float = 0.8
+    init_step_size: float = 0.1
+
+
+# ---------------------------------------------------------------------------
+# tree machinery
+# ---------------------------------------------------------------------------
+
+class _Tree(NamedTuple):
+    z_prop: jnp.ndarray        # multinomial proposal within the tree
+    lp_prop: jnp.ndarray
+    grad_prop: jnp.ndarray
+    log_weight: jnp.ndarray    # logsumexp of leaf weights in the tree
+    sum_accept: jnp.ndarray
+    n_leaf: jnp.ndarray
+    turning: jnp.ndarray
+    diverging: jnp.ndarray
+
+
+def _count_trailing_ones(n):
+    def body(state):
+        n_, c = state
+        return n_ >> 1, c + 1
+
+    _, c = lax.while_loop(lambda s: (s[0] & 1) == 1, body,
+                          (n, jnp.int32(0)))
+    return c
+
+
+def _popcount(n):
+    def body(state):
+        n_, c = state
+        return n_ >> 1, c + (n_ & 1)
+
+    _, c = lax.while_loop(lambda s: s[0] > 0, body, (n, jnp.int32(0)))
+    return c
+
+
+def _is_turning(inv_mass, p_start, p_end, dz):
+    """Hoffman–Gelman U-turn criterion with a diagonal metric."""
+    return ((jnp.dot(inv_mass * p_start, dz) <= 0) |
+            (jnp.dot(inv_mass * p_end, dz) <= 0))
+
+
+def _kinetic(inv_mass, p):
+    return 0.5 * jnp.sum(inv_mass * p * p)
+
+
+def _build_subtree(lpg, inv_mass, step, depth, z0, p0, grad0, energy0, key,
+                   max_depth, max_delta=1000.0):
+    """Balanced subtree of up to 2**depth leaves grown from (z0, p0) in the
+    direction of ``step``'s sign; progressive multinomial sampling and
+    stacked U-turn checks (iterative NUTS).  Returns (tree, z, p, grad, lp)
+    where the last four are the subtree's far end."""
+    dim = z0.shape[0]
+    dtype = z0.dtype
+    n_max = jnp.int32(1) << depth
+
+    tree0 = _Tree(z_prop=z0, lp_prop=jnp.asarray(0.0, dtype),
+                  grad_prop=grad0,
+                  log_weight=jnp.asarray(-jnp.inf, dtype),
+                  sum_accept=jnp.asarray(0.0, dtype),
+                  n_leaf=jnp.int32(0), turning=jnp.asarray(False),
+                  diverging=jnp.asarray(False))
+    ck0 = (jnp.zeros((max_depth + 1, dim), dtype),
+           jnp.zeros((max_depth + 1, dim), dtype))
+    carry0 = (jnp.int32(0), z0, p0, grad0, jnp.asarray(0.0, dtype), tree0,
+              ck0, key)
+
+    def cond(carry):
+        i, _, _, _, _, tree, _, _ = carry
+        return (i < n_max) & ~tree.turning & ~tree.diverging
+
+    def body(carry):
+        i, z, p, grad, _, tree, (ckz, ckp), key = carry
+        key, k_mn = random.split(key)
+
+        # leapfrog
+        p_half = p + 0.5 * step * grad
+        z = z + step * inv_mass * p_half
+        lp, grad = lpg(z)
+        p = p_half + 0.5 * step * grad
+
+        energy = -lp + _kinetic(inv_mass, p)
+        delta = energy - energy0
+        diverging = (delta > max_delta) | ~jnp.isfinite(energy)
+        log_w = jnp.where(diverging, -jnp.inf, -delta)
+        accept_stat = jnp.where(jnp.isfinite(delta),
+                                jnp.minimum(1.0, jnp.exp(-delta)), 0.0)
+
+        # progressive multinomial proposal update
+        new_total = jnp.logaddexp(tree.log_weight, log_w)
+        take_new = (jnp.log(random.uniform(k_mn, dtype=dtype)) <
+                    (log_w - new_total))
+        z_prop = jnp.where(take_new, z, tree.z_prop)
+        lp_prop = jnp.where(take_new, lp, tree.lp_prop)
+        grad_prop = jnp.where(take_new, grad, tree.grad_prop)
+
+        # checkpoint stack: even leaves open balanced subtrees, odd leaves
+        # close them and U-turn-check against each open ancestor
+        idx_max = _popcount(i >> 1)
+        n_close = _count_trailing_ones(i)
+        idx_min = idx_max - n_close + 1
+        is_even = (i & 1) == 0
+
+        ckz = lax.cond(is_even, lambda a: a[0].at[idx_max].set(a[1]),
+                       lambda a: a[0], (ckz, z))
+        ckp = lax.cond(is_even, lambda a: a[0].at[idx_max].set(a[1]),
+                       lambda a: a[0], (ckp, p))
+
+        def check_turns(_):
+            def scan_fn(turn, j):
+                active = (j >= idx_min) & (j <= idx_max)
+                t = _is_turning(inv_mass, ckp[j], p, z - ckz[j])
+                return turn | (active & t), None
+
+            turn, _ = lax.scan(scan_fn, jnp.asarray(False),
+                               jnp.arange(max_depth + 1))
+            return turn
+
+        turning = lax.cond(is_even, lambda _: jnp.asarray(False),
+                           check_turns, None)
+
+        tree = _Tree(z_prop=z_prop, lp_prop=lp_prop, grad_prop=grad_prop,
+                     log_weight=new_total,
+                     sum_accept=tree.sum_accept + accept_stat,
+                     n_leaf=tree.n_leaf + 1,
+                     turning=tree.turning | turning,
+                     diverging=tree.diverging | diverging)
+        return (i + 1, z, p, grad, lp, tree, (ckz, ckp), key)
+
+    _, z, p, grad, lp, tree, _, _ = lax.while_loop(cond, body, carry0)
+    return tree, z, p, grad, lp
+
+
+class _StepCarry(NamedTuple):
+    depth: jnp.ndarray
+    z_left: jnp.ndarray
+    p_left: jnp.ndarray
+    g_left: jnp.ndarray
+    z_right: jnp.ndarray
+    p_right: jnp.ndarray
+    g_right: jnp.ndarray
+    z_prop: jnp.ndarray
+    lp_prop: jnp.ndarray
+    g_prop: jnp.ndarray
+    log_weight: jnp.ndarray
+    sum_accept: jnp.ndarray
+    n_leaf: jnp.ndarray
+    done: jnp.ndarray
+    diverged: jnp.ndarray
+    key: jnp.ndarray
+
+
+def _nuts_step(lpg, inv_mass, step_size, max_depth, z, lp, grad, key):
+    """One NUTS transition.  Returns (z', lp', grad', accept_stat,
+    n_leapfrog, diverged)."""
+    dim = z.shape[0]
+    dtype = z.dtype
+    key, k_mom = random.split(key)
+    p0 = random.normal(k_mom, (dim,), dtype) / jnp.sqrt(inv_mass)
+    energy0 = -lp + _kinetic(inv_mass, p0)
+
+    init = _StepCarry(
+        depth=jnp.int32(0), z_left=z, p_left=p0, g_left=grad,
+        z_right=z, p_right=p0, g_right=grad,
+        z_prop=z, lp_prop=lp, g_prop=grad,
+        log_weight=jnp.asarray(0.0, dtype),
+        sum_accept=jnp.asarray(0.0, dtype), n_leaf=jnp.int32(0),
+        done=jnp.asarray(False), diverged=jnp.asarray(False), key=key)
+
+    def cond(c):
+        return (c.depth < max_depth) & ~c.done
+
+    def body(c):
+        key, k_dir, k_sub, k_acc = random.split(c.key, 4)
+        go_right = random.bernoulli(k_dir)
+
+        z0 = jnp.where(go_right, c.z_right, c.z_left)
+        p0_ = jnp.where(go_right, c.p_right, c.p_left)
+        g0 = jnp.where(go_right, c.g_right, c.g_left)
+        step = jnp.where(go_right, step_size, -step_size)
+
+        tree, z_end, p_end, g_end, _ = _build_subtree(
+            lpg, inv_mass, step, c.depth, z0, p0_, g0, energy0, k_sub,
+            max_depth)
+
+        ok = ~tree.turning & ~tree.diverging
+        # biased progressive acceptance of the new subtree's proposal
+        take = ok & (jnp.log(random.uniform(k_acc, dtype=dtype)) <
+                     (tree.log_weight - c.log_weight))
+        z_prop = jnp.where(take, tree.z_prop, c.z_prop)
+        lp_prop = jnp.where(take, tree.lp_prop, c.lp_prop)
+        g_prop = jnp.where(take, tree.grad_prop, c.g_prop)
+
+        z_left = jnp.where(go_right, c.z_left, z_end)
+        p_left = jnp.where(go_right, c.p_left, p_end)
+        g_left = jnp.where(go_right, c.g_left, g_end)
+        z_right = jnp.where(go_right, z_end, c.z_right)
+        p_right = jnp.where(go_right, p_end, c.p_right)
+        g_right = jnp.where(go_right, g_end, c.g_right)
+
+        turning_top = _is_turning(inv_mass, p_left, p_right,
+                                  z_right - z_left)
+        done = ~ok | turning_top
+        log_weight = jnp.where(ok,
+                               jnp.logaddexp(c.log_weight, tree.log_weight),
+                               c.log_weight)
+
+        return _StepCarry(c.depth + 1, z_left, p_left, g_left,
+                          z_right, p_right, g_right,
+                          z_prop, lp_prop, g_prop, log_weight,
+                          c.sum_accept + tree.sum_accept,
+                          c.n_leaf + tree.n_leaf, done,
+                          c.diverged | tree.diverging, key)
+
+    out = lax.while_loop(cond, body, init)
+    accept_stat = out.sum_accept / jnp.maximum(out.n_leaf, 1)
+    return (out.z_prop, out.lp_prop, out.g_prop, accept_stat, out.n_leaf,
+            out.diverged)
+
+
+# ---------------------------------------------------------------------------
+# adaptation + driver
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=('logpdf', 'config'))
+def nuts_sample(logpdf, z0, key, config: NUTSConfig):
+    """Run warmup + sampling from ``z0``.  Returns a dict of device arrays:
+    ``samples`` (num_samples, dim), ``logp`` (num_samples,), plus
+    ``step_size``, ``inv_mass``, ``accept_rate``, ``n_divergent``.
+
+    ``logpdf`` must be a jax-traceable callable (hashable; use a top-level
+    function or functools.partial).  Chains can be vmapped over ``z0``/``key``
+    by the caller.
+    """
+    z0 = jnp.asarray(z0)
+    dtype = z0.dtype
+    dim = z0.shape[0]
+
+    def lpg(z):
+        return jax.value_and_grad(logpdf)(z)
+
+    w1 = max(1, int(config.num_warmup * 0.25))   # step-size only
+    w2 = max(w1 + 1, int(config.num_warmup * 0.75))  # + Welford window
+
+    lp0, grad0 = lpg(z0)
+    eps0 = jnp.asarray(config.init_step_size, dtype)
+    mu = jnp.log(10.0 * eps0)
+    kappa, gamma, t0 = 0.75, 0.05, 10.0
+
+    def warm_step(carry, i):
+        z, lp, grad, key, log_eps, log_eps_bar, h_bar, inv_mass, \
+            wf_n, wf_mean, wf_m2 = carry
+        key, k = random.split(key)
+        step_size = jnp.exp(jnp.clip(log_eps, -12.0, 4.0))
+        z, lp, grad, astat, _, _ = _nuts_step(
+            lpg, inv_mass, step_size, config.max_depth, z, lp, grad, k)
+
+        # dual averaging (Hoffman & Gelman sec 3.2)
+        t = i.astype(dtype) + 1.0
+        h_bar = ((1 - 1 / (t + t0)) * h_bar +
+                 (config.target_accept - astat) / (t + t0))
+        log_eps = mu - jnp.sqrt(t) / gamma * h_bar
+        eta = t ** (-kappa)
+        log_eps_bar = eta * log_eps + (1 - eta) * log_eps_bar
+
+        # Welford over the middle window
+        in_win = jnp.where((i >= w1) & (i < w2), 1.0, 0.0).astype(dtype)
+        wf_n2 = wf_n + in_win
+        delta = z - wf_mean
+        wf_mean = wf_mean + in_win * delta / jnp.maximum(wf_n2, 1.0)
+        wf_m2 = wf_m2 + in_win * delta * (z - wf_mean)
+        # at window close, switch to the estimated diagonal metric
+        close = (i == w2 - 1) & (wf_n2 > 2)
+        var = wf_m2 / jnp.maximum(wf_n2 - 1.0, 1.0)
+        var = jnp.where(var > 1e-10, var, 1.0)
+        inv_mass = jnp.where(close, var, inv_mass)
+        return (z, lp, grad, key, log_eps, log_eps_bar, h_bar, inv_mass,
+                wf_n2, wf_mean, wf_m2), None
+
+    key, kw = random.split(key)
+    init = (z0, lp0, grad0, kw, jnp.log(eps0), jnp.log(eps0),
+            jnp.asarray(0.0, dtype), jnp.ones(dim, dtype),
+            jnp.asarray(0.0, dtype), jnp.zeros(dim, dtype),
+            jnp.zeros(dim, dtype))
+    (z, lp, grad, key, _, log_eps_bar, _, inv_mass, *_), _ = lax.scan(
+        warm_step, init, jnp.arange(config.num_warmup))
+    step_size = jnp.exp(jnp.clip(log_eps_bar, -12.0, 4.0))
+
+    def draw(carry, _):
+        z, lp, grad, key = carry
+        key, k = random.split(key)
+        z, lp, grad, astat, _, div = _nuts_step(
+            lpg, inv_mass, step_size, config.max_depth, z, lp, grad, k)
+        return (z, lp, grad, key), (z, lp, astat, div)
+
+    (_, _, _, _), (samples, logps, astats, divs) = lax.scan(
+        draw, (z, lp, grad, key), None, length=config.num_samples)
+    return {'samples': samples, 'logp': logps, 'step_size': step_size,
+            'inv_mass': inv_mass, 'accept_rate': jnp.mean(astats),
+            'n_divergent': jnp.sum(divs.astype(jnp.int32))}
+
+
+# ---------------------------------------------------------------------------
+# parasitoid-model target
+# ---------------------------------------------------------------------------
+
+def make_transformed_logpdf(setup, use_sprd=False):
+    """Unconstrained-space log posterior for NUTS over the parasitoid model.
+
+    Continuous parameters only: the model block with ``n_periods`` held
+    fixed (the discrete Poisson prior is not NUTS-compatible; the
+    reference's MAP makes the same choice, Bayes_MAP.py:144-147) plus the
+    observation block.  Includes the bijection log-Jacobians so the sampler
+    targets the correct posterior density in z-space.
+
+    Returns (logpdf, constrain, z0) with constrain(z) -> (m_vec, o_vec,
+    sprd).
+    """
+    from .map_fit import _make_objective
+    from .priors import initial_model_params, initial_obs_params
+
+    neg_logpost, constrain, unconstrain = _make_objective(setup, use_sprd)
+
+    def theta_flat(zz):
+        m_vec, o_vec, sprd = constrain(zz)
+        parts = [m_vec, o_vec]
+        if use_sprd:
+            parts.append(jnp.reshape(sprd, (1,)))
+        return jnp.concatenate(parts)
+
+    def log_jacobian(z):
+        # every theta_i depends on exactly one z_j (elementwise bijections),
+        # so the row-wise max |J| picks out the diagonal regardless of the
+        # packing order; the fixed n_periods slot contributes log(1)=0
+        jac = jax.jacfwd(theta_flat)(z)
+        d = jnp.max(jnp.abs(jac), axis=1)
+        return jnp.sum(jnp.log(jnp.where(d > 0, d, 1.0)))
+
+    def logpdf(z):
+        return -neg_logpost(z) + log_jacobian(z)
+
+    m0 = initial_model_params()
+    o0 = initial_obs_params(
+        [setup.locinfo.field_sizes[k] for k in setup.locinfo.sent_ids],
+        setup.cell_res ** 2)
+    z0 = unconstrain(jnp.asarray(m0, jnp.float32),
+                     jnp.asarray(o0, jnp.float32),
+                     jnp.asarray(0.3, jnp.float32))
+    return logpdf, constrain, z0

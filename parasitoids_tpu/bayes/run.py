@@ -20,6 +20,7 @@ import sys
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax import random
 
@@ -40,6 +41,11 @@ group.add_argument('--resume', nargs=2, metavar=('db_name', 'iterations'),
                    help='Resume sampling from a saved run.')
 parser.add_argument('--chains', type=int, default=1,
                     help='number of parallel chains (vmapped/sharded)')
+parser.add_argument('--sampler', choices=['am', 'nuts'], default='am',
+                    help='adaptive Metropolis (reference-equivalent) or '
+                         'gradient-based NUTS (n_periods fixed, as MAP)')
+parser.add_argument('--max-depth', type=int, default=6,
+                    help='NUTS maximum tree depth')
 parser.add_argument('--seed', type=int, default=0)
 parser.add_argument('overrides', nargs='*',
                     help='Params key=value overrides (e.g. interp_num=30)')
@@ -75,12 +81,55 @@ def _report(traces, setup):
     print('ESS (g_aw, pooled): {:.1f}'.format(ess))
 
 
+def run_nuts(args, setup):
+    """Gradient-based sampling path (``--sampler nuts``): vmapped chains,
+    unconstrained space with log-Jacobians, warmup = burn-in argument."""
+    from .nuts import NUTSConfig, make_transformed_logpdf, nuts_sample
+
+    if args.new is None:
+        raise SystemExit('--resume is only supported for the AM sampler; '
+                         'rerun NUTS with --new (warmup re-adapts).')
+    n_samples, burn, db = int(args.new[0]), int(args.new[1]), args.new[2]
+    logpdf, constrain, z0 = make_transformed_logpdf(setup)
+    cfg = NUTSConfig(num_warmup=max(burn, 10), num_samples=n_samples,
+                     max_depth=args.max_depth)
+    keys = random.split(random.PRNGKey(args.seed), args.chains)
+    z0s = jnp.broadcast_to(z0, (args.chains,) + z0.shape)
+
+    print('NUTS: {} chains, {} warmup + {} samples, max depth {}...'.format(
+        args.chains, cfg.num_warmup, n_samples, cfg.max_depth))
+    tic = time.time()
+    out = jax.vmap(lambda z, k: nuts_sample(logpdf, z, k, cfg))(z0s, keys)
+    samples = np.asarray(out['samples'])     # (chains, n, dim) z-space
+    dt = time.time() - tic
+    print('NUTS finished: {:.1f} s ({:.3f} s/sample/chain); accept {:.2f}, '
+          '{} divergences'.format(
+              dt, dt / n_samples, float(np.mean(out['accept_rate'])),
+              int(np.sum(out['n_divergent']))))
+
+    # constrained-space traces for reporting/diagnostics
+    theta = np.asarray(jax.vmap(jax.vmap(
+        lambda z: jnp.concatenate([constrain(z)[0], constrain(z)[1]])))(
+            out['samples']))
+    logp = np.asarray(out['logp'])[..., None]
+    traces = np.concatenate([theta, logp], axis=-1)
+    np.savez(db if db.endswith('.npz') else db + '.npz',
+             traces=traces, z_samples=samples,
+             step_size=np.asarray(out['step_size']),
+             inv_mass=np.asarray(out['inv_mass']),
+             sampler='nuts')
+    print('Saved to {}.npz'.format(db.removesuffix('.npz')))
+    _report(traces, setup)
+
+
 def main(argv=None):
     args = parser.parse_args(argv)
     enable_compilation_cache()
 
     print('devices: {}'.format(jax.devices()))
     setup = build_setup(args.overrides)
+    if args.sampler == 'nuts':
+        return run_nuts(args, setup)
     from ..parallel.chains import chain_mesh, init_chains, run_chains
 
     n_dev = len(jax.devices())

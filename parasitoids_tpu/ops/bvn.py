@@ -82,10 +82,16 @@ def bvn_cell_masses(mu, sig_x, sig_y, rho, cell, K, G=16):
     half = 0.5 * (hi - lo)                                    # (n,)
     mid = 0.5 * (hi + lo)
 
+    # Saturated quadrature nodes (u at 0 or 1) are replaced by a harmless
+    # midpoint before ndtri and patched with a large constant after: the
+    # naive clip produces 0-gradient x inf-slope = NaN under autodiff
+    # (ndtri' = 1/phi overflows f32 beyond |z| ~ 12).
     tiny = jnp.asarray(np.finfo(np.dtype(dtype)).tiny, dtype)
-    uu = jnp.clip(mid[:, None] + half[:, None] * t[None, :],
-                  tiny, 1.0 - jnp.finfo(dtype).eps)           # (n, G)
-    z = ndtri(uu)                                             # standardized x
+    uu0 = mid[:, None] + half[:, None] * t[None, :]           # (n, G)
+    in_range = (uu0 > tiny) & (uu0 < 1.0 - jnp.finfo(dtype).eps)
+    z_safe = ndtri(jnp.where(in_range, uu0, 0.5))
+    z = jnp.where(in_range, z_safe,
+                  jnp.where(uu0 <= tiny, -38.0, 38.0))        # standardized x
 
     m_cond = mu[1] + rho * sig_y * z                          # (n, G)
     s_cond = jnp.maximum(sig_y * jnp.sqrt(1.0 - rho * rho), 1e-12)

@@ -1,0 +1,98 @@
+"""Tests for the from-scratch NUTS sampler (bayes/nuts.py).
+
+Statistical correctness is checked on analytic targets (the standard way to
+validate a hand-rolled sampler); the parasitoid-model target is exercised
+end to end under --runslow.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax import random
+
+from parasitoids_tpu.bayes.nuts import NUTSConfig, nuts_sample
+
+
+def _corr_gauss_logpdf(z):
+    """2-D correlated Gaussian: mean (1, -2), sd (1, 3), rho 0.7."""
+    mu = jnp.array([1.0, -2.0])
+    sd = jnp.array([1.0, 3.0])
+    rho = 0.7
+    x = (z - mu) / sd
+    quad = (x[0] ** 2 - 2 * rho * x[0] * x[1] + x[1] ** 2) / (1 - rho ** 2)
+    return -0.5 * quad
+
+
+def test_nuts_correlated_gaussian_moments():
+    cfg = NUTSConfig(num_warmup=300, num_samples=1500, max_depth=8,
+                     init_step_size=0.5)
+    out = nuts_sample(_corr_gauss_logpdf, jnp.zeros(2), random.PRNGKey(0),
+                      cfg)
+    s = np.asarray(out['samples'])
+    assert int(out['n_divergent']) == 0
+    assert 0.55 < float(out['accept_rate']) <= 1.0
+    np.testing.assert_allclose(s.mean(axis=0), [1.0, -2.0], atol=0.25)
+    np.testing.assert_allclose(s.std(axis=0), [1.0, 3.0], rtol=0.2)
+    corr = np.corrcoef(s.T)[0, 1]
+    assert 0.55 < corr < 0.85
+
+
+def test_nuts_mass_matrix_adapts_to_scales():
+    """Strongly anisotropic Gaussian: adaptation must find the scales."""
+    sd = jnp.array([0.05, 5.0, 1.0])
+
+    def logpdf(z):
+        return -0.5 * jnp.sum((z / sd) ** 2)
+
+    cfg = NUTSConfig(num_warmup=400, num_samples=800, max_depth=8,
+                     init_step_size=0.1)
+    out = nuts_sample(logpdf, jnp.zeros(3), random.PRNGKey(1), cfg)
+    s = np.asarray(out['samples'])
+    inv_mass = np.asarray(out['inv_mass'])
+    # inv_mass approximates the marginal variances
+    np.testing.assert_allclose(np.sqrt(inv_mass), np.asarray(sd), rtol=0.5)
+    np.testing.assert_allclose(s.std(axis=0), np.asarray(sd), rtol=0.25)
+
+
+def test_nuts_vmappable_chains():
+    cfg = NUTSConfig(num_warmup=50, num_samples=50, max_depth=5)
+    keys = random.split(random.PRNGKey(2), 3)
+    z0s = jnp.zeros((3, 2))
+    out = jax.vmap(lambda z, k: nuts_sample(_corr_gauss_logpdf, z, k,
+                                            cfg))(z0s, keys)
+    assert out['samples'].shape == (3, 50, 2)
+    assert np.isfinite(np.asarray(out['logp'])).all()
+
+
+@pytest.mark.slow
+def test_nuts_on_parasitoid_model():
+    """End-to-end NUTS over the real (tiny-config) posterior."""
+    from parasitoids_tpu.bayes.model import BayesSetup
+    from parasitoids_tpu.bayes.nuts import make_transformed_logpdf
+    from parasitoids_tpu.config import Params
+
+    p = Params()
+    p.cmd_line_chg(['--kalbar'])
+    p.PLOT = False
+    p.OUTPUT = False
+    p.PROB_MODEL = False
+    p.ndays = 3
+    # full 10 km extent (sentinel fields sit ~8 km out) at coarse resolution
+    p.domain_info = (10000.0, 50)
+    p.interp_num = 2
+    p.kernel_rad = 6
+    p.kernel_rad_local = 3
+    p.quad_nodes = 8
+    setup = BayesSetup(p)
+    logpdf, constrain, z0 = make_transformed_logpdf(setup)
+    lp0 = float(logpdf(z0))
+    assert np.isfinite(lp0)
+
+    cfg = NUTSConfig(num_warmup=3, num_samples=3, max_depth=2,
+                     init_step_size=0.01)
+    out = nuts_sample(logpdf, z0, random.PRNGKey(0), cfg)
+    assert np.isfinite(np.asarray(out['logp'])).all()
+    m_vec, o_vec, _ = constrain(jnp.asarray(out['samples'][-1]))
+    assert np.isfinite(np.asarray(m_vec)).all()
+    assert np.isfinite(np.asarray(o_vec)).all()
