@@ -1,0 +1,88 @@
+"""Sharded ensemble forward simulation (prior/posterior predictive).
+
+The reference can only study parameter uncertainty by re-running `Run.py`
+per parameter set (or one-at-a-time inside PyMC); here a whole batch of
+parameter vectors runs data-parallel: ``vmap`` over the parameter axis on
+one chip, and the same axis placed on a ``jax.sharding.Mesh`` spreads the
+ensemble across chips with zero collectives (each member is an independent
+forward simulation — the embarrassingly parallel axis the hardware wants).
+
+Typical use: posterior-predictive projections from MCMC draws for
+CompareToData-style figures, or prior-predictive coverage checks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..bayes.model import BayesSetup
+from ..bayes.sampler import _as_model
+
+__all__ = ['ensemble_projections', 'ensemble_fields']
+
+
+@partial(jax.jit, static_argnames=('setup',))
+def _proj_batch(setup, thetas):
+    return jax.vmap(lambda th: setup.forward_projections(_as_model(th)))(
+        thetas)
+
+
+def _shard(x, mesh):
+    if mesh is None:
+        return x
+    return jax.device_put(x, NamedSharding(mesh, P(mesh.axis_names[0])))
+
+
+def ensemble_projections(setup: BayesSetup, thetas, mesh=None):
+    """Observation projections for a batch of model-parameter vectors.
+
+    Args:
+        setup: BayesSetup (defines site, domain, data alignment).
+        thetas: (B, 15) model-parameter blocks (e.g. posterior draws).
+        mesh: optional 1-D device mesh; the batch axis is sharded over it
+            (pad B to a multiple of the device count for even shards).
+    Returns:
+        (release, sentinel, grid) projection batches, leading axis B.
+    """
+    thetas = _shard(jnp.asarray(thetas), mesh)
+    return _proj_batch(setup, thetas)
+
+
+@partial(jax.jit, static_argnames=('setup',))
+def _fields_batch(setup, thetas):
+    from ..models.solver import propagate_pop
+    from ..ops.daily_kernel import build_daily_kernel
+    from jax import lax
+
+    s = setup.setup
+
+    def one(theta):
+        m = _as_model(theta)
+        n_per = jnp.round(m.n_periods).astype(jnp.int32)
+
+        def day(_, d):
+            start = jnp.where(d == 0, jnp.int32(s.start_idx), 0)
+            pmf, _ = build_daily_kernel(
+                s.wind_flat, s.wind_cumsum, d, m.hparams(), m.Dparams(),
+                m.Dlparams(), m.mu_r, n_per, s.rad_dist, start, s.kcfg)
+            return None, pmf
+
+        _, kernels = lax.scan(day, None,
+                              jnp.arange(setup.ndays, dtype=jnp.int32))
+        return propagate_pop(kernels, setup.r_dur, setup.r_number,
+                             setup.dist_weights, s.scfg)
+
+    return jax.vmap(one)(thetas)
+
+
+def ensemble_fields(setup: BayesSetup, thetas, mesh=None):
+    """Full per-day population fields for a batch of parameter vectors —
+    (B, ndays, D, D).  Memory scales with B·ndays·D²; prefer
+    :func:`ensemble_projections` unless the fields themselves are needed."""
+    thetas = _shard(jnp.asarray(thetas), mesh)
+    return _fields_batch(setup, thetas)
