@@ -40,6 +40,10 @@ def main(params: Params | None = None, argv=None):
     print('Convolution phase: {:.3f} s'.format(timing['conv_phase']))
     print('Total time elapsed: {:.3f} s'.format(time.time() - tic_total))
 
+    # numerical sanitizers (ref ParasitoidModel.py:528-599 assertion layer)
+    from .utils.checks import validate_fields
+    validate_fields(fields, params, params.PROB_MODEL)
+
     if params.OUTPUT:
         print('Saving to {}...'.format(params.outfile))
         save_run(params.outfile, fields, days, params)

@@ -144,4 +144,7 @@ def simulate(params: Params, setup: ForwardSetup | None = None,
     if timing is not None:
         timing['conv_phase'] = _time.time() - tic
 
-    return fields, list(setup.days)[:setup.ndays]
+    days = list(setup.days)[:setup.ndays]
+    from ..utils.checks import warn_on_loss
+    warn_on_loss(losses, days)   # ref ParasitoidModel.py:547-558
+    return fields, days
