@@ -46,7 +46,8 @@ from jax import lax
 from ..ops.daily_kernel import r_small_vals_dense
 
 __all__ = ['SolverConfig', 'signal_fft', 'filter_fft', 'fft_conv_once',
-           'propagate_prob', 'propagate_pop', 'next_fast_len']
+           'propagate_prob', 'propagate_prob_logdepth', 'propagate_pop',
+           'next_fast_len']
 
 
 def next_fast_len(n: int) -> int:
@@ -129,6 +130,31 @@ def propagate_prob(kernels, config: SolverConfig):
         return dom_next, out
 
     _, rest = lax.scan(step, kernels[0], kernels[1:])
+    return jnp.concatenate([kernels[:1], rest], axis=0)
+
+
+@partial(jax.jit, static_argnames=('config',))
+def propagate_prob_logdepth(kernels, config: SolverConfig):
+    """Log-depth variant of :func:`propagate_prob` via
+    ``lax.associative_scan`` over per-day kernel spectra (SURVEY.md
+    section 5: convolution is associative, so the day chain need not be
+    sequential).
+
+    Semantics differ from the default in one way: there is no daily
+    absorbing-boundary truncation — the chain is the pure convolution
+    product, so mass that leaves the domain mid-run can wrap through the
+    pad if it exceeds the alias-free budget.  Outputs are thresholded and
+    renormalized per day exactly like the default.  Use when day count is
+    large and per-day boundary interaction is negligible; parity with the
+    sequential solver holds whenever no mass reaches the pad.
+    """
+    D, P = config.dom_len, config.fft_len
+    k_hat = filter_fft(kernels[1:], P)                    # (n-1, P, Ph)
+    prefix = lax.associative_scan(jnp.multiply, k_hat, axis=0)
+    sol_hat = signal_fft(kernels[0], P)[None] * prefix
+    fields = _irfft(sol_hat, P)[:, :D, :D]
+    rest = jax.vmap(lambda f: r_small_vals_dense(f, prob_model=True))(
+        fields)
     return jnp.concatenate([kernels[:1], rest], axis=0)
 
 

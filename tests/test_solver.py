@@ -73,6 +73,18 @@ def test_propagate_prob_vs_scipy_chain():
     np.testing.assert_allclose(got.sum(axis=(1, 2)), 1.0, atol=1e-4)
 
 
+def test_propagate_prob_logdepth_matches_sequential():
+    """The associative-scan chain equals the sequential solver when no
+    mass interacts with the boundary (confined kernels)."""
+    from parasitoids_tpu.models.solver import propagate_prob_logdepth
+    D, ndays = 31, 6
+    cfg = SolverConfig.for_domain(D // 2)
+    kernels = np.stack([_random_kernel(D, 5) for _ in range(ndays)])
+    seq = np.asarray(propagate_prob(jnp.asarray(kernels), cfg))
+    par = np.asarray(propagate_prob_logdepth(jnp.asarray(kernels), cfg))
+    np.testing.assert_allclose(par, seq, atol=3e-5)
+
+
 @pytest.mark.parametrize('r_dur', [1, 3])
 def test_propagate_pop_conservation(r_dur):
     """Population totals stay within 1% of the release number
