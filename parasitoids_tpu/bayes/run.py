@@ -47,6 +47,11 @@ parser.add_argument('--sampler', choices=['am', 'nuts'], default='am',
 parser.add_argument('--max-depth', type=int, default=6,
                     help='NUTS maximum tree depth')
 parser.add_argument('--seed', type=int, default=0)
+parser.add_argument('--checkpoint-every', type=int, default=1000,
+                    help='save the trace store every N samples (AM path); '
+                         'an interrupted run resumes exactly from the last '
+                         'checkpoint (ref PyMC mcmc.commit/db.close '
+                         'behavior, Bayes_Run.py:500-503)')
 parser.add_argument('overrides', nargs='*',
                     help='Params key=value overrides (e.g. interp_num=30)')
 
@@ -148,16 +153,25 @@ def main(argv=None):
             print('  {:.1f} s'.format(time.time() - tic))
         print('Sampling {} steps...'.format(n_samples))
         tic = time.time()
-        states, traces = run_chains(setup, states, MCMCConfig(n_samples),
-                                    mesh)
-        traces = np.asarray(traces)
+        chunk = max(1, min(args.checkpoint_every, n_samples))
+        traces = None
+        done = 0
+        while done < n_samples:
+            n = min(chunk, n_samples - done)
+            states, tr = run_chains(setup, states, MCMCConfig(n), mesh)
+            tr = np.asarray(tr)
+            traces = tr if traces is None else append_traces(traces, tr)
+            done += n
+            save_chain(db, traces, states,
+                       meta={'n_samples': done, 'burn': burn,
+                             'chains': args.chains})
+            if done < n_samples:
+                print('  checkpoint: {}/{} samples saved'.format(
+                    done, n_samples))
         dt = time.time() - tic
         print('Sampling finished: {:.1f} s ({:.3f} s/sample/chain, '
               '{:.0f} samples/hr total)'.format(
                   dt, dt / n_samples, 3600.0 / dt * n_samples * args.chains))
-        save_chain(db, traces, states,
-                   meta={'n_samples': n_samples, 'burn': burn,
-                         'chains': args.chains})
         print('Saved to {}.npz'.format(db))
         _report(traces, setup)
     else:
