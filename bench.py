@@ -33,6 +33,11 @@ def measure(n_iters=20):
     p.PLOT = False
     p.OUTPUT = False
     p.PROB_MODEL = False
+    # prior-coverage kernel windows — the widths the MCMC likelihood must
+    # use (sigma varies per proposal; see bayes/model.py), so the benchmark
+    # measures the true per-likelihood-evaluation cost
+    p.kernel_rad = 50
+    p.kernel_rad_local = 12
     s = setup_forward(p)
     hparams = tuple(np.float32(v)
                     for v in (p.lam, *p.g_params, *p.f_params))

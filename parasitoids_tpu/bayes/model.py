@@ -69,6 +69,17 @@ class BayesSetup:
             params.domain_info = (10000.0, 400)  # Bayes_Run.py:91
         self.params = params
         self.sprd_factor = sprd_factor  # None, or a fixed/initial value
+        # Kernel windows must cover the PRIOR's sigma range (sigma varies
+        # per MCMC proposal inside one compiled program, so the static
+        # width can't follow it): ~3.5 sigma at the priors' upper tails
+        # (sig_x Gamma(26,0.15) -> ~350 m; sig_xl Gamma(2,0.08) -> ~85 m),
+        # i.e. 1250 m / 300 m — the reference's adaptive rings would stop
+        # by there under its 0.999-mass rule (ParasitoidModel.py:329-348).
+        cell = params.domain_info[0] / params.domain_info[1]
+        if params.kernel_rad is None:
+            params.kernel_rad = int(np.ceil(1250.0 / cell))
+        if params.kernel_rad_local is None:
+            params.kernel_rad_local = int(np.ceil(300.0 / cell))
         self.setup: ForwardSetup = setup_forward(params, dtype=dtype)
         self.locinfo = LocInfo(params.dataset, params.coord,
                                params.domain_info)

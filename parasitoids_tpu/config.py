@@ -74,9 +74,12 @@ class Params:
         ### TPU-specific numerics (no reference equivalent)
         # half-width (cells) of the static per-minute kernel window; the
         # reference grows its window adaptively (ParasitoidModel.py:348).
-        self.kernel_rad = 50
-        # half-width for the local-diffusion kernel window
-        self.kernel_rad_local = 12
+        # None = auto-size from the run's Dparams (~4 sigma, the static
+        # analog of the reference's 0.999-mass stopping rule); MCMC uses a
+        # prior-coverage width instead (bayes/model.py).
+        self.kernel_rad = None
+        # half-width for the local-diffusion kernel window (None = auto)
+        self.kernel_rad_local = None
         # Gauss-Legendre nodes per cell column for BVN cell integration
         self.quad_nodes = 16
         # fused Pallas day-accumulate kernel: None = auto (on for TPU),

@@ -40,6 +40,12 @@ class ForwardSetup(NamedTuple):
     dist_weights: np.ndarray   # (r_dur,) release emergence distribution
 
 
+def _auto_half_width(Dparams, cell, z=4.0, lo=6):
+    """Window half-width in cells covering ~z sigma of a diffusion kernel."""
+    sig = max(float(Dparams[0]), float(Dparams[1]))
+    return max(lo, int(np.ceil(z * sig / cell)) + 1)
+
+
 def setup_forward(params: Params, dtype=jnp.float32) -> ForwardSetup:
     """Load wind and freeze static configuration from a Params object."""
     wind_data, days = get_wind_data(*params.get_wind_params())
@@ -50,6 +56,16 @@ def setup_forward(params: Params, dtype=jnp.float32) -> ForwardSetup:
     cumsum = jnp.concatenate(
         [jnp.zeros((1, 2), flat.dtype), jnp.cumsum(flat, axis=0)])
     rad_dist, rad_res = params.domain_info
+    cell = rad_dist / rad_res
+    # Static kernel-window half-widths: auto-sized to ~4 sigma of this
+    # run's diffusion parameters (covers the reference's adaptive 0.999
+    # -mass stopping rule, ParasitoidModel.py:329-348, with margin) unless
+    # pinned.  Callers whose sigma varies under jit (the Bayes layer) must
+    # pin a prior-coverage width instead (bayes/model.py).
+    K = (params.kernel_rad if params.kernel_rad is not None
+         else _auto_half_width(params.Dparams, cell))
+    Kl = (params.kernel_rad_local if params.kernel_rad_local is not None
+          else _auto_half_width(params.Dlparams, cell, lo=3))
     # the fused Pallas accumulate is the TPU hot path; elsewhere (CPU tests,
     # virtual multi-chip dry runs) the XLA scatter path is used.
     # TODO(validation): flip the auto default to jax.default_backend()=='tpu'
@@ -58,7 +74,7 @@ def setup_forward(params: Params, dtype=jnp.float32) -> ForwardSetup:
                   if getattr(params, 'use_pallas', None) is not None
                   else False)
     kcfg = KernelConfig(rad_res=int(rad_res), periods=T,
-                        K=params.kernel_rad, K_local=params.kernel_rad_local,
+                        K=int(K), K_local=int(Kl),
                         G=params.quad_nodes, pallas=bool(use_pallas))
     scfg = SolverConfig.for_domain(int(rad_res))
     if (not params.PROB_MODEL) and params.r_start is not None:

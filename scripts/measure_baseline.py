@@ -51,23 +51,25 @@ def main():
     ref_pm, ref_cs = mods
     import scipy.sparse as sparse
 
-    # Headline Kalbar config (reference Run.py defaults: Run.py:57,60,126-138)
-    site = 'data/kalbar'
-    interp = 30
+    # Headline Kalbar config with the reference's true defaults
+    # (Run.py:57-91; the kalbar preset :126-138 changes release fields only)
+    from parasitoids_tpu.config import Params
+    p = Params()
+    p.cmd_line_chg(['--kalbar'])
+    site = p.site_name
+    interp = p.interp_num
     domain_info = (10000.0, 400)
     dom_len = domain_info[1] * 2 + 1
-    rad_res = domain_info[1]
 
-    # Reference default parameters (Run.py:62-89, kalbar preset :126-138).
-    g_params = (2.2, 5.0)
-    f_params = (6.0, 3.0, 18.0, 3.0)
-    Dparams = (21.1, 10.6, 0.5)
-    Dlparams = (5.8, 5.0, 0.5)
-    lam = 1.0
-    mu_r = 1.1886
-    n_periods = 30
+    g_params = tuple(p.g_params)
+    f_params = tuple(p.f_params)
+    Dparams = tuple(p.Dparams)
+    Dlparams = tuple(p.Dlparams)
+    lam = float(p.lam)
+    mu_r = float(p.mu_r)
+    n_periods = int(p.n_periods)
 
-    wind_data, days = ref_pm.get_wind_data(site, interp, '00:00')
+    wind_data, days = ref_pm.get_wind_data(site, interp, p.start_time)
     hparams = (lam,) + g_params + f_params
 
     day_times = []
