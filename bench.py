@@ -14,9 +14,23 @@ machine, scaled to 18 days).  The reference publishes no numbers
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+
+def _tpu_reachable(timeout_s=180):
+    """Probe device init in a child process — a wedged hosted-TPU tunnel
+    hangs indefinitely inside jax, so never probe in-process."""
+    try:
+        r = subprocess.run(
+            [sys.executable, '-c', 'import jax; jax.devices()'],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def measure(n_iters=20):
@@ -67,7 +81,16 @@ def measure(n_iters=20):
 
 
 def main():
-    dt, ndays = measure()
+    platform = 'tpu'
+    n_iters = 20
+    if not _tpu_reachable():
+        # run (slowly) on host so the driver still gets an honest,
+        # clearly-labeled number instead of a hang
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+        platform = 'cpu-fallback (TPU tunnel unreachable)'
+        n_iters = 1
+    dt, ndays = measure(n_iters)
     sims_per_hr = 3600.0 / dt
     sim_days_per_sec = ndays / dt
 
@@ -83,8 +106,8 @@ def main():
     print(json.dumps({
         'metric': 'kalbar_full_forward_sims_per_hr',
         'value': round(sims_per_hr, 1),
-        'unit': 'sims/hr (801x801, 18 days; sim-days/s={:.1f})'.format(
-            sim_days_per_sec),
+        'unit': 'sims/hr on {} (801x801, 18 days; sim-days/s={:.1f})'.format(
+            platform, sim_days_per_sec),
         'vs_baseline': round(vs_baseline, 1) if vs_baseline else None,
     }))
 
