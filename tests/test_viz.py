@@ -1,0 +1,152 @@
+"""Smoke + behavior tests for the visualization layer (L5).
+
+The reference treats its plot scripts as visual QA (SURVEY.md section 4:
+"Visual QA as tests") with no automated coverage; here every viz entry
+point runs headless against synthetic or real-LocInfo inputs and the tests
+assert the artifacts exist and the pure helpers behave correctly."""
+
+import os
+
+import numpy as np
+import pytest
+
+from parasitoids_tpu.io.locinfo import LocInfo
+from parasitoids_tpu.viz import bayes_plot, compare, explore, info_plots
+from parasitoids_tpu.viz import plot_result
+
+KALBAR_LATLONG = (-27.947131, 152.584171)
+DOMAIN = (10000.0, 400)
+NDAYS = 18
+
+
+@pytest.fixture(scope='module')
+def locinfo():
+    return LocInfo('kalbar', KALBAR_LATLONG, DOMAIN)
+
+
+@pytest.fixture(scope='module')
+def viz_params(request):
+    from parasitoids_tpu.config import Params
+    p = Params()
+    p.cmd_line_chg(['--kalbar'])
+    p.OUTPUT = False
+    p.PLOT = False
+    p.domain_info = DOMAIN
+    p.maps_key = None          # no satellite fetch in tests
+    return p
+
+
+@pytest.fixture(scope='module')
+def fields():
+    rng = np.random.default_rng(7)
+    D = 2 * DOMAIN[1] + 1
+    f = np.zeros((NDAYS, D, D), np.float32)
+    c = DOMAIN[1]
+    for d in range(NDAYS):
+        r = 30 + 3 * d
+        f[d, c - r:c + r + 1, c - r:c + r + 1] = rng.uniform(
+            0, 50, (2 * r + 1, 2 * r + 1))
+    return f
+
+
+def test_crop_to_support_centers_on_mass():
+    field = np.zeros((101, 101))
+    field[40:61, 45:56] = 1.0
+    cropped, (r0, r1, c0, c1) = plot_result.crop_to_support(field, frame=5)
+    assert (r0, r1, c0, c1) == (35, 66, 40, 61)
+    assert cropped.shape == (r1 - r0, c1 - c0)
+    # all significant mass is inside the window
+    assert cropped.sum() == field.sum()
+
+
+def test_crop_to_support_empty_field_is_identity():
+    field = np.zeros((11, 11))
+    cropped, window = plot_result.crop_to_support(field)
+    assert cropped.shape == field.shape
+    assert window == (0, 11, 0, 11)
+
+
+def test_alpha_viridis_ramps_alpha():
+    cmap = plot_result.alpha_viridis()
+    cols = cmap(np.linspace(0, 1, 256))
+    assert cols[0, -1] == 0.0          # transparent at zero
+    assert cols[-1, -1] == 1.0         # opaque at max
+    assert np.all(np.diff(cols[:, -1]) >= 0)
+
+
+def test_get_satellite_without_key_returns_none():
+    assert plot_result.get_satellite(None, KALBAR_LATLONG, 1000.0) is None
+
+
+def test_plot_single_day(tmp_path, fields, viz_params):
+    out = plot_result.plot(fields[3], 4, viz_params,
+                           outfile=str(tmp_path / 'day4.png'))
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+def test_plot_all_and_animation(tmp_path, fields, viz_params):
+    outs = plot_result.plot_all(fields[:3], [1, 2, 3], viz_params,
+                                outdir=str(tmp_path / 'all'))
+    assert len(outs) == 3 and all(os.path.exists(o) for o in outs)
+    gif = plot_result.create_animation(
+        fields[:3], [1, 2, 3], viz_params,
+        outfile=str(tmp_path / 'anim.gif'))
+    assert os.path.exists(gif) and os.path.getsize(gif) > 0
+
+
+def test_compare_emergence_and_fit(tmp_path, fields, viz_params, locinfo):
+    out = compare.compare_emergence(fields, list(range(1, NDAYS + 1)),
+                                    viz_params, locinfo,
+                                    outfile=str(tmp_path / 'cmp.png'))
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+    out = compare.assess_fit(fields, list(range(1, NDAYS + 1)),
+                             viz_params, locinfo,
+                             outfile=str(tmp_path / 'fit.png'))
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+def test_banner(tmp_path, fields, viz_params, locinfo):
+    out = compare.banner(fields, list(range(1, NDAYS + 1)), viz_params,
+                         locinfo, outfile=str(tmp_path / 'banner.png'))
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+def test_info_and_sample_location_plots(tmp_path, viz_params, locinfo):
+    out = info_plots.info_plot(viz_params, locinfo,
+                               outfile=str(tmp_path / 'info.png'))
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+    out = info_plots.sample_locations(viz_params, locinfo,
+                                      outfile=str(tmp_path / 'samples.png'))
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+def test_bayes_plot_groups(tmp_path):
+    """Histogram groups + trace/Geweke plots from a synthetic trace with the
+    real parameter layout (model + obs + per-sentinel + logpost)."""
+    from parasitoids_tpu.bayes.priors import (MODEL_PARAM_NAMES,
+                                              OBS_PARAM_NAMES)
+    n_sent = 4
+    n_total = len(MODEL_PARAM_NAMES) + len(OBS_PARAM_NAMES) + n_sent + 1
+    rng = np.random.default_rng(0)
+    traces = rng.normal(size=(2, 60, n_total))
+
+    outdir = str(tmp_path / 'diag')
+    for fn in (bayes_plot.plot_f_g, bayes_plot.plot_sprd_vars,
+               bayes_plot.plot_sent_obs_probs, bayes_plot.plot_other):
+        out = fn(traces, outdir=outdir)
+        assert os.path.exists(out) and os.path.getsize(out) > 0
+
+    written = bayes_plot.plot_traces(traces[:, :30, :],
+                                     outdir=str(tmp_path / 'tr'))
+    # one figure per parameter plus the log-posterior column
+    assert len(written) == n_total
+    assert all(os.path.exists(w) for w in written)
+
+
+def test_explore_plots(tmp_path):
+    out = explore.plot_g_wind_prob(outfile=str(tmp_path / 'g.png'))
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+    out = explore.plot_f_time_prob(outfile=str(tmp_path / 'f.png'))
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+    out = explore.plot_h_flight_prob(outfile=str(tmp_path / 'h.png'))
+    assert os.path.exists(out) and os.path.getsize(out) > 0
