@@ -1,0 +1,72 @@
+"""End-to-end CLI smoke tests (L5).
+
+Exercises the real user entry point — ``python -m parasitoids_tpu`` in a
+fresh interpreter — on a tiny config, and checks the reference-format
+outputs round-trip (ref Run.py:523-531 driver + Run.py:490-516 save path).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+from parasitoids_tpu.io.save import load_run
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY = ['--no_plot', 'ndays=3', 'domain_info=(2000.0,50)', 'interp_num=4',
+        'kernel_rad=12', 'kernel_rad_local=5', 'quad_nodes=8']
+
+
+def _run_cli(args, outfile):
+    env = dict(os.environ)
+    # force CPU in the subprocess even if the hosted-TPU tunnel is wedged:
+    # unsetting the pool var skips the site hook's PJRT registration
+    env.pop('PALLAS_AXON_POOL_IPS', None)
+    env['JAX_PLATFORMS'] = 'cpu'
+    r = subprocess.run(
+        [sys.executable, '-m', 'parasitoids_tpu'] + args +
+        ['outfile=' + outfile],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=560)
+    assert r.returncode == 0, r.stdout + r.stderr
+    return r.stdout
+
+
+def test_cli_prob_model_end_to_end(tmp_path):
+    out = str(tmp_path / 'prob_run')
+    stdout = _run_cli(['--kalbar'] + TINY, out)
+    assert 'probability model' in stdout
+    assert 'Kernel phase' in stdout and 'Convolution phase' in stdout
+
+    # reference-format outputs: npz of CSR triplets + json params sidecar
+    fields, days = load_run(out, 101)
+    assert len(days) == 3
+    dense = np.stack([np.asarray(f.todense() if hasattr(f, 'todense')
+                                 else f) for f in fields])
+    # each day is a pmf
+    np.testing.assert_allclose(dense.sum(axis=(1, 2)), 1.0, rtol=1e-4)
+
+    with open(out + '.json') as f:
+        saved = json.load(f)
+    assert saved['ndays'] == 3
+    assert 'maps_key' not in saved     # stripped, ref Run.py:512-516
+
+
+def test_cli_pop_model_end_to_end(tmp_path):
+    out = str(tmp_path / 'pop_run')
+    stdout = _run_cli(['--kalbar', '--pop'] + TINY, out)
+    assert 'population model' in stdout
+
+    fields, days = load_run(out, 101)
+    dense = np.stack([np.asarray(f.todense() if hasattr(f, 'todense')
+                                 else f) for f in fields])
+    # population conservation: totals within 1% of released wasps
+    # (ref test_Result.py:12-25), modulo boundary loss on a tiny domain
+    from parasitoids_tpu.config import Params
+    p = Params()
+    p.cmd_line_chg(['--kalbar'])
+    totals = dense.sum(axis=(1, 2))
+    assert np.all(totals <= p.r_number * 1.01)
+    assert totals[0] > 0.5 * p.r_number
