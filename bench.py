@@ -50,8 +50,9 @@ def measure(n_iters=20):
     # prior-coverage kernel windows — the widths the MCMC likelihood must
     # use (sigma varies per proposal; see bayes/model.py), so the benchmark
     # measures the true per-likelihood-evaluation cost
-    p.kernel_rad = 50
-    p.kernel_rad_local = 12
+    from parasitoids_tpu.bayes.model import prior_coverage_windows
+    cell = p.domain_info[0] / p.domain_info[1]
+    p.kernel_rad, p.kernel_rad_local = prior_coverage_windows(cell)
     s = setup_forward(p)
     hparams = tuple(np.float32(v)
                     for v in (p.lam, *p.g_params, *p.f_params))

@@ -37,7 +37,28 @@ from ..ops.bvn import bvn_cell_masses
 from ..ops.daily_kernel import build_daily_kernel
 from .priors import (ModelParams, ObsParams, log_prior_model, log_prior_obs)
 
-__all__ = ['BayesSetup', 'poisson_loglik']
+__all__ = ['BayesSetup', 'poisson_loglik', 'prior_coverage_windows']
+
+# Static kernel windows for the MCMC likelihood: sigma varies per proposal
+# inside one compiled program, so the window must cover the PRIOR, not one
+# sample.  Criterion: >= 3.3 sigma — the radius where the reference's
+# adaptive ring expansion stops under its 0.999-mass rule
+# (cdf_eps, ParasitoidModel.py:329-348) — at the prior's 0.9999 quantile:
+#   sig_x  ~ Gamma(26, 0.15): q_0.9999 = 329 m -> 3.3 sigma = 1086 m
+#   sig_xl ~ Gamma(2, 0.08):  q_0.9999 = 147 m -> 3.3 sigma =  485 m
+# (Bayes_Run.py:116,123).  Proposals beyond that quantile (1e-4 of prior
+# mass) still get >= 3.2 sigma coverage, i.e. <= ~0.2% kernel-mass
+# truncation — within the reference's own accuracy budget.
+_FLIGHT_COVER_M = 1090.0
+_LOCAL_COVER_M = 490.0
+
+
+def prior_coverage_windows(cell_m):
+    """(kernel_rad, kernel_rad_local) in cells for a given cell size —
+    the static window half-widths the Bayes likelihood (and any benchmark
+    of it) must use."""
+    return (int(np.ceil(_FLIGHT_COVER_M / cell_m)),
+            int(np.ceil(_LOCAL_COVER_M / cell_m)))
 
 
 def poisson_loglik(obs, rate):
@@ -69,17 +90,12 @@ class BayesSetup:
             params.domain_info = (10000.0, 400)  # Bayes_Run.py:91
         self.params = params
         self.sprd_factor = sprd_factor  # None, or a fixed/initial value
-        # Kernel windows must cover the PRIOR's sigma range (sigma varies
-        # per MCMC proposal inside one compiled program, so the static
-        # width can't follow it): ~3.5 sigma at the priors' upper tails
-        # (sig_x Gamma(26,0.15) -> ~350 m; sig_xl Gamma(2,0.08) -> ~85 m),
-        # i.e. 1250 m / 300 m — the reference's adaptive rings would stop
-        # by there under its 0.999-mass rule (ParasitoidModel.py:329-348).
         cell = params.domain_info[0] / params.domain_info[1]
+        K, Kl = prior_coverage_windows(cell)
         if params.kernel_rad is None:
-            params.kernel_rad = int(np.ceil(1250.0 / cell))
+            params.kernel_rad = K
         if params.kernel_rad_local is None:
-            params.kernel_rad_local = int(np.ceil(300.0 / cell))
+            params.kernel_rad_local = Kl
         self.setup: ForwardSetup = setup_forward(params, dtype=dtype)
         self.locinfo = LocInfo(params.dataset, params.coord,
                                params.domain_info)
