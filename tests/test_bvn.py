@@ -27,21 +27,40 @@ CASES = [
 def test_matches_scipy_oracle(mu, sx, sy, rho, cell, K):
     got = np.asarray(bvn_cell_masses(jnp.array(mu), sx, sy, rho, cell, K))
     want = oracle_cell_masses(mu, sx, sy, rho, cell, K)
-    tol = 2e-5 if jax.config.read('jax_enable_x64') else 5e-5
-    np.testing.assert_allclose(got, want, atol=tol)
+    np.testing.assert_allclose(got, want, atol=2e-6)
 
 
 @pytest.mark.parametrize('rho', [0.9, -0.95, 0.99])
-def test_high_correlation_degrades_gracefully(rho):
+def test_high_correlation_stays_accurate(rho):
+    # the corner-CDF scheme is uniformly accurate in rho (the legacy
+    # conditional-quadrature scheme degraded to ~5e-3 here)
     mu = (0.5, -0.3)
-    got = np.asarray(bvn_cell_masses(jnp.array(mu), 4.0, 4.0, rho, 2.0, 10,
-                                     G=24))
+    got = np.asarray(bvn_cell_masses(jnp.array(mu), 4.0, 4.0, rho, 2.0, 10))
     want = oracle_cell_masses(mu, 4.0, 4.0, rho, 2.0, 10)
-    # per-cell error grows as the conditional becomes a step; total mass and
-    # column marginals stay exact
-    np.testing.assert_allclose(got.sum(), want.sum(), atol=1e-5)
-    np.testing.assert_allclose(got.sum(axis=0), want.sum(axis=0), atol=1e-4)
-    np.testing.assert_allclose(got, want, atol=5e-3)
+    np.testing.assert_allclose(got, want, atol=2e-6)
+    np.testing.assert_allclose(got.sum(), want.sum(), atol=1e-6)
+
+
+def test_extreme_anisotropy_high_corr():
+    # the regime that broke the quadrature scheme (sigma_x << cell with
+    # |rho| ~ 1): worst error was ~3e-3 there, corner CDFs hold ~1e-7
+    mu = (7.3, -11.0)
+    got = np.asarray(bvn_cell_masses(jnp.array(mu), 5.0, 80.0, -0.95,
+                                     25.0, 24))
+    want = oracle_cell_masses(mu, 5.0, 80.0, -0.95, 25.0, 24)
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+@pytest.mark.parametrize('rho', [0.0, 0.25, 0.6, 0.8, 0.95])
+def test_quad_scheme_cross_check(rho):
+    # the two independent schemes agree with each other (and the oracle)
+    # away from the quadrature scheme's high-|rho| weakness
+    from parasitoids_tpu.ops.bvn import bvn_cell_masses_quad
+    mu = jnp.array([3.0, -4.0])
+    a = np.asarray(bvn_cell_masses(mu, 30.0, 20.0, rho, 10.0, 12))
+    b = np.asarray(bvn_cell_masses_quad(mu, 30.0, 20.0, rho, 10.0, 12, G=20))
+    tol = 5e-5 if rho < 0.9 else 5e-3
+    np.testing.assert_allclose(a, b, atol=tol)
 
 
 def test_basic_properties():
@@ -88,3 +107,23 @@ def test_gradients_flow():
     g = jax.grad(total_center)(jnp.array([1.0, -1.0]))
     assert np.all(np.isfinite(np.asarray(g)))
     assert np.linalg.norm(np.asarray(g)) > 0
+
+
+@pytest.mark.parametrize('rho0', [0.1, 0.5, 0.85, 0.97])
+def test_gradients_wrt_all_params(rho0):
+    # NUTS/MAP differentiate through (mu, sigma, rho) in every branch of
+    # the corner scheme, including the |rho| > 0.925 series
+    def center_mass(theta):
+        mu, sx, sy, rho = theta[:2], theta[2], theta[3], theta[4]
+        return bvn_cell_masses(mu, sx, sy, rho, 5.0, 4)[4, 4]
+
+    theta = jnp.array([1.0, -1.0, 10.0, 8.0, rho0])
+    g = np.asarray(jax.grad(center_mass)(theta))
+    assert np.all(np.isfinite(g))
+    assert np.linalg.norm(g) > 0
+    # finite-difference check on the rho gradient
+    eps = 1e-3
+    tp = theta.at[4].add(eps)
+    tm = theta.at[4].add(-eps)
+    fd = (center_mass(tp) - center_mass(tm)) / (2 * eps)
+    np.testing.assert_allclose(g[4], fd, rtol=0.05, atol=1e-4)
