@@ -5,10 +5,14 @@ blocks (one per flight minute) scattered into a padded domain buffer
 (ParasitoidModel.py:435-558 is the reference's Python/Fortran loop; the XLA
 path in ops/daily_kernel.py is a chunked ``vmap`` + ``lax.scatter_add``).
 
-The XLA path materializes per-chunk conditional-CDF tensors of shape
-``(chunk, 2K+1, G, 2K+2)`` in HBM (~160 MB per 240-minute chunk at K=50) and
-round-trips them through the dot that forms each block.  This kernel fuses
-the whole day on-chip instead:
+This kernel fuses the whole day on-chip — per-minute blocks are built and
+accumulated without leaving VMEM.  Note: since the XLA path switched to the
+corner-CDF integrator (ops/bvn.py ``bvn_cell_masses``), its per-minute
+intermediates are only ``(2K+2)²`` corner grids and it is typically the
+faster path; this kernel still computes blocks with the conditional
+-quadrature form (``bvn_cell_masses_quad``) and serves as the fused
+alternative — benchmark both on the target chip before enabling
+``use_pallas``.  Design:
 
 * grid = (minutes,), executed sequentially on one TensorCore,
 * the ``(D + 4K)²`` accumulation buffer lives in VMEM for the entire day
