@@ -22,13 +22,13 @@ from parasitoids_tpu.models.forward import setup_forward, simulate
 GOLDEN = os.path.join(os.path.dirname(__file__), 'golden')
 
 
-def _run_config(pop):
+def _run_config(pop, site='--kalbar', ndays=4):
     p = Params()
-    p.cmd_line_chg(['--kalbar'])
+    p.cmd_line_chg([site])
     p.PLOT = False
     p.OUTPUT = False
     p.PROB_MODEL = not pop
-    p.ndays = 4
+    p.ndays = ndays
     p.domain_info = (4000.0, 100)
     p.interp_num = 6
     p.kernel_rad = 20
@@ -55,3 +55,26 @@ def test_golden_run(name, pop):
     # integral parity per day (tighter than pointwise)
     np.testing.assert_allclose(got.sum(axis=(1, 2)), want.sum(axis=(1, 2)),
                                rtol=1e-4)
+
+
+def test_golden_run_carnarvon_release_ramp():
+    """Regression guard on the multi-day-release cohort path (r_dur = 5,
+    Carnarvon preset: 40k wasps over 5 days, Run.py:108-124)."""
+    path = os.path.join(GOLDEN, 'carnarvon_pop_tiny')
+    want, want_days = load_run(path, 201)
+    want = np.stack([np.asarray(w.todense() if hasattr(w, 'todense') else w)
+                     for w in want])
+
+    p = _run_config(True, site='--carnarvon', ndays=7)
+    fields, days = simulate(p)
+    got = np.asarray(fields)
+
+    assert list(days) == list(want_days)
+    scale = max(want.max(), 1e-30)
+    np.testing.assert_allclose(got / scale, want / scale, atol=2e-5)
+    np.testing.assert_allclose(got.sum(axis=(1, 2)), want.sum(axis=(1, 2)),
+                               rtol=1e-4)
+    # release-ramp semantics: mass held at origin keeps day totals at
+    # r_number until dispersal losses begin
+    totals = got.sum(axis=(1, 2))
+    np.testing.assert_allclose(totals[:3], p.r_number, rtol=2e-5)
