@@ -8,10 +8,31 @@ library imports stay side-effect free.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
+
+
+def _machine_tag() -> str:
+    """Short fingerprint of the host CPU so cached XLA:CPU AOT results are
+    never reloaded on a machine with different vector extensions (XLA only
+    warns on the mismatch and 'could lead to execution errors such as
+    SIGILL')."""
+    try:
+        with open('/proc/cpuinfo') as f:
+            for line in f:
+                if line.startswith('flags'):
+                    feats = ' '.join(sorted(line.split(':', 1)[1].split()))
+                    break
+            else:
+                feats = platform.processor()
+    except OSError:
+        feats = platform.processor()
+    return hashlib.sha1(feats.encode()).hexdigest()[:10]
+
 
 _DEFAULT = os.path.join(os.path.expanduser('~'), '.cache',
-                        'parasitoids_tpu_xla')
+                        'parasitoids_tpu_xla-' + _machine_tag())
 
 
 def enable_compilation_cache(path: str | None = None):
