@@ -28,9 +28,12 @@ def _mpl():
     return plt
 
 
-def compare_emergence(fields, days, params, locinfo, outfile=None):
+def compare_emergence(fields, days, params, locinfo, outfile=None,
+                      bw=False):
     """Side-by-side observed vs model-projected emergence per collection
-    (ref CompareToData.main)."""
+    (ref CompareToData.main; ``bw`` gives the print-friendly grayscale
+    styling of the reference's ``--bw`` flag, CompareToData.py:782-834).
+    """
     plt = _mpl()
     obs_ops = ObservationOps(locinfo, params.domain_info, len(days))
     rel_model, sent_model = obs_ops.project_emergence(np.asarray(fields))
@@ -44,7 +47,7 @@ def compare_emergence(fields, days, params, locinfo, outfile=None):
     cropped, window = crop_to_support(np.asarray(fields[-1]))
     axes[0][0].imshow(np.ma.masked_less_equal(cropped,
                                               cropped.max() * 1e-3),
-                      cmap=alpha_viridis(),
+                      cmap=('Greys' if bw else alpha_viridis()),
                       extent=_extent_meters(window, rad_res, cell))
     axes[0][0].set_title('model spread, day {} PR'.format(days[-1]))
     axes[1][0].axis('off')
@@ -57,11 +60,14 @@ def compare_emergence(fields, days, params, locinfo, outfile=None):
                                              None].clip(min=1.0)
         model = np.asarray(rel_model[k])
         x = np.arange(obs.shape[1])
+        sty_o = dict(color='0.2') if bw else {}
+        sty_m = (dict(color='white', edgecolor='black', hatch='//')
+                 if bw else {})
         axes[0][k + 1].bar(x - 0.2, obs.sum(axis=0), width=0.4,
-                           label='observed/area')
+                           label='observed/area', **sty_o)
         axes[0][k + 1].bar(x + 0.2, model.sum(axis=0) /
                            max(model.sum(), 1e-9) * obs.sum(), width=0.4,
-                           label='model (scaled)')
+                           label='model (scaled)', **sty_m)
         axes[0][k + 1].set_title('release-field emergence, collection '
                                  '{}'.format(k))
         axes[0][k + 1].legend()
@@ -70,10 +76,10 @@ def compare_emergence(fields, days, params, locinfo, outfile=None):
         model_s = np.asarray(sent_model[k])
         xs = np.arange(obs_s.shape[1])
         axes[1][k + 1].bar(xs - 0.2, obs_s.sum(axis=0), width=0.4,
-                           label='observed')
+                           label='observed', **sty_o)
         axes[1][k + 1].bar(xs + 0.2, model_s.sum(axis=0) /
                            max(model_s.sum(), 1e-9) * obs_s.sum(),
-                           width=0.4, label='model (scaled)')
+                           width=0.4, label='model (scaled)', **sty_m)
         axes[1][k + 1].set_title('sentinel emergence, collection '
                                  '{}'.format(k))
         axes[1][k + 1].legend()
@@ -85,7 +91,7 @@ def compare_emergence(fields, days, params, locinfo, outfile=None):
     return outfile
 
 
-def assess_fit(fields, days, params, locinfo, outfile=None):
+def assess_fit(fields, days, params, locinfo, outfile=None, bw=False):
     """Model grid densities vs observed grid counts per observation day
     (ref CompareToData.assess_fit, :344-528): per-point separation with
     sampling-effort annotation."""
@@ -100,8 +106,12 @@ def assess_fit(fields, days, params, locinfo, outfile=None):
         order = np.argsort(grid_model[:, d])
         scale = (locinfo.grid_obs[:, d].sum() /
                  max(grid_model[:, d].sum(), 1e-9))
-        ax.plot(grid_model[order, d] * scale, label='model (scaled)')
-        ax.plot(locinfo.grid_obs[order, d], '.', label='observed')
+        mline = dict(color='0.1') if bw else {}
+        mdots = dict(color='0.5') if bw else {}
+        ax.plot(grid_model[order, d] * scale, label='model (scaled)',
+                **mline)
+        ax.plot(locinfo.grid_obs[order, d], '.', label='observed',
+                **mdots)
         ax.set_title('grid counts, obs day {}'.format(
             locinfo.grid_obs_datesPR[d].days))
         ax.set_xlabel('grid point (sorted by model)')
@@ -113,7 +123,8 @@ def assess_fit(fields, days, params, locinfo, outfile=None):
     return outfile
 
 
-def banner(fields, days, params, locinfo=None, outfile=None, ncols=6):
+def banner(fields, days, params, locinfo=None, outfile=None, ncols=6,
+           bw=False):
     """Multi-day spread banner (ref CompareToData.banner, :532-778)."""
     plt = _mpl()
     fields = np.asarray(fields)
@@ -127,10 +138,12 @@ def banner(fields, days, params, locinfo=None, outfile=None, ncols=6):
     vmax = np.percentile(fields[-1][r0:r1, c0:c1], 99.9)
     for ax, i in zip(np.atleast_1d(axes), idxs):
         ax.imshow(np.ma.masked_less_equal(fields[i][r0:r1, c0:c1], 0),
-                  cmap=alpha_viridis(), extent=extent, vmax=vmax)
+                  cmap=('Greys' if bw else alpha_viridis()),
+                  extent=extent, vmax=vmax)
         if locinfo is not None:
             for poly in locinfo.field_polys.values():
-                ax.plot(*np.vstack([poly, poly[:1]]).T, 'r-', lw=0.5)
+                ax.plot(*np.vstack([poly, poly[:1]]).T,
+                        'k-' if bw else 'r-', lw=0.5)
             ax.set_xlim(extent[0], extent[1])
             ax.set_ylim(extent[2], extent[3])
         ax.set_title('day {}'.format(days[i]), fontsize=9)
@@ -150,7 +163,7 @@ def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     if not argv:
         print('usage: python -m parasitoids_tpu.viz.compare <saved_run> '
-              '[-b|-a]')
+              '[-b|-a] [--bw]')
         return
     path = argv[0]
     params = Params()
@@ -159,12 +172,14 @@ def main(argv=None):
     fields, days = load_run(path, dom_len)
     locinfo = LocInfo(params.dataset, tuple(params.coord),
                       tuple(params.domain_info))
+    bw = '--bw' in argv
     if '-b' in argv:
-        print('wrote', banner(fields, days, params, locinfo))
+        print('wrote', banner(fields, days, params, locinfo, bw=bw))
     elif '-a' in argv:
-        print('wrote', assess_fit(fields, days, params, locinfo))
+        print('wrote', assess_fit(fields, days, params, locinfo, bw=bw))
     else:
-        print('wrote', compare_emergence(fields, days, params, locinfo))
+        print('wrote', compare_emergence(fields, days, params, locinfo,
+                                         bw=bw))
 
 
 if __name__ == '__main__':

@@ -150,3 +150,20 @@ def test_explore_plots(tmp_path):
     assert os.path.exists(out) and os.path.getsize(out) > 0
     out = explore.plot_h_flight_prob(outfile=str(tmp_path / 'h.png'))
     assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+def test_compare_bw_mode(tmp_path, fields, viz_params, locinfo):
+    # the reference's --bw print styling (CompareToData.py:782-834)
+    out = compare.compare_emergence(fields, list(range(1, NDAYS + 1)),
+                                    viz_params, locinfo,
+                                    outfile=str(tmp_path / 'cmp_bw.png'),
+                                    bw=True)
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+    out = compare.banner(fields, list(range(1, NDAYS + 1)), viz_params,
+                         locinfo, outfile=str(tmp_path / 'banner_bw.png'),
+                         bw=True)
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+    out = compare.assess_fit(fields, list(range(1, NDAYS + 1)), viz_params,
+                             locinfo, outfile=str(tmp_path / 'fit_bw.png'),
+                             bw=True)
+    assert os.path.exists(out) and os.path.getsize(out) > 0
