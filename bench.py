@@ -90,7 +90,7 @@ def main():
         import jax
         jax.config.update('jax_platforms', 'cpu')
         platform = 'cpu-fallback (TPU tunnel unreachable)'
-        n_iters = 1
+        n_iters = 5
     dt, ndays = measure(n_iters)
     sims_per_hr = 3600.0 / dt
     sim_days_per_sec = ndays / dt
