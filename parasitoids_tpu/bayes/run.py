@@ -80,8 +80,15 @@ def _report(traces, setup):
     if traces.shape[0] >= 2:
         rhat = gelman_rubin(traces[:, :, :len(names)])
         print('Gelman-Rubin R-hat (model block):')
+        lines = []
         for n, r in zip(names, np.atleast_1d(rhat)):
             print('  {:>12s}: {:.4f}'.format(n, r))
+            lines.append('{}\t{:.6f}'.format(n, r))
+        # file output like the reference menu (Bayes_Run.py:685-692)
+        import os
+        os.makedirs('diagnostics', exist_ok=True)
+        with open(os.path.join('diagnostics', 'gelman-rubin.txt'), 'w') as f:
+            f.write('\n'.join(lines) + '\n')
     ess = effective_sample_size(flat[:, 0])
     print('ESS (g_aw, pooled): {:.1f}'.format(ess))
 
