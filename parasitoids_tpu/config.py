@@ -85,6 +85,10 @@ class Params:
         # fused Pallas day-accumulate kernel: None = auto (on for TPU),
         # True/False to force (CLI: use_pallas=True/False)
         self.use_pallas = None
+        # run the forward model in float64 for numerical validation
+        # (SURVEY.md section 7 step 3: "f64 flag for validation"); the
+        # reference CPU path is f64 (CalcSol.py), its GPU path f32
+        self.use_f64 = False
 
         self.default_chg()
 
@@ -244,6 +248,8 @@ class Params:
                 setattr(self, arg, i(val))
             elif arg == 'use_pallas':
                 self.use_pallas = val.strip().lower() in ('1', 'true', 'yes')
+            elif arg == 'use_f64':
+                self.use_f64 = self._parse_bool(val)
             elif arg == 'r_start':
                 self.r_start = f(val)
             elif arg == 'r_number':

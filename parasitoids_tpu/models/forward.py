@@ -46,8 +46,18 @@ def _auto_half_width(Dparams, cell, z=4.0, lo=6):
     return max(lo, int(np.ceil(z * sig / cell)) + 1)
 
 
-def setup_forward(params: Params, dtype=jnp.float32) -> ForwardSetup:
-    """Load wind and freeze static configuration from a Params object."""
+def setup_forward(params: Params, dtype=None) -> ForwardSetup:
+    """Load wind and freeze static configuration from a Params object.
+
+    ``dtype`` defaults to f32, or f64 when ``params.use_f64`` is set
+    (validation mode, SURVEY.md section 7 step 3 — the reference CPU path
+    is f64); f64 also flips JAX's global x64 mode."""
+    if dtype is None:
+        if getattr(params, 'use_f64', False):
+            jax.config.update('jax_enable_x64', True)
+            dtype = jnp.float64
+        else:
+            dtype = jnp.float32
     wind_data, days = get_wind_data(*params.get_wind_params())
     ndays = len(days) if params.ndays < 0 else min(params.ndays, len(days))
     packed = pack_wind(wind_data, days, ndays=len(days))
@@ -134,7 +144,8 @@ def simulate(params: Params, setup: ForwardSetup | None = None,
     import time as _time
     if setup is None:
         setup = setup_forward(params)
-    hparams = tuple(np.float32(v)
+    fdtype = setup.wind_flat.dtype
+    hparams = tuple(np.asarray(v, fdtype)
                     for v in (params.lam, *params.g_params, *params.f_params))
 
     tic = _time.time()

@@ -129,7 +129,9 @@ def build_daily_kernel(wind_flat, wind_cumsum, day_idx, hparams, Dparams,
     n_periods = jnp.asarray(n_periods)
 
     # --- per-minute take-off probability -------------------------------
-    day_wind = lax.dynamic_slice(wind_flat, (day_idx * T, 0), (T, 2))
+    day_idx = jnp.asarray(day_idx, jnp.int32)
+    day_wind = lax.dynamic_slice(
+        wind_flat, (day_idx * T, jnp.int32(0)), (T, 2))
     windr = jnp.hypot(day_wind[:, 0], day_wind[:, 1])
     lam, aw, bw, a1, b1, a2, b2 = hparams
     hprob = h_flight_prob(windr, lam, aw, bw, a1, b1, a2, b2)
