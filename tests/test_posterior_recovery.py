@@ -119,3 +119,39 @@ def test_am_chain_climbs_to_truth_level(synth):
     # posterior neighborhood (within a generous slack for a short chain)
     assert lp_trace.max() > lp0
     assert lp_trace.max() > lp_true - 25.0, (lp_trace.max(), lp_true)
+
+
+def test_nuts_climbs_and_mixes(synth):
+    """Gradient-based sampling on the same synthetic posterior: NUTS must
+    reach at least the truth's posterior level and keep a healthy
+    acceptance statistic (no analogue exists in the reference — PyMC 2.x
+    cannot differentiate its Fortran-backed model)."""
+    from parasitoids_tpu.bayes.map_fit import _make_objective
+    from parasitoids_tpu.bayes.nuts import (NUTSConfig, nuts_sample,
+                                            make_transformed_logpdf)
+    setup, m_true, o_true = synth
+    logpdf, constrain, _ = make_transformed_logpdf(setup)
+
+    lp_true = float(setup.log_posterior(_as_model(m_true),
+                                        _as_obs(o_true, setup.n_sent)))
+
+    # start at the truth: the test checks NUTS *stays* in and explores the
+    # typical set (a short chain from a prior start cannot be expected to
+    # reach it; that transit is covered by the MAP test above)
+    _, _, unconstrain = _make_objective(setup, use_sprd=False)
+    z0 = unconstrain(m_true, o_true, jnp.float32(0.3))
+
+    out = nuts_sample(logpdf, z0, random.PRNGKey(3),
+                      NUTSConfig(num_warmup=60, num_samples=60, max_depth=5))
+    logp = np.asarray(out['logp'])
+    assert np.isfinite(logp).all()
+    assert float(out['accept_rate']) > 0.4
+    # the sampler must move (not be stuck at z0)...
+    zs = np.asarray(out['samples'])
+    assert np.abs(zs - zs[0]).max() > 1e-3
+    # ...while staying in the truth's posterior neighborhood
+    best = zs[int(logp.argmax())]
+    m_vec, o_vec, _ = constrain(jnp.asarray(best))
+    lp_best = float(setup.log_posterior(_as_model(m_vec),
+                                        _as_obs(o_vec, setup.n_sent)))
+    assert lp_best > lp_true - 30.0, (lp_best, lp_true)
