@@ -65,6 +65,12 @@ class ChainState(NamedTuple):
     m2: jnp.ndarray           # (15, 15)
     accepts_m: jnp.ndarray
     accepts_o: jnp.ndarray
+    # log of the global proposal-scale factor, Robbins–Monro-adapted toward
+    # the 0.234 optimal acceptance rate once the empirical-covariance phase
+    # begins — the role of PyMC AM's ``shrink_if_necessary``
+    # (Bayes_Run.py:486-487), as a smooth two-sided version
+    # (Andrieu & Thoms 2008 algorithm 4)
+    log_scale: jnp.ndarray
 
 
 def _as_model(vec) -> ModelParams:
@@ -98,7 +104,8 @@ def init_chain_state(setup: BayesSetup, key, m0=None, o0=None):
         count=jnp.zeros((), jnp.float32),
         mean=jnp.zeros(_N_MODEL), m2=jnp.zeros((_N_MODEL, _N_MODEL)),
         accepts_m=jnp.zeros((), jnp.float32),
-        accepts_o=jnp.zeros((), jnp.float32))
+        accepts_o=jnp.zeros((), jnp.float32),
+        log_scale=jnp.zeros((), jnp.float32))
 
 
 def _proposal_chol(state, adapt_start):
@@ -106,7 +113,8 @@ def _proposal_chol(state, adapt_start):
     empirical covariance once enough history exists (Haario AM)."""
     seed = jnp.diag(jnp.asarray(STEP_SCALES, jnp.float32) ** 2)
     emp = state.m2 / jnp.maximum(state.count - 1.0, 1.0)
-    adapted = _OPT_SCALE * emp + 1e-9 * jnp.eye(_N_MODEL)
+    adapted = (_OPT_SCALE * jnp.exp(state.log_scale) * emp
+               + 1e-9 * jnp.eye(_N_MODEL))
     use_emp = state.count >= adapt_start
     cov = jnp.where(use_emp, adapted, seed)
     return jnp.linalg.cholesky(cov)
@@ -149,6 +157,12 @@ def _mcmc_step(setup: BayesSetup, state: ChainState, cfg: MCMCConfig):
     delta = m_new - state.mean
     mean = state.mean + delta / count
     m2 = state.m2 + jnp.outer(delta, m_new - mean)
+    # proposal-scale adaptation toward 0.234 acceptance, active with the
+    # empirical covariance (diminishing Robbins–Monro steps)
+    gamma = jnp.where(count >= cfg.adapt_start,
+                      1.0 / jnp.sqrt(count - cfg.adapt_start + 1.0), 0.0)
+    log_scale = state.log_scale + gamma * (
+        accept.astype(jnp.float32) - 0.234)
 
     # ---- observation-parameter sweep (cached projections) ------------
     o_vec = state.o
@@ -178,7 +192,8 @@ def _mcmc_step(setup: BayesSetup, state: ChainState, cfg: MCMCConfig):
     new_state = ChainState(
         m=m_new, o=o_vec, loglik=ll_cur, prior_m=prior_m_new,
         prior_o=prior_o, proj=proj_new, key=key, count=count, mean=mean,
-        m2=m2, accepts_m=state.accepts_m + accept, accepts_o=acc_o)
+        m2=m2, accepts_m=state.accepts_m + accept, accepts_o=acc_o,
+        log_scale=log_scale)
     sample = jnp.concatenate([
         m_new, o_vec,
         jnp.stack([prior_m_new + prior_o + ll_cur])])

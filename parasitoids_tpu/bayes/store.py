@@ -21,7 +21,7 @@ from .sampler import ChainState
 __all__ = ['save_chain', 'load_chain', 'append_traces']
 
 _STATE_FIELDS = ('m', 'o', 'loglik', 'prior_m', 'prior_o', 'key', 'count',
-                 'mean', 'm2', 'accepts_m', 'accepts_o')
+                 'mean', 'm2', 'accepts_m', 'accepts_o', 'log_scale')
 
 
 def save_chain(path, traces, state: ChainState, meta=None):
@@ -48,7 +48,15 @@ def load_chain(path, setup):
         path = path + '.npz'
     with np.load(path) as npz:
         traces = npz['traces']
-        fields = {f: jnp.asarray(npz['state_' + f]) for f in _STATE_FIELDS}
+        fields = {}
+        for f in _STATE_FIELDS:
+            if 'state_' + f in npz:
+                fields[f] = jnp.asarray(npz['state_' + f])
+            elif f == 'log_scale':   # stores written before scale adaptation
+                fields[f] = jnp.zeros(np.asarray(npz['state_count']).shape,
+                                      jnp.float32)
+            else:
+                raise KeyError('state_' + f)
     meta_path = path[:-4] + '.meta.json'
     meta = {}
     if os.path.exists(meta_path):
@@ -59,23 +67,13 @@ def load_chain(path, setup):
         proj = setup.forward_projections(_as_model(m))
         return ChainState(m=m, o=o, proj=proj, **kw)
 
+    rest = {f: fields[f] for f in _STATE_FIELDS if f not in ('m', 'o')}
     if fields['m'].ndim == 2:     # vmapped chains
         import jax
-        state = jax.vmap(lambda m, o, ll, pm, po, key, c, mu, m2, am, ao:
-                         rebuild(m, o, loglik=ll, prior_m=pm, prior_o=po,
-                                 key=key, count=c, mean=mu, m2=m2,
-                                 accepts_m=am, accepts_o=ao))(
-            fields['m'], fields['o'], fields['loglik'], fields['prior_m'],
-            fields['prior_o'], fields['key'], fields['count'],
-            fields['mean'], fields['m2'], fields['accepts_m'],
-            fields['accepts_o'])
+        state = jax.vmap(lambda m, o, kw: rebuild(m, o, **kw))(
+            fields['m'], fields['o'], rest)
     else:
-        state = rebuild(fields['m'], fields['o'],
-                        loglik=fields['loglik'], prior_m=fields['prior_m'],
-                        prior_o=fields['prior_o'], key=fields['key'],
-                        count=fields['count'], mean=fields['mean'],
-                        m2=fields['m2'], accepts_m=fields['accepts_m'],
-                        accepts_o=fields['accepts_o'])
+        state = rebuild(fields['m'], fields['o'], **rest)
     return traces, state, meta
 
 
