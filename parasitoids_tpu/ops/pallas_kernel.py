@@ -4,31 +4,28 @@ The daily dispersal kernel is a sum of ~1,440 wind-advected bivariate-normal
 blocks (one per flight minute) scattered into a padded domain buffer
 (ParasitoidModel.py:435-558 is the reference's Python/Fortran loop; the XLA
 path in ops/daily_kernel.py is a chunked ``vmap`` + ``lax.scatter_add``).
-
-This kernel fuses the whole day on-chip — per-minute blocks are built and
-accumulated without leaving VMEM.  Note: since the XLA path switched to the
-corner-CDF integrator (ops/bvn.py ``bvn_cell_masses``), its per-minute
-intermediates are only ``(2K+2)²`` corner grids and it is typically the
-faster path; this kernel still computes blocks with the conditional
--quadrature form (``bvn_cell_masses_quad``) and serves as the fused
-alternative — benchmark both on the target chip before enabling
-``use_pallas``.  Design:
+This kernel fuses the whole day on-chip:
 
 * grid = (minutes,), executed sequentially on one TensorCore,
 * the ``(D + 4K)²`` accumulation buffer lives in VMEM for the entire day
-  (4 MB at D=801, K=50) and is written to HBM once,
-* each minute computes its ``(2K+1)²`` block entirely in registers/VMEM —
-  probability-space Gauss–Legendre quadrature of the conditional BVN
-  decomposition (same math as ops/bvn.py: u-substitution through the x
-  marginal, ``ndtr`` differences through the y conditional) — and
-  accumulates it at its advection offset with a dynamic-slice add,
-* per-minute bookkeeping for the reference's loss accounting
-  (ParasitoidModel.py:546-558) — the window-truncation shortfall of
-  boundary-straddling blocks — is accumulated in SMEM.
+  (4 MB at D=801) and is written to HBM once,
+* each minute computes its ``(2K+1)²`` block entirely in VMEM with the
+  **same corner-CDF math as the default XLA path** (ops/bvn.py
+  ``bvn_cell_masses``): Drezner–Wesolowsky upper-orthant probabilities on
+  the shared ``(2K+2)²`` corner lattice, differenced.  The ρ-dependent
+  quadrature constants (``sin θ_g`` nodes and weights of the correlation
+  integral) are precomputed outside the kernel, so the inner loop is G
+  ``exp`` sweeps over the corner grid plus two 1-D ``erf`` edge vectors,
+* per-minute loss bookkeeping (the window-truncation shortfall of
+  boundary-straddling blocks, ParasitoidModel.py:546-558) accumulates in
+  SMEM.
 
-HBM traffic per day drops from ~2 GB (XLA path) to ~15 KB of per-minute
-scalars + one 4 MB buffer writeback: the op becomes compute-bound on the
-VPU's transcendentals (~240M ``ndtr`` evaluations/day).
+One deliberate difference from the XLA path: the node count is fixed at
+G=20 (the XLA path selects 6/12/20 from |ρ| via ``lax.switch``), and the
+|ρ| > 0.925 asymptotic-series branch is not implemented — beyond there the
+20-node quadrature degrades gradually (the prior places ~2e-4 mass past
+0.925).  The pallas path is opt-in (``use_pallas``); benchmark against the
+XLA path on the target chip.
 """
 
 from __future__ import annotations
@@ -45,6 +42,8 @@ from .bvn import gauss_legendre
 __all__ = ['pallas_accumulate_day', 'pallas_available']
 
 _SQRT2 = float(np.sqrt(2.0))
+_TWO_PI = 2.0 * np.pi
+_G_NODES = 20
 
 
 def pallas_available() -> bool:
@@ -60,14 +59,9 @@ def _ndtr(x):
     return 0.5 * lax.erf(x / _SQRT2) + 0.5
 
 
-def _ndtri_from_u(u):
-    """Inverse standard normal CDF via erf_inv (u in (0,1))."""
-    return _SQRT2 * lax.erf_inv(2.0 * u - 1.0)
-
-
-def _day_kernel(params_ref, h_ref, mu_ref, idx_ref, clip_ref, gl_ref,
+def _day_kernel(params_ref, quad_ref, h_ref, mu_ref, idx_ref, clip_ref,
                 buf_ref, loss_ref, *, K, G, dtype):
-    """One grid step = one flight minute."""
+    """One grid step = one flight minute (corner-CDF block build)."""
     import jax.experimental.pallas as pl
 
     t = pl.program_id(0)
@@ -80,44 +74,36 @@ def _day_kernel(params_ref, h_ref, mu_ref, idx_ref, clip_ref, gl_ref,
 
     sig_x = params_ref[0]
     sig_y = params_ref[1]
-    rho = params_ref[2]
-    cell = params_ref[3]
+    cell = params_ref[2]
     mux = mu_ref[t, 0]
     muy = mu_ref[t, 1]
     h_t = h_ref[t]
     clip_t = clip_ref[t]
 
-    tg = gl_ref[0, :]                                    # (G,) GL nodes
-    wg = gl_ref[1, :]                                    # (G,) GL weights
-
-    # x-column edges ascending with column index (ops/bvn.py orientation)
+    # standardized corner coordinates (x ascending with column index,
+    # y descending with row index — ops/bvn.py orientation)
     col = lax.broadcasted_iota(jnp.int32, (n + 1, 1), 0).astype(dtype)
-    xe = (col - (K + 0.5)) * cell                        # (n+1, 1)
-    ue = _ndtr((xe - mux) / sig_x)                       # (n+1, 1)
-    lo = ue[:-1, 0:1]                                    # (n, 1)
-    hi = ue[1:, 0:1]
-    half = 0.5 * (hi - lo)                               # (n, 1)
-    mid = 0.5 * (hi + lo)
-
-    tiny = jnp.asarray(np.finfo(np.float32).tiny, dtype)
-    eps1 = jnp.asarray(1.0 - np.finfo(np.float32).eps, dtype)
-    uu = jnp.clip(mid + half * tg[None, :], tiny, eps1)  # (n, G)
-    z = _ndtri_from_u(uu)                                # (n, G)
-
-    m_cond = muy + rho * sig_y * z                       # (n, G)
-    s_cond = jnp.maximum(sig_y * jnp.sqrt(1.0 - rho * rho), 1e-12)
-
-    # y-row edges descending with row index; flatten (col, node) pairs
     row = lax.broadcasted_iota(jnp.int32, (1, n + 1), 1).astype(dtype)
-    ye = ((K + 0.5) - row) * cell                        # (1, n+1)
-    zz = (ye - m_cond.reshape(n * G, 1)) / s_cond        # (n*G, n+1)
-    cdf = _ndtr(zz)
-    d_phi = cdf[:, :-1] - cdf[:, 1:]                     # (n*G, n) rows
+    xe = ((col - (K + 0.5)) * cell - mux) / sig_x          # (n+1, 1)
+    ye = (((K + 0.5) - row) * cell - muy) / sig_y          # (1, n+1)
 
-    coeff = (half * wg[None, :]).reshape(n * G, 1)       # (n*G, 1)
-    weighted = (d_phi * coeff).reshape(n, G, n)
-    block_t = jnp.sum(weighted, axis=1)                  # (n, n) [col, row]
-    block = block_t.T                                    # (n, n) [row, col]
+    hk = xe * ye                                            # (n+1, n+1)
+    hs = 0.5 * (xe * xe + ye * ye)
+
+    # correlation integral: U += sum_g wfac_g * exp((sn_g*hk - hs)*inv_g);
+    # the exponent is <= 0 for every node (|sn| <= |rho| < 1)
+    U = jnp.zeros((n + 1, n + 1), dtype)
+    for g in range(G):
+        sn = quad_ref[0, g]
+        wfac = quad_ref[1, g]
+        inv = quad_ref[2, g]
+        U = U + wfac * jnp.exp((sn * hk - hs) * inv)
+    U = U + _ndtr(-xe) * _ndtr(-ye)
+
+    # four-corner differences -> cell masses [row, col]
+    Ux = U[:-1, :] - U[1:, :]                               # (n, n+1)
+    rect = Ux[:, 1:] - Ux[:, :-1]                           # (n, n) [x, y]
+    block = jnp.maximum(rect.T, 0.0)                        # [row, col]
 
     bsum = jnp.sum(block)
     loss_ref[0, 0] += clip_t * h_t * (1.0 - bsum)
@@ -145,7 +131,8 @@ def pallas_accumulate_day(h_scat, cdf_mu, idx, clipped, Dparams, cell,
         clipped: (T,) 1.0 where the block straddles the domain boundary.
         Dparams: (sig_x, sig_y, rho) flight diffusion.
         cell: cell side (m).
-        K, G: window half-width / quadrature nodes (static).
+        K: window half-width (static).  G: accepted for interface parity
+            with the XLA path; the corner quadrature always uses 20 nodes.
         buf_len: padded buffer side, D + 4K (static).
         interpret: run in Pallas interpret mode (tests off-TPU).
 
@@ -159,23 +146,35 @@ def pallas_accumulate_day(h_scat, cdf_mu, idx, clipped, Dparams, cell,
     dtype = h_scat.dtype
     T = h_scat.shape[0]
     sig_x, sig_y, rho = Dparams
-    params = jnp.stack([jnp.asarray(sig_x, dtype), jnp.asarray(sig_y, dtype),
-                        jnp.asarray(rho, dtype), jnp.asarray(cell, dtype)])
+    sig_x = jnp.maximum(jnp.asarray(sig_x, dtype), 1e-8)
+    sig_y = jnp.maximum(jnp.asarray(sig_y, dtype), 1e-8)
+    rho = jnp.clip(jnp.asarray(rho, dtype), -1 + 1e-6, 1 - 1e-6)
+    params = jnp.stack([sig_x, sig_y, jnp.asarray(cell, dtype)])
 
-    t_np, w_np = gauss_legendre(G)
-    gl = jnp.stack([jnp.asarray(t_np, dtype), jnp.asarray(w_np, dtype)])
+    # rho-dependent quadrature constants, computed once per day on the
+    # XLA side: sn_g = sin(asr*(1+x_g)/2), wfac_g = w_g*asr/(4*pi),
+    # inv_g = 1/(1 - sn_g^2)
+    Gq = _G_NODES
+    x_np, w_np = gauss_legendre(Gq)
+    x = jnp.asarray(x_np, dtype)
+    w = jnp.asarray(w_np, dtype)
+    asr = jnp.arcsin(rho)
+    sn = jnp.sin(asr * 0.5 * (1.0 + x))
+    wfac = w * asr / (2.0 * _TWO_PI)
+    inv = 1.0 / (1.0 - sn * sn)
+    quad = jnp.stack([sn, wfac, inv])                       # (3, Gq)
 
-    kernel = partial(_day_kernel, K=K, G=G, dtype=dtype)
+    kernel = partial(_day_kernel, K=K, G=Gq, dtype=dtype)
     buf, loss = pl.pallas_call(
         kernel,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),       # params (4,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # params (3,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # quad (3, Gq)
             pl.BlockSpec(memory_space=pltpu.SMEM),       # h (T,)
             pl.BlockSpec(memory_space=pltpu.SMEM),       # mu (T,2)
             pl.BlockSpec(memory_space=pltpu.SMEM),       # idx (T,2)
             pl.BlockSpec(memory_space=pltpu.SMEM),       # clipped (T,)
-            pl.BlockSpec(memory_space=pltpu.VMEM),       # GL nodes/wts (2,G)
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),       # buf, VMEM-resident
@@ -186,5 +185,5 @@ def pallas_accumulate_day(h_scat, cdf_mu, idx, clipped, Dparams, cell,
             jax.ShapeDtypeStruct((1, 1), dtype),
         ),
         interpret=interpret,
-    )(params, h_scat, cdf_mu, idx, clipped, gl)
+    )(params, quad, h_scat, cdf_mu, idx, clipped)
     return buf, loss[0, 0]
