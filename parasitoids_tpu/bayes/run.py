@@ -152,33 +152,33 @@ def main(argv=None):
         key = random.PRNGKey(args.seed)
         print('Initializing {} chain(s)...'.format(args.chains))
         states = init_chains(setup, key, args.chains)
-        if burn:
-            print('Burn-in: {} steps...'.format(burn))
-            tic = time.time()
-            states, _ = run_chains(setup, states, MCMCConfig(burn), mesh)
-            jax.block_until_ready(states.m)
-            print('  {:.1f} s'.format(time.time() - tic))
-        print('Sampling {} steps...'.format(n_samples))
+        # burn-in and sampling share one chunk length so the whole run is a
+        # single compiled program (a different scan length is a different
+        # XLA program; compiles cost minutes at full config)
+        total = burn + n_samples
+        chunk = max(1, min(args.checkpoint_every, total))
+        print('Burn-in {} + sampling {} steps (chunks of {})...'.format(
+            burn, n_samples, chunk))
         tic = time.time()
-        chunk = max(1, min(args.checkpoint_every, n_samples))
-        traces = None
+        all_tr = None
         done = 0
-        while done < n_samples:
-            n = min(chunk, n_samples - done)
+        while done < total:
+            n = min(chunk, total - done)
             states, tr = run_chains(setup, states, MCMCConfig(n), mesh)
             tr = np.asarray(tr)
-            traces = tr if traces is None else append_traces(traces, tr)
+            all_tr = tr if all_tr is None else append_traces(all_tr, tr)
             done += n
-            save_chain(db, traces, states,
-                       meta={'n_samples': done, 'burn': burn,
+            kept = all_tr[..., burn:, :] if done > burn else all_tr[..., :0, :]
+            save_chain(db, kept, states,
+                       meta={'n_samples': max(done - burn, 0), 'burn': burn,
                              'chains': args.chains})
-            if done < n_samples:
-                print('  checkpoint: {}/{} samples saved'.format(
-                    done, n_samples))
+            if done < total:
+                print('  checkpoint: {}/{} steps done'.format(done, total))
+        traces = all_tr[..., burn:, :]
         dt = time.time() - tic
-        print('Sampling finished: {:.1f} s ({:.3f} s/sample/chain, '
+        print('Sampling finished: {:.1f} s ({:.3f} s/step/chain, '
               '{:.0f} samples/hr total)'.format(
-                  dt, dt / n_samples, 3600.0 / dt * n_samples * args.chains))
+                  dt, dt / total, 3600.0 / dt * n_samples * args.chains))
         print('Saved to {}.npz'.format(db))
         _report(traces, setup)
     else:
