@@ -185,15 +185,25 @@ def main(argv=None):
         db, n_samples = args.resume[0], int(args.resume[1])
         print('Resuming from {}...'.format(db))
         old_traces, states, meta = load_chain(db, setup)
-        print('Sampling {} more steps...'.format(n_samples))
+        chunk = max(1, min(args.checkpoint_every, n_samples))
+        print('Sampling {} more steps (chunks of {})...'.format(
+            n_samples, chunk))
         tic = time.time()
-        states, traces = run_chains(setup, states, MCMCConfig(n_samples),
-                                    mesh)
-        traces = np.asarray(traces)
+        traces = old_traces
+        done = 0
+        while done < n_samples:
+            n = min(chunk, n_samples - done)
+            states, tr = run_chains(setup, states, MCMCConfig(n), mesh)
+            traces = append_traces(traces, np.asarray(tr))
+            done += n
+            meta = dict(meta or {})
+            meta['n_samples'] = int(traces.shape[-2])
+            save_chain(db, traces, states, meta=meta)
+            if done < n_samples:
+                print('  checkpoint: {}/{} steps done'.format(done,
+                                                              n_samples))
         dt = time.time() - tic
         print('Sampling finished: {:.1f} s'.format(dt))
-        traces = append_traces(old_traces, traces)
-        save_chain(db, traces, states, meta=meta)
         print('Saved to {}.npz ({} total samples/chain)'.format(
             db, traces.shape[-2]))
         _report(traces, setup)
