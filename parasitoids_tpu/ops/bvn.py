@@ -69,11 +69,14 @@ def gauss_legendre(n: int):
     return x, w
 
 
-def _upper_lowcorr(h, k, rho, G):
+def _upper_lowcorr(h, k, rho, G, phi_prod=None):
     """P(X > h, Y > k) for |ρ| ≤ 0.925: G-node Gauss–Legendre quadrature of
     the correlation integral (Drezner & Wesolowsky 1990).  ``h``/``k``
     arrays, ``rho`` scalar.  The integrand's exponent is ≤ 0 for every node
-    (|sin θ| ≤ |ρ| < 1), so ``exp`` never overflows."""
+    (|sin θ| ≤ |ρ| < 1), so ``exp`` never overflows.  ``phi_prod``
+    optionally supplies the independence term Φ(−h)Φ(−k) (callers with a
+    separable corner lattice compute it from two 1-D edge vectors instead
+    of a full-grid ``ndtr``)."""
     x_np, w_np = gauss_legendre(G)
     x = jnp.asarray(x_np, h.dtype)
     w = jnp.asarray(w_np, h.dtype)
@@ -83,7 +86,9 @@ def _upper_lowcorr(h, k, rho, G):
     sn = jnp.sin(asr * 0.5 * (1.0 + x))                       # (G,)
     expo = (sn * hk[..., None] - hs[..., None]) / (1.0 - sn * sn)
     total = jnp.sum(w * jnp.exp(expo), axis=-1)
-    return total * asr / (2.0 * _TWO_PI) + ndtr(-h) * ndtr(-k)
+    if phi_prod is None:
+        phi_prod = ndtr(-h) * ndtr(-k)
+    return total * asr / (2.0 * _TWO_PI) + phi_prod
 
 
 def _upper_highcorr(h, k, rho, G=20):
@@ -128,7 +133,7 @@ def _upper_highcorr(h, k, rho, G=20):
     return jnp.where(sgn > 0, pos, neg)
 
 
-def bvn_upper_grid(h, k, rho):
+def bvn_upper_grid(h, k, rho, phi_prod=None):
     """Upper-orthant probabilities P(X > hᵢ, Y > kⱼ) on a grid, standard
     bivariate normal with correlation ``rho`` (traced scalar).  Node count
     follows Genz's |ρ| thresholds via one executed ``lax.switch`` branch."""
@@ -138,9 +143,9 @@ def bvn_upper_grid(h, k, rho):
            + (ar >= 0.925).astype(jnp.int32))
     return lax.switch(
         idx,
-        [lambda _: _upper_lowcorr(h, k, rho, 6),
-         lambda _: _upper_lowcorr(h, k, rho, 12),
-         lambda _: _upper_lowcorr(h, k, rho, 20),
+        [lambda _: _upper_lowcorr(h, k, rho, 6, phi_prod),
+         lambda _: _upper_lowcorr(h, k, rho, 12, phi_prod),
+         lambda _: _upper_lowcorr(h, k, rho, 20, phi_prod),
          lambda _: _upper_highcorr(h, k, rho)],
         operand=None)
 
@@ -179,7 +184,10 @@ def bvn_cell_masses(mu, sig_x, sig_y, rho, cell, K, G=None):
     ye = ((K + 0.5 - jnp.arange(n + 1, dtype=dtype)) * cell - mu[1]) / sig_y
     H = jnp.broadcast_to(xe[:, None], (n + 1, n + 1))
     Kg = jnp.broadcast_to(ye[None, :], (n + 1, n + 1))
-    U = bvn_upper_grid(H, Kg, rho)            # [x_edge, y_edge]
+    # the independence term is separable on the corner lattice: two 1-D
+    # ndtr sweeps instead of 2(n+1)^2 full-grid evaluations
+    phi_prod = ndtr(-xe)[:, None] * ndtr(-ye)[None, :]
+    U = bvn_upper_grid(H, Kg, rho, phi_prod)  # [x_edge, y_edge]
 
     # cell (row i, col j): x ∈ [xe[j], xe[j+1]], y ∈ [ye[i+1], ye[i]]
     rect = (U[:-1, 1:] - U[1:, 1:]) - (U[:-1, :-1] - U[1:, :-1])

@@ -72,15 +72,15 @@ def test_basic_properties():
     K = 9
     assert cdf[K, K] == cdf.max()
     # symmetric for rho=0, mu=0
-    np.testing.assert_allclose(cdf, cdf.T, atol=1e-7)
-    np.testing.assert_allclose(cdf, cdf[::-1, ::-1], atol=1e-7)
+    np.testing.assert_allclose(cdf, cdf.T, atol=3e-7)
+    np.testing.assert_allclose(cdf, cdf[::-1, ::-1], atol=3e-7)
 
     # positive correlation: more mass in the (+x,+y) and (-x,-y) quadrants
     cdfr = np.asarray(bvn_cell_masses(jnp.zeros(2), 4.0, 4.0, 0.5, 2.0, 9))
     q_pp = cdfr[:K, K + 1:].sum()   # +y, +x
     q_pm = cdfr[:K, :K].sum()       # +y, -x
     assert q_pp > q_pm
-    np.testing.assert_allclose(cdfr, cdfr[::-1, ::-1], atol=1e-7)
+    np.testing.assert_allclose(cdfr, cdfr[::-1, ::-1], atol=3e-7)
 
 
 def test_mean_offset_moves_peak():
