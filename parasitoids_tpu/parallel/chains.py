@@ -65,17 +65,33 @@ def shard_chain_states(states, mesh):
     return jax.tree.map(put, states)
 
 
+# Per-device, chains advance through ``lax.map`` (sequential), NOT ``vmap``:
+# a chain-batched forward pass batches the BVN integrator's rho-dependent
+# ``lax.switch``, and a batched-predicate switch lowers to executing EVERY
+# branch with a select — measured 33x slower per chain than the scalar-rho
+# program.  Sequential chains per device cost exactly N x single-chain;
+# cross-device parallelism comes from ``shard_map`` over the mesh (each
+# device runs its local chains unbatched).
+
+
 @partial(jax.jit, static_argnames=('setup', 'cfg'))
 def _run_chains(setup, states, cfg):
-    return jax.vmap(lambda s: run_mcmc(setup, s, cfg))(states)
+    return jax.lax.map(lambda s: run_mcmc(setup, s, cfg), states)
 
 
 def run_chains(setup: BayesSetup, states, cfg: MCMCConfig, mesh=None):
     """Advance all chains; returns (states, traces (n_chains, n, dim)).
 
-    With a mesh, chain-sharded inputs keep the computation fully
-    data-parallel across devices.
+    With a mesh, the chain axis is sharded over devices (data-parallel);
+    within a device, local chains run sequentially (see note above).
     """
-    if mesh is not None:
-        states = shard_chain_states(states, mesh)
-    return _run_chains(setup, states, cfg)
+    if mesh is None:
+        return _run_chains(setup, states, cfg)
+    from jax.experimental.shard_map import shard_map
+
+    spec = P('chains')
+    f = shard_map(
+        lambda st: jax.lax.map(lambda s: run_mcmc(setup, s, cfg), st),
+        mesh=mesh, in_specs=spec, out_specs=spec, check_rep=False)
+    states = shard_chain_states(states, mesh)
+    return jax.jit(f)(states)

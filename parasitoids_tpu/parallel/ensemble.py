@@ -26,16 +26,32 @@ from ..bayes.sampler import _as_model
 __all__ = ['ensemble_projections', 'ensemble_fields']
 
 
+# Ensemble members run through ``lax.map``, not ``vmap``: a batched theta
+# axis batches the BVN integrator's rho ``lax.switch``, which then executes
+# every branch (measured 33x/member slowdown; see parallel/chains.py).
+# Cross-device parallelism comes from ``shard_map``; per-device members run
+# sequentially at full single-stream speed.
+
+
 @partial(jax.jit, static_argnames=('setup',))
 def _proj_batch(setup, thetas):
-    return jax.vmap(lambda th: setup.forward_projections(_as_model(th)))(
-        thetas)
+    return jax.lax.map(
+        lambda th: setup.forward_projections(_as_model(th)), thetas)
 
 
 def _shard(x, mesh):
     if mesh is None:
         return x
     return jax.device_put(x, NamedSharding(mesh, P(mesh.axis_names[0])))
+
+
+def _sharded_map(fn, thetas, mesh):
+    from jax.experimental.shard_map import shard_map
+
+    spec = P(mesh.axis_names[0])
+    f = shard_map(lambda th: jax.lax.map(fn, th), mesh=mesh,
+                  in_specs=spec, out_specs=spec, check_rep=False)
+    return jax.jit(f)(thetas)
 
 
 def ensemble_projections(setup: BayesSetup, thetas, mesh=None):
@@ -49,12 +65,15 @@ def ensemble_projections(setup: BayesSetup, thetas, mesh=None):
     Returns:
         (release, sentinel, grid) projection batches, leading axis B.
     """
-    thetas = _shard(jnp.asarray(thetas), mesh)
+    thetas = jnp.asarray(thetas)
+    if mesh is not None:
+        return _sharded_map(
+            lambda th: setup.forward_projections(_as_model(th)),
+            _shard(thetas, mesh), mesh)
     return _proj_batch(setup, thetas)
 
 
-@partial(jax.jit, static_argnames=('setup',))
-def _fields_batch(setup, thetas):
+def _fields_one(setup):
     from ..models.solver import propagate_pop
     from ..ops.daily_kernel import build_daily_kernel
     from jax import lax
@@ -77,12 +96,19 @@ def _fields_batch(setup, thetas):
         return propagate_pop(kernels, setup.r_dur, setup.r_number,
                              setup.dist_weights, s.scfg)
 
-    return jax.vmap(one)(thetas)
+    return one
+
+
+@partial(jax.jit, static_argnames=('setup',))
+def _fields_batch(setup, thetas):
+    return jax.lax.map(_fields_one(setup), thetas)
 
 
 def ensemble_fields(setup: BayesSetup, thetas, mesh=None):
     """Full per-day population fields for a batch of parameter vectors —
     (B, ndays, D, D).  Memory scales with B·ndays·D²; prefer
     :func:`ensemble_projections` unless the fields themselves are needed."""
-    thetas = _shard(jnp.asarray(thetas), mesh)
+    thetas = jnp.asarray(thetas)
+    if mesh is not None:
+        return _sharded_map(_fields_one(setup), _shard(thetas, mesh), mesh)
     return _fields_batch(setup, thetas)
