@@ -111,7 +111,10 @@ def run_nuts(args, setup):
     print('NUTS: {} chains, {} warmup + {} samples, max depth {}...'.format(
         args.chains, cfg.num_warmup, n_samples, cfg.max_depth))
     tic = time.time()
-    out = jax.vmap(lambda z, k: nuts_sample(logpdf, z, k, cfg))(z0s, keys)
+    # lax.map, not vmap: a chain-batched rho batches the BVN lax.switch,
+    # which then executes every branch (see parallel/chains.py)
+    out = jax.lax.map(lambda zk: nuts_sample(logpdf, zk[0], zk[1], cfg),
+                      (z0s, keys))
     samples = np.asarray(out['samples'])     # (chains, n, dim) z-space
     dt = time.time() - tic
     print('NUTS finished: {:.1f} s ({:.3f} s/sample/chain); accept {:.2f}, '
