@@ -1,0 +1,181 @@
+"""Posterior-predictive checks from a saved MCMC trace (L4/L5).
+
+No reference equivalent: the reference can only re-run ``Run.py`` per
+parameter set by hand.  Here draws from a saved trace run as a sharded
+ensemble of forward simulations (parallel/ensemble.py) and are compared
+to the observed field data on every channel:
+
+    python -m parasitoids_tpu.bayes.predictive runs/kalbar --draws 20
+
+writes ``<trace>_predictive.png`` — observed counts against the
+posterior-predictive distribution (thinned through the same observation
+model as the likelihood) for grid adults, release-field emergence and
+sentinel-field emergence.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .model import BayesSetup
+from .priors import MODEL_PARAM_NAMES, OBS_PARAM_NAMES
+
+__all__ = ['posterior_predictive', 'plot_predictive', 'main']
+
+
+def _mpl():
+    import matplotlib
+    if not os.environ.get('DISPLAY'):
+        matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    return plt
+
+
+def posterior_predictive(setup: BayesSetup, traces, n_draws=20, seed=0,
+                         mesh=None):
+    """Thinned-Poisson predictive samples for ``n_draws`` posterior draws.
+
+    Args:
+        setup: the BayesSetup the trace was sampled against.
+        traces: (n_chains, n_samples, dim) or (n_samples, dim) trace array
+            (model block + obs block [+ sentinel probs] + logpost).
+    Returns:
+        dict with 'grid', 'release', 'sentinel' — lists/arrays of Poisson
+        predictive draws with leading axis n_draws — plus the expected
+        rates under each draw.
+    """
+    from ..parallel.ensemble import ensemble_projections
+
+    traces = np.asarray(traces)
+    if traces.ndim == 2:
+        traces = traces[None]
+    flat = traces.reshape(-1, traces.shape[-1])
+    rng = np.random.default_rng(seed)
+    take = rng.choice(flat.shape[0], size=min(n_draws, flat.shape[0]),
+                      replace=False)
+    draws = flat[take]
+
+    n_m = len(MODEL_PARAM_NAMES)
+    n_o = len(OBS_PARAM_NAMES)
+    m_draws = draws[:, :n_m].astype(np.float32)
+    o_draws = draws[:, n_m:n_m + n_o + setup.n_sent].astype(np.float32)
+
+    rel, sent, grid = ensemble_projections(setup, m_draws, mesh=mesh)
+    grid = np.asarray(grid)                      # (B, n_grid, n_dates)
+
+    out = {'grid_rate': [], 'grid': [], 'release': [], 'sentinel': [],
+           'draw_rows': take}
+    gs = np.asarray(setup.grid_samples)
+    eff = [np.asarray(e) for e in setup.release_effort]
+    for b in range(m_draws.shape[0]):
+        xi, em_p, grid_p = o_draws[b, 0], o_draws[b, 1], o_draws[b, 2]
+        sent_p = o_draws[b, 4:4 + setup.n_sent]
+        g_rate = grid_p * gs * grid[b]
+        out['grid_rate'].append(g_rate)
+        out['grid'].append(rng.poisson(np.maximum(g_rate, 0.0)))
+        rel_b = [rng.poisson(np.maximum(
+            xi * np.asarray(rel[k][b]) * (eff[k] * em_p)[:, None], 0.0))
+            for k in range(len(rel))]
+        sent_b = [rng.poisson(np.maximum(
+            xi * np.asarray(sent[k][b]) * sent_p[:, None], 0.0))
+            for k in range(len(sent))]
+        out['release'].append(rel_b)
+        out['sentinel'].append(sent_b)
+    out['grid'] = np.stack(out['grid'])
+    out['grid_rate'] = np.stack(out['grid_rate'])
+    return out
+
+
+def plot_predictive(setup: BayesSetup, pred, outfile):
+    """Observed vs posterior-predictive distributions per channel."""
+    plt = _mpl()
+    fig, axes = plt.subplots(1, 3, figsize=(15, 4))
+
+    # grid adults: total count per observation day
+    g_tot = pred['grid'].sum(axis=1)             # (B, n_dates)
+    obs_tot = np.asarray(setup.obs_grid).sum(axis=0)
+    x = np.arange(g_tot.shape[1])
+    axes[0].violinplot([g_tot[:, d] for d in range(g_tot.shape[1])],
+                       positions=x, widths=0.7)
+    axes[0].plot(x, obs_tot, 'k_', markersize=20, label='observed')
+    axes[0].set_title('grid adult totals per obs day')
+    axes[0].set_xlabel('observation day')
+    axes[0].legend()
+
+    # release-field emergence totals per collection
+    r_tot = np.array([[rb.sum() for rb in draw] for draw in pred['release']])
+    obs_r = [np.asarray(o).sum() for o in setup.obs_release]
+    axes[1].violinplot([r_tot[:, k] for k in range(r_tot.shape[1])],
+                       positions=np.arange(r_tot.shape[1]), widths=0.7)
+    axes[1].plot(np.arange(len(obs_r)), obs_r, 'k_', markersize=20,
+                 label='observed')
+    axes[1].set_title('release-field emergence totals')
+    axes[1].set_xlabel('collection')
+    axes[1].legend()
+
+    # sentinel emergence totals per field
+    s_tot = np.stack([np.concatenate(
+        [sb.sum(axis=1) for sb in draw]) for draw in pred['sentinel']])
+    obs_s = np.concatenate(
+        [np.asarray(o).sum(axis=1) for o in setup.obs_sentinel])
+    xs = np.arange(s_tot.shape[1])
+    axes[2].violinplot([s_tot[:, i] for i in xs], positions=xs, widths=0.7)
+    axes[2].plot(xs, obs_s, 'k_', markersize=20, label='observed')
+    axes[2].set_title('sentinel emergence totals per field')
+    axes[2].set_xlabel('sentinel field')
+    axes[2].legend()
+
+    fig.suptitle('posterior predictive ({} draws) vs observed'.format(
+        pred['grid'].shape[0]))
+    fig.tight_layout()
+    fig.savefig(outfile, dpi=130)
+    plt.close(fig)
+    return outfile
+
+
+def main(argv=None):
+    import argparse
+
+    import jax
+
+    from ..config import Params
+    from ..utils.cache import enable_compilation_cache
+
+    ap = argparse.ArgumentParser(prog='parasitoids_tpu.bayes.predictive')
+    ap.add_argument('trace', help='saved MCMC trace (npz path)')
+    ap.add_argument('--draws', type=int, default=20)
+    ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('overrides', nargs='*',
+                    help='key=value Params overrides matching the run')
+    args = ap.parse_args(argv)
+    enable_compilation_cache()
+
+    params = Params()
+    params.cmd_line_chg(['--kalbar'])
+    params.PLOT = False
+    params.OUTPUT = False
+    params.PROB_MODEL = False
+    params.domain_info = (10000.0, 400)
+    for ov in args.overrides:
+        if '=' in ov:
+            k, _, v = ov.partition('=')
+            params.chg_param(k, v)
+    setup = BayesSetup(params)
+
+    path = args.trace if args.trace.endswith('.npz') else args.trace + '.npz'
+    with np.load(path) as npz:
+        traces = npz['traces']
+    mesh = None
+    if len(jax.devices()) > 1:
+        from ..parallel.chains import chain_mesh
+        mesh = chain_mesh()
+    pred = posterior_predictive(setup, traces, n_draws=args.draws,
+                                seed=args.seed, mesh=mesh)
+    out = path[:-4] + '_predictive.png'
+    print('wrote', plot_predictive(setup, pred, out))
+
+
+if __name__ == '__main__':
+    main()

@@ -155,3 +155,26 @@ def test_nuts_climbs_and_mixes(synth):
     lp_best = float(setup.log_posterior(_as_model(m_vec),
                                         _as_obs(o_vec, setup.n_sent)))
     assert lp_best > lp_true - 30.0, (lp_best, lp_true)
+
+
+def test_posterior_predictive(synth, tmp_path):
+    """Predictive machinery on a short real trace: shapes, nonnegativity,
+    artifact written."""
+    from parasitoids_tpu.bayes.predictive import (posterior_predictive,
+                                                  plot_predictive)
+    from parasitoids_tpu.bayes.sampler import (MCMCConfig, init_chain_state,
+                                               run_mcmc)
+    setup, m_true, o_true = synth
+    state = init_chain_state(setup, random.PRNGKey(5),
+                             o0=np.asarray(o_true))
+    _, traces = run_mcmc(setup, state, MCMCConfig(n_samples=30))
+
+    pred = posterior_predictive(setup, np.asarray(traces), n_draws=5)
+    assert pred['grid'].shape[0] == 5
+    assert pred['grid'].shape[1:] == np.asarray(setup.obs_grid).shape
+    assert (pred['grid'] >= 0).all()
+    assert len(pred['release']) == 5 and len(pred['sentinel']) == 5
+
+    out = plot_predictive(setup, pred, str(tmp_path / 'pred.png'))
+    import os
+    assert os.path.exists(out) and os.path.getsize(out) > 0
