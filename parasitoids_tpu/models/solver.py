@@ -69,12 +69,24 @@ def next_fast_len(n: int) -> int:
 
 class SolverConfig(NamedTuple):
     dom_len: int     # D = 2*rad_res + 1
-    fft_len: int     # P >= 2D - 1 for alias-free daily convolution
+    fft_len: int     # P >= D + rad_res for alias-free daily convolution
 
     @classmethod
     def for_domain(cls, rad_res: int):
+        """Alias-free transform size for the daily chain.
+
+        The signal is always domain-limited (the absorbing boundary truncates
+        it to D x D every day) and every daily kernel is a *centered* D x D
+        array, so its support radius is at most ``rad_res`` by construction.
+        Output cells [0, D)^2 then alias only if P < D + rad_res: a wrapped
+        contribution needs |true_lag - P| <= rad_res with |true_lag| < D.
+        P >= D + rad_res is therefore exact — wrapped mass can land only in
+        the discarded pad region.  (The reference pads to signal + kernel/2,
+        CalcSol.py:20-21, from the *trimmed* kernel — data dependent; this
+        bound is static and never aliases.)
+        """
         D = 2 * rad_res + 1
-        return cls(dom_len=D, fft_len=next_fast_len(2 * D - 1))
+        return cls(dom_len=D, fft_len=next_fast_len(D + rad_res))
 
 
 def signal_fft(field, P):
@@ -122,14 +134,18 @@ def propagate_prob(kernels, config: SolverConfig):
         with removed mass redistributed (prob-model ``r_small_vals``).
     """
     D, P = config.dom_len, config.fft_len
+    # all daily filter transforms as ONE batched FFT before the scan — a
+    # third of the chain's transforms, at much better MXU/VPU utilization
+    # than one small FFT per sequential scan step
+    k_hat = filter_fft(kernels[1:], P)
 
-    def step(dom, kernel):
-        full = _irfft(signal_fft(dom, P) * filter_fft(kernel, P), P)
+    def step(dom, kh):
+        full = _irfft(signal_fft(dom, P) * kh, P)
         dom_next = full[:D, :D]
         out = r_small_vals_dense(dom_next, prob_model=True)
         return dom_next, out
 
-    _, rest = lax.scan(step, kernels[0], kernels[1:])
+    _, rest = lax.scan(step, kernels[0], k_hat)
     return jnp.concatenate([kernels[:1], rest], axis=0)
 
 
@@ -224,9 +240,9 @@ def propagate_pop(kernels, r_dur: int, r_number, dist_weights,
                                   axis=0)[::-1]
                       if r_dur > 1 else None)            # (r_dur-1, P, Ph)
 
-    def step(dom, kernel):
+    def step(dom, kh):
         z = signal_fft(dom, P)
-        full = _irfft(z * filter_fft(kernel, P), P)
+        full = _irfft(z * kh, P)
         dom_next = full[:D, :D]
         if r_dur == 1:
             pop = thresh(dom_next * (dist_weights[0] * r_number))
@@ -240,7 +256,8 @@ def propagate_pop(kernels, r_dur: int, r_number, dist_weights,
         return dom_next, pop
 
     if ndays > r_dur:
-        _, post = lax.scan(step, last_dom, kernels[r_dur:])
+        # batched filter transforms for the post-release chain (one FFT op)
+        _, post = lax.scan(step, last_dom, filter_fft(kernels[r_dur:], P))
         out = jnp.concatenate([jnp.stack(out), post], axis=0)
     else:
         out = jnp.stack(out)

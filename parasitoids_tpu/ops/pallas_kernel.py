@@ -55,14 +55,34 @@ def pallas_available() -> bool:
         return False
 
 
+def _erf(x):
+    """Polynomial erf (Abramowitz-Stegun 7.1.26, |abs err| <= 1.5e-7 — at
+    f32 resolution).  Mosaic has no erf primitive, so the kernel carries its
+    own; exp/mul/select all lower."""
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+             - 0.284496736) * t + 0.254829592) * t
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.where(x < 0, -y, y)
+
+
 def _ndtr(x):
-    return 0.5 * lax.erf(x / _SQRT2) + 0.5
+    return 0.5 * _erf(x / _SQRT2) + 0.5
 
 
-def _day_kernel(params_ref, quad_ref, h_ref, mu_ref, idx_ref, clip_ref,
-                buf_ref, loss_ref, *, K, G, dtype):
-    """One grid step = one flight minute (corner-CDF block build)."""
+def _day_kernel(params_ref, quad_ref, h_ref, mux_ref, muy_ref, idxr_ref,
+                idxc_ref, clip_ref, buf_ref, loss_ref, *, K, G, H, W, dtype):
+    """One grid step = one flight minute (corner-CDF block build).
+
+    Mosaic only allows dynamic VMEM stores at tile-aligned starts (multiples
+    of 8 sublanes x 128 lanes for f32), so the scatter start (r0, c0) is
+    split into an aligned tile origin plus an in-tile offset (dr, dc); the
+    block is built on the compact (2K+2)^2 corner lattice, zero-padded to an
+    (H, W) tile, dynamically rotated into place with ``pltpu.roll`` (H and W
+    are sized so neither rotate wraps), and added at the aligned origin."""
     import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     t = pl.program_id(0)
     n = 2 * K + 1
@@ -75,17 +95,24 @@ def _day_kernel(params_ref, quad_ref, h_ref, mu_ref, idx_ref, clip_ref,
     sig_x = params_ref[0]
     sig_y = params_ref[1]
     cell = params_ref[2]
-    mux = mu_ref[t, 0]
-    muy = mu_ref[t, 1]
+    mux = mux_ref[t]
+    muy = muy_ref[t]
     h_t = h_ref[t]
     clip_t = clip_ref[t]
 
+    r0 = idxr_ref[t]
+    c0 = idxc_ref[t]
+    r0a = pl.multiple_of((r0 // 8) * 8, 8)
+    c0a = pl.multiple_of((c0 // 128) * 128, 128)
+    dr = r0 - r0a                                           # in [0, 8)
+    dc = c0 - c0a                                           # in [0, 128)
+
     # standardized corner coordinates (x ascending with column index,
     # y descending with row index — ops/bvn.py orientation)
-    col = lax.broadcasted_iota(jnp.int32, (n + 1, 1), 0).astype(dtype)
-    row = lax.broadcasted_iota(jnp.int32, (1, n + 1), 1).astype(dtype)
-    xe = ((col - (K + 0.5)) * cell - mux) / sig_x          # (n+1, 1)
-    ye = (((K + 0.5) - row) * cell - muy) / sig_y          # (1, n+1)
+    col = lax.broadcasted_iota(jnp.int32, (1, n + 1), 1).astype(dtype)
+    row = lax.broadcasted_iota(jnp.int32, (n + 1, 1), 0).astype(dtype)
+    xe = ((col - (K + 0.5)) * cell - mux) / sig_x           # (1, n+1)
+    ye = (((K + 0.5) - row) * cell - muy) / sig_y           # (n+1, 1)
 
     hk = xe * ye                                            # (n+1, n+1)
     hs = 0.5 * (xe * xe + ye * ye)
@@ -101,17 +128,21 @@ def _day_kernel(params_ref, quad_ref, h_ref, mu_ref, idx_ref, clip_ref,
     U = U + _ndtr(-xe) * _ndtr(-ye)
 
     # four-corner differences -> cell masses [row, col]
-    Ux = U[:-1, :] - U[1:, :]                               # (n, n+1)
-    rect = Ux[:, 1:] - Ux[:, :-1]                           # (n, n) [x, y]
-    block = jnp.maximum(rect.T, 0.0)                        # [row, col]
+    # (y descends with row index, so the low-y corner is at row+1)
+    rect = ((U[1:, :-1] - U[1:, 1:]) - (U[:-1, :-1] - U[:-1, 1:]))
+    block = jnp.maximum(rect, 0.0)                          # (n, n)
 
     bsum = jnp.sum(block)
     loss_ref[0, 0] += clip_t * h_t * (1.0 - bsum)
 
-    r0 = idx_ref[t, 0]
-    c0 = idx_ref[t, 1]
-    cur = buf_ref[pl.ds(r0, n), pl.ds(c0, n)]
-    buf_ref[pl.ds(r0, n), pl.ds(c0, n)] = cur + h_t * block
+    # place at the in-tile offset: static zero-pad to (H, W), then two
+    # dynamic rotates (no wrap: n + 7 <= H, n + 127 <= W by construction)
+    padded = lax.pad(h_t * block, jnp.asarray(0.0, dtype),
+                     ((0, H - n, 0), (0, W - n, 0)))        # (H, W)
+    placed = pltpu.roll(pltpu.roll(padded, dc, 1), dr, 0)
+
+    cur = buf_ref[pl.ds(r0a, H), pl.ds(c0a, W)]
+    buf_ref[pl.ds(r0a, H), pl.ds(c0a, W)] = cur + placed
 
 
 @partial(jax.jit,
@@ -137,14 +168,29 @@ def pallas_accumulate_day(h_scat, cdf_mu, idx, clipped, Dparams, cell,
         interpret: run in Pallas interpret mode (tests off-TPU).
 
     Returns:
-        (buf, loss_corr): (buf_len, buf_len) accumulated buffer and the
-        scalar clipped-block truncation loss  sum_t clip_t h_t (1 - bsum_t).
+        (buf, loss_corr): accumulated buffer — at least (buf_len, buf_len),
+        with a tile-alignment apron on the bottom/right that receives only
+        off-domain (pad) mass — and the scalar clipped-block truncation loss
+        sum_t clip_t h_t (1 - bsum_t).  Callers slice the domain out of the
+        top-left and may sum the *whole* buffer for pad-mass accounting.
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     dtype = h_scat.dtype
     T = h_scat.shape[0]
+    n = 2 * K + 1
+    # in-tile block placement (see _day_kernel): tile height covers n plus a
+    # sublane offset < 8; width covers n plus a lane offset < 128
+    H = -(-(n + 7) // 8) * 8
+    W = -(-(n + 127) // 128) * 128
+    # buffer large enough that every aligned tile start fits: max scatter
+    # start is buf_len - n (CLIP guarantee), aligned down, plus the tile
+    max_start = buf_len - n
+    buf_rows = (max_start // 8) * 8 + H
+    buf_cols = (max_start // 128) * 128 + W
+    buf_rows = max(buf_rows, buf_len)
+    buf_cols = max(buf_cols, buf_len)
     sig_x, sig_y, rho = Dparams
     sig_x = jnp.maximum(jnp.asarray(sig_x, dtype), 1e-8)
     sig_y = jnp.maximum(jnp.asarray(sig_y, dtype), 1e-8)
@@ -164,16 +210,20 @@ def pallas_accumulate_day(h_scat, cdf_mu, idx, clipped, Dparams, cell,
     inv = 1.0 / (1.0 - sn * sn)
     quad = jnp.stack([sn, wfac, inv])                       # (3, Gq)
 
-    kernel = partial(_day_kernel, K=K, G=Gq, dtype=dtype)
+    kernel = partial(_day_kernel, K=K, G=Gq, H=H, W=W, dtype=dtype)
     buf, loss = pl.pallas_call(
         kernel,
         grid=(T,),
         in_specs=[
+            # 1-D SMEM arrays only: a 2-D (T, 2) SMEM window is padded
+            # per-row to ~512 B and blows the 1 MB SMEM budget
             pl.BlockSpec(memory_space=pltpu.SMEM),       # params (3,)
             pl.BlockSpec(memory_space=pltpu.SMEM),       # quad (3, Gq)
             pl.BlockSpec(memory_space=pltpu.SMEM),       # h (T,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),       # mu (T,2)
-            pl.BlockSpec(memory_space=pltpu.SMEM),       # idx (T,2)
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # mu_x (T,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # mu_y (T,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # idx_r (T,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # idx_c (T,)
             pl.BlockSpec(memory_space=pltpu.SMEM),       # clipped (T,)
         ],
         out_specs=(
@@ -181,9 +231,10 @@ def pallas_accumulate_day(h_scat, cdf_mu, idx, clipped, Dparams, cell,
             pl.BlockSpec(memory_space=pltpu.SMEM),       # loss (1,1)
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((buf_len, buf_len), dtype),
+            jax.ShapeDtypeStruct((buf_rows, buf_cols), dtype),
             jax.ShapeDtypeStruct((1, 1), dtype),
         ),
         interpret=interpret,
-    )(params, quad, h_scat, cdf_mu, idx, clipped)
+    )(params, quad, h_scat, cdf_mu[:, 0], cdf_mu[:, 1],
+      idx[:, 0], idx[:, 1], clipped)
     return buf, loss[0, 0]
