@@ -51,19 +51,19 @@ __all__ = ['SolverConfig', 'signal_fft', 'filter_fft', 'fft_conv_once',
 
 
 def next_fast_len(n: int) -> int:
-    """Smallest 5-smooth integer >= n (efficient XLA FFT size)."""
+    """Smallest integer >= n of the form 2^k, 3*2^k or 5*2^k.
+
+    XLA's TPU FFT is strongly radix-2: measured on v5e at ~1.2-2k points,
+    mostly-power-of-two sizes run 2-5x faster *per point* than general
+    5-smooth sizes (1280 = 2^8*5: 21.5 ms for the 18-day chain vs
+    1215 = 3^5*5: 98.7 ms), so only one odd factor (3 or 5) is allowed."""
     best = 1 << (n - 1).bit_length()
-    p5 = 1
-    while p5 < 2 * n:
-        p3 = p5
-        while p3 < 2 * n:
-            p2 = p3
-            while p2 < n:
-                p2 *= 2
-            if p2 < best:
-                best = p2
-            p3 *= 3
-        p5 *= 5
+    for odd in (3, 5):
+        p = odd
+        while p < n:
+            p *= 2
+        if p < best:
+            best = p
     return best
 
 
