@@ -96,6 +96,45 @@ def _advection_means(wind_flat, wind_cumsum, day_idx, n_periods, periods,
     return mu_v * scale
 
 
+@partial(jax.jit, static_argnames=('K', 'G', 'buf_len', 'chunk'))
+def xla_accumulate_day(h_scat, cdf_mu, idx, clipped, Dparams, cell,
+                       K: int, G: int, buf_len: int, chunk: int = 240):
+    """Accumulate all per-minute BVN blocks of one day (XLA path): chunked
+    ``vmap`` block build + ``lax.scatter_add`` with CLIP mode.  Same
+    contract as ``ops.pallas_kernel.pallas_accumulate_day`` (which uses this
+    function as its backward rule): returns the (buf_len, buf_len) buffer
+    and the clipped-block truncation loss  sum_t clip_t h_t (1 - bsum_t)."""
+    dtype = h_scat.dtype
+    T = h_scat.shape[0]
+    sig_x, sig_y, rho = Dparams
+    build_block = jax.vmap(
+        lambda mu: bvn_cell_masses(mu, sig_x, sig_y, rho, cell, K, G))
+
+    C = min(chunk, T)
+    n_chunks = -(-T // C)
+    pad = n_chunks * C - T
+    h_p = jnp.pad(h_scat, (0, pad))
+    mu_p = jnp.pad(cdf_mu, ((0, pad), (0, 0)))
+    idx_p = jnp.pad(idx, ((0, pad), (0, 0)))   # (0,0) is in-bounds, h=0
+    cl_p = jnp.pad(clipped, (0, pad))
+
+    def chunk_step(buf, args):
+        h_c, mu_c, idx_c, cl_c = args
+        blocks = build_block(mu_c)                   # (C, 2K+1, 2K+1)
+        b_total = blocks.sum(axis=(1, 2))
+        buf = lax.scatter_add(buf, idx_c, blocks * h_c[:, None, None],
+                              _SCATTER_DNUMS,
+                              mode=lax.GatherScatterMode.CLIP)
+        return buf, jnp.sum(cl_c * h_c * (1.0 - b_total))
+
+    buf0 = jnp.zeros((buf_len, buf_len), dtype)
+    buf, losses = lax.scan(
+        chunk_step, buf0,
+        (h_p.reshape(n_chunks, C), mu_p.reshape(n_chunks, C, 2),
+         idx_p.reshape(n_chunks, C, 2), cl_p.reshape(n_chunks, C)))
+    return buf, losses.sum()
+
+
 @partial(jax.jit, static_argnames=('config',))
 def build_daily_kernel(wind_flat, wind_cumsum, day_idx, hparams, Dparams,
                        Dlparams, mu_r, n_periods, rad_dist, start_idx,
@@ -161,45 +200,21 @@ def build_daily_kernel(wind_flat, wind_cumsum, day_idx, hparams, Dparams,
         [jnp.where(outside, rad_res, rad_res + K + row_off),
          jnp.where(outside, rad_res, rad_res + K + col_off)], axis=1)
 
-    sig_x, sig_y, rho = Dparams
-    build_block = jax.vmap(
-        lambda m: bvn_cell_masses(m, sig_x, sig_y, rho, cell, K, G))
-
     # --- accumulation into the padded domain buffer ---------------------
     h_scat = jnp.where(outside, 0.0, h_eff)   # fully-outside blocks add 0
+    clip_f = clipped.astype(dtype)
 
     if config.pallas:
-        # fused on-chip build+accumulate (ops/pallas_kernel.py)
+        # fused on-chip build+accumulate (ops/pallas_kernel.py); its
+        # backward rule recomputes through the XLA path below
         from .pallas_kernel import pallas_accumulate_day
         buf, clip_loss = pallas_accumulate_day(
-            h_scat, cdf_mu, idx, clipped.astype(dtype), Dparams, cell,
-            K, G, D + 4 * K, interpret=config.interpret)
+            h_scat, cdf_mu, idx, clip_f, Dparams, cell,
+            K, G, D + 4 * K, config.interpret)
     else:
-        C = min(config.chunk, T)
-        n_chunks = -(-T // C)
-        Tp = n_chunks * C
-        pad = Tp - T
-        h_p = jnp.pad(h_scat, (0, pad))
-        mu_p = jnp.pad(cdf_mu, ((0, pad), (0, 0)))
-        idx_p = jnp.pad(idx, ((0, pad), (0, 0)),
-                        constant_values=rad_res)  # harmless in-bounds spot
-
-        def chunk_step(buf, args):
-            h_c, mu_c, idx_c = args
-            blocks = build_block(mu_c)                   # (C, K2, K2)
-            b_total = blocks.sum(axis=(1, 2))
-            blocks = blocks * h_c[:, None, None]
-            buf = lax.scatter_add(buf, idx_c, blocks, _SCATTER_DNUMS,
-                                  mode=lax.GatherScatterMode.CLIP)
-            return buf, b_total
-
-        buf0 = jnp.zeros((D + 4 * K, D + 4 * K), dtype)
-        buf, b_tot = lax.scan(
-            chunk_step, buf0,
-            (h_p.reshape(n_chunks, C), mu_p.reshape(n_chunks, C, 2),
-             idx_p.reshape(n_chunks, C, 2)))
-        b_total = b_tot.reshape(Tp)[:T]
-        clip_loss = jnp.sum(jnp.where(clipped, h_eff * (1.0 - b_total), 0.0))
+        buf, clip_loss = xla_accumulate_day(
+            h_scat, cdf_mu, idx, clip_f, Dparams, cell,
+            K, G, D + 4 * K, chunk=min(config.chunk, T))
 
     pmf = buf[2 * K:2 * K + D, 2 * K:2 * K + D]
     pad_mass = buf.sum() - pmf.sum()

@@ -147,9 +147,9 @@ def _day_kernel(params_ref, quad_ref, h_ref, mux_ref, muy_ref, idxr_ref,
 
 @partial(jax.jit,
          static_argnames=('K', 'G', 'buf_len', 'interpret'))
-def pallas_accumulate_day(h_scat, cdf_mu, idx, clipped, Dparams, cell,
-                          K: int, G: int, buf_len: int,
-                          interpret: bool = False):
+def _accumulate_impl(h_scat, cdf_mu, idx, clipped, Dparams, cell,
+                     K: int, G: int, buf_len: int,
+                     interpret: bool = False):
     """Accumulate all per-minute BVN blocks of one day into a padded buffer.
 
     Args:
@@ -168,11 +168,8 @@ def pallas_accumulate_day(h_scat, cdf_mu, idx, clipped, Dparams, cell,
         interpret: run in Pallas interpret mode (tests off-TPU).
 
     Returns:
-        (buf, loss_corr): accumulated buffer — at least (buf_len, buf_len),
-        with a tile-alignment apron on the bottom/right that receives only
-        off-domain (pad) mass — and the scalar clipped-block truncation loss
-        sum_t clip_t h_t (1 - bsum_t).  Callers slice the domain out of the
-        top-left and may sum the *whole* buffer for pad-mass accounting.
+        (buf, loss_corr): the (buf_len, buf_len) accumulated buffer and the
+        scalar clipped-block truncation loss  sum_t clip_t h_t (1 - bsum_t).
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -237,4 +234,43 @@ def pallas_accumulate_day(h_scat, cdf_mu, idx, clipped, Dparams, cell,
         interpret=interpret,
     )(params, quad, h_scat, cdf_mu[:, 0], cdf_mu[:, 1],
       idx[:, 0], idx[:, 1], clipped)
-    return buf, loss[0, 0]
+    # the tile-alignment apron is provably zero (every block start satisfies
+    # idx <= buf_len - (2K+1)); slice it off so the contract — and the
+    # XLA-path backward rule — sees the same (buf_len, buf_len) shape
+    return buf[:buf_len, :buf_len], loss[0, 0]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def pallas_accumulate_day(h_scat, cdf_mu, idx, clipped, Dparams, cell,
+                          K: int, G: int, buf_len: int,
+                          interpret: bool = False):
+    """Fused Pallas day accumulation (see ``_accumulate_impl``) with a
+    custom VJP: Mosaic kernels have no autodiff, so the backward pass
+    recomputes through the mathematically-identical XLA scatter path
+    (``ops.daily_kernel.xla_accumulate_day``) — gradient users (MAP, NUTS)
+    keep the fast Pallas primal."""
+    return _accumulate_impl(h_scat, cdf_mu, idx, clipped, Dparams, cell,
+                            K, G, buf_len, interpret)
+
+
+def _accumulate_fwd(h_scat, cdf_mu, idx, clipped, Dparams, cell,
+                    K, G, buf_len, interpret):
+    out = _accumulate_impl(h_scat, cdf_mu, idx, clipped, Dparams, cell,
+                           K, G, buf_len, interpret)
+    return out, (h_scat, cdf_mu, idx, clipped, Dparams, cell)
+
+
+def _accumulate_bwd(K, G, buf_len, interpret, res, ct):
+    h_scat, cdf_mu, idx, clipped, Dparams, cell = res
+    from .daily_kernel import xla_accumulate_day
+
+    def f(h, mu, cl, Dp, c):
+        return xla_accumulate_day(h, mu, idx, cl, Dp, c, K, G, buf_len)
+
+    _, vjp = jax.vjp(f, h_scat, cdf_mu, clipped, Dparams, cell)
+    dh, dmu, dcl, dD, dc = vjp(ct)
+    didx = np.zeros(idx.shape, jax.dtypes.float0)   # integer arg
+    return dh, dmu, didx, dcl, dD, dc
+
+
+pallas_accumulate_day.defvjp(_accumulate_fwd, _accumulate_bwd)

@@ -49,3 +49,38 @@ def test_pallas_matches_xla_path(day_idx, start):
                                atol=2e-6)
     np.testing.assert_allclose(float(loss_p), float(loss_x), atol=2e-6)
     np.testing.assert_allclose(float(pmf_p.sum()), 1.0, atol=1e-4)
+
+def test_pallas_gradient_matches_xla_path():
+    """The Pallas op's custom VJP recomputes through the XLA path — gradient
+    users (MAP autodiff, NUTS) must get identical derivatives from both
+    KernelConfig variants."""
+    import jax
+
+    flat, cumsum, T = _wind_setup()
+    # shrink the wind so advection stays on-domain (off-domain blocks have
+    # zero gradient and would make this test vacuous)
+    flat = flat * 1e-3
+    cumsum = cumsum * 1e-3
+    interpret = jax.default_backend() != 'tpu'
+    base = dict(rad_res=30, periods=T, K=6, K_local=3, G=8)
+    cfg_x = KernelConfig(**base)
+    cfg_p = KernelConfig(**base, pallas=True, interpret=interpret)
+
+    hparams = tuple(np.float32(v)
+                    for v in (1.0, 1.8, 6.0, 7.0, 2.0, 19.0, 2.0))
+    weights = jnp.arange(61.0)[None, :] ** 2
+
+    def objective(mu_r, sig_x, cfg):
+        pmf, loss = build_daily_kernel(
+            flat, cumsum, jnp.int32(1), hparams, (sig_x, 10.6, 0.3),
+            (5.8, 5.0, 0.1), mu_r, jnp.int32(10), jnp.float32(500.0),
+            jnp.int32(0), cfg)
+        return (pmf * weights).sum() + loss
+
+    g_p = jax.grad(objective, argnums=(0, 1))(
+        jnp.float32(1.1), jnp.float32(21.1), cfg_p)
+    g_x = jax.grad(objective, argnums=(0, 1))(
+        jnp.float32(1.1), jnp.float32(21.1), cfg_x)
+    for a, b in zip(g_p, g_x):
+        assert float(b) != 0.0
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
