@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax, random
 
-__all__ = ['NUTSConfig', 'nuts_sample', 'make_transformed_logpdf']
+__all__ = ['NUTSConfig', 'nuts_sample', 'nuts_sample_stepwise',
+           'make_transformed_logpdf']
 
 
 class NUTSConfig(NamedTuple):
@@ -264,6 +265,76 @@ def _nuts_step(lpg, inv_mass, step_size, max_depth, z, lp, grad, key):
 # adaptation + driver
 # ---------------------------------------------------------------------------
 
+def _warm_windows(config: NUTSConfig):
+    w1 = max(1, int(config.num_warmup * 0.25))   # step-size only
+    w2 = max(w1 + 1, int(config.num_warmup * 0.75))  # + Welford window
+    return w1, w2
+
+
+def _warmup_init(lpg, z0, key, config: NUTSConfig):
+    dtype = z0.dtype
+    dim = z0.shape[0]
+    lp0, grad0 = lpg(z0)
+    eps0 = jnp.asarray(config.init_step_size, dtype)
+    key, kw = random.split(key)
+    return (z0, lp0, grad0, kw, jnp.log(eps0), jnp.log(eps0),
+            jnp.asarray(0.0, dtype), jnp.ones(dim, dtype),
+            jnp.asarray(0.0, dtype), jnp.zeros(dim, dtype),
+            jnp.zeros(dim, dtype))
+
+
+def _warm_step(lpg, config: NUTSConfig, carry, i):
+    """One warmup transition + dual-averaging / Welford adaptation update."""
+    z, lp, grad, key, log_eps, log_eps_bar, h_bar, inv_mass, \
+        wf_n, wf_mean, wf_m2 = carry
+    dtype = z.dtype
+    w1, w2 = _warm_windows(config)
+    mu = jnp.log(10.0 * jnp.asarray(config.init_step_size, dtype))
+    kappa, gamma, t0 = 0.75, 0.05, 10.0
+
+    key, k = random.split(key)
+    step_size = jnp.exp(jnp.clip(log_eps, -12.0, 4.0))
+    z, lp, grad, astat, _, _ = _nuts_step(
+        lpg, inv_mass, step_size, config.max_depth, z, lp, grad, k)
+
+    # dual averaging (Hoffman & Gelman sec 3.2)
+    t = i.astype(dtype) + 1.0
+    h_bar = ((1 - 1 / (t + t0)) * h_bar +
+             (config.target_accept - astat) / (t + t0))
+    log_eps = mu - jnp.sqrt(t) / gamma * h_bar
+    eta = t ** (-kappa)
+    log_eps_bar = eta * log_eps + (1 - eta) * log_eps_bar
+
+    # Welford over the middle window
+    in_win = jnp.where((i >= w1) & (i < w2), 1.0, 0.0).astype(dtype)
+    wf_n2 = wf_n + in_win
+    delta = z - wf_mean
+    wf_mean = wf_mean + in_win * delta / jnp.maximum(wf_n2, 1.0)
+    wf_m2 = wf_m2 + in_win * delta * (z - wf_mean)
+    # at window close, switch to the estimated diagonal metric
+    close = (i == w2 - 1) & (wf_n2 > 2)
+    var = wf_m2 / jnp.maximum(wf_n2 - 1.0, 1.0)
+    var = jnp.where(var > 1e-10, var, 1.0)
+    inv_mass = jnp.where(close, var, inv_mass)
+    return (z, lp, grad, key, log_eps, log_eps_bar, h_bar, inv_mass,
+            wf_n2, wf_mean, wf_m2)
+
+
+def _warmup_final(carry):
+    """(z, lp, grad, key, step_size, inv_mass) after warmup."""
+    z, lp, grad, key, _, log_eps_bar, _, inv_mass, *_ = carry
+    return z, lp, grad, key, jnp.exp(jnp.clip(log_eps_bar, -12.0, 4.0)), \
+        inv_mass
+
+
+def _draw_step(lpg, config: NUTSConfig, step_size, inv_mass, carry):
+    z, lp, grad, key = carry
+    key, k = random.split(key)
+    z, lp, grad, astat, _, div = _nuts_step(
+        lpg, inv_mass, step_size, config.max_depth, z, lp, grad, k)
+    return (z, lp, grad, key), (z, lp, astat, div)
+
+
 @partial(jax.jit, static_argnames=('logpdf', 'config'))
 def nuts_sample(logpdf, z0, key, config: NUTSConfig):
     """Run warmup + sampling from ``z0``.  Returns a dict of device arrays:
@@ -272,74 +343,98 @@ def nuts_sample(logpdf, z0, key, config: NUTSConfig):
 
     ``logpdf`` must be a jax-traceable callable (hashable; use a top-level
     function or functools.partial).  Chains can be vmapped over ``z0``/``key``
-    by the caller.
+    by the caller.  The whole run is ONE device program; for hosted/tunneled
+    devices that bound single-execution runtime, use
+    :func:`nuts_sample_stepwise` instead (identical math, one program per
+    transition).
     """
     z0 = jnp.asarray(z0)
-    dtype = z0.dtype
-    dim = z0.shape[0]
 
     def lpg(z):
         return jax.value_and_grad(logpdf)(z)
 
-    w1 = max(1, int(config.num_warmup * 0.25))   # step-size only
-    w2 = max(w1 + 1, int(config.num_warmup * 0.75))  # + Welford window
-
-    lp0, grad0 = lpg(z0)
-    eps0 = jnp.asarray(config.init_step_size, dtype)
-    mu = jnp.log(10.0 * eps0)
-    kappa, gamma, t0 = 0.75, 0.05, 10.0
-
-    def warm_step(carry, i):
-        z, lp, grad, key, log_eps, log_eps_bar, h_bar, inv_mass, \
-            wf_n, wf_mean, wf_m2 = carry
-        key, k = random.split(key)
-        step_size = jnp.exp(jnp.clip(log_eps, -12.0, 4.0))
-        z, lp, grad, astat, _, _ = _nuts_step(
-            lpg, inv_mass, step_size, config.max_depth, z, lp, grad, k)
-
-        # dual averaging (Hoffman & Gelman sec 3.2)
-        t = i.astype(dtype) + 1.0
-        h_bar = ((1 - 1 / (t + t0)) * h_bar +
-                 (config.target_accept - astat) / (t + t0))
-        log_eps = mu - jnp.sqrt(t) / gamma * h_bar
-        eta = t ** (-kappa)
-        log_eps_bar = eta * log_eps + (1 - eta) * log_eps_bar
-
-        # Welford over the middle window
-        in_win = jnp.where((i >= w1) & (i < w2), 1.0, 0.0).astype(dtype)
-        wf_n2 = wf_n + in_win
-        delta = z - wf_mean
-        wf_mean = wf_mean + in_win * delta / jnp.maximum(wf_n2, 1.0)
-        wf_m2 = wf_m2 + in_win * delta * (z - wf_mean)
-        # at window close, switch to the estimated diagonal metric
-        close = (i == w2 - 1) & (wf_n2 > 2)
-        var = wf_m2 / jnp.maximum(wf_n2 - 1.0, 1.0)
-        var = jnp.where(var > 1e-10, var, 1.0)
-        inv_mass = jnp.where(close, var, inv_mass)
-        return (z, lp, grad, key, log_eps, log_eps_bar, h_bar, inv_mass,
-                wf_n2, wf_mean, wf_m2), None
-
-    key, kw = random.split(key)
-    init = (z0, lp0, grad0, kw, jnp.log(eps0), jnp.log(eps0),
-            jnp.asarray(0.0, dtype), jnp.ones(dim, dtype),
-            jnp.asarray(0.0, dtype), jnp.zeros(dim, dtype),
-            jnp.zeros(dim, dtype))
-    (z, lp, grad, key, _, log_eps_bar, _, inv_mass, *_), _ = lax.scan(
-        warm_step, init, jnp.arange(config.num_warmup))
-    step_size = jnp.exp(jnp.clip(log_eps_bar, -12.0, 4.0))
-
-    def draw(carry, _):
-        z, lp, grad, key = carry
-        key, k = random.split(key)
-        z, lp, grad, astat, _, div = _nuts_step(
-            lpg, inv_mass, step_size, config.max_depth, z, lp, grad, k)
-        return (z, lp, grad, key), (z, lp, astat, div)
+    init = _warmup_init(lpg, z0, key, config)
+    carry, _ = lax.scan(lambda c, i: (_warm_step(lpg, config, c, i), None),
+                        init, jnp.arange(config.num_warmup))
+    z, lp, grad, key, step_size, inv_mass = _warmup_final(carry)
 
     (_, _, _, _), (samples, logps, astats, divs) = lax.scan(
-        draw, (z, lp, grad, key), None, length=config.num_samples)
+        lambda c, _: _draw_step(lpg, config, step_size, inv_mass, c),
+        (z, lp, grad, key), None, length=config.num_samples)
     return {'samples': samples, 'logp': logps, 'step_size': step_size,
             'inv_mass': inv_mass, 'accept_rate': jnp.mean(astats),
             'n_divergent': jnp.sum(divs.astype(jnp.int32))}
+
+
+@partial(jax.jit, static_argnames=('logpdf', 'config'))
+def _warm_init_mapped(logpdf, config, z0s, keys):
+    def lpg(z):
+        return jax.value_and_grad(logpdf)(z)
+    return lax.map(lambda zk: _warmup_init(lpg, zk[0], zk[1], config),
+                   (z0s, keys))
+
+
+@partial(jax.jit, static_argnames=('logpdf', 'config'))
+def _warm_step_mapped(logpdf, config, carries, i):
+    def lpg(z):
+        return jax.value_and_grad(logpdf)(z)
+    return lax.map(lambda c: _warm_step(lpg, config, c, i), carries)
+
+
+@partial(jax.jit, static_argnames=('logpdf', 'config'))
+def _draw_step_mapped(logpdf, config, state):
+    def lpg(z):
+        return jax.value_and_grad(logpdf)(z)
+
+    def one(s):
+        carry, step_size, inv_mass = s
+        return _draw_step(lpg, config, step_size, inv_mass, carry)
+    carries, outs = lax.map(one, state)
+    return (carries, state[1], state[2]), outs
+
+
+def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
+                         progress=None):
+    """Host-dispatched NUTS over stacked chains (leading axis of
+    ``z0s``/``keys``): same math as :func:`nuts_sample`, but each transition
+    is its own bounded device program.  Long monolithic sampler programs can
+    exceed single-execution limits of hosted/tunneled accelerators (observed
+    on the v5e tunnel: depth-4 trees over the full-domain model crash the
+    worker); per-step dispatch costs only host-loop latency (~ms) against
+    transitions that run for seconds.
+
+    ``progress``: optional callable(phase, step_index, total) for logging.
+    Returns the same dict as ``nuts_sample`` with a leading chain axis.
+    """
+    carries = _warm_init_mapped(logpdf, config, z0s, keys)
+    for i in range(config.num_warmup):
+        carries = _warm_step_mapped(logpdf, config, carries,
+                                    jnp.int32(i))
+        if progress is not None:
+            progress('warmup', i + 1, config.num_warmup)
+    z, lp, grad, key, step_size, inv_mass = jax.vmap(_warmup_final)(carries)
+
+    state = ((z, lp, grad, key), step_size, inv_mass)
+    samples, logps, astats, divs = [], [], [], []
+    for i in range(config.num_samples):
+        state, (zs, lps, asts, dvs) = _draw_step_mapped(logpdf, config,
+                                                        state)
+        samples.append(zs)
+        logps.append(lps)
+        astats.append(asts)
+        divs.append(dvs)
+        if progress is not None:
+            progress('sample', i + 1, config.num_samples)
+    import numpy as np
+    samples = np.stack([np.asarray(s) for s in samples], axis=1)
+    logps = np.stack([np.asarray(x) for x in logps], axis=1)
+    astats = np.stack([np.asarray(x) for x in astats], axis=1)
+    divs = np.stack([np.asarray(x) for x in divs], axis=1)
+    return {'samples': samples, 'logp': logps,
+            'step_size': np.asarray(step_size),
+            'inv_mass': np.asarray(inv_mass),
+            'accept_rate': astats.mean(),
+            'n_divergent': divs.astype(np.int32).sum()}
 
 
 # ---------------------------------------------------------------------------

@@ -96,7 +96,8 @@ def _report(traces, setup):
 def run_nuts(args, setup):
     """Gradient-based sampling path (``--sampler nuts``): vmapped chains,
     unconstrained space with log-Jacobians, warmup = burn-in argument."""
-    from .nuts import NUTSConfig, make_transformed_logpdf, nuts_sample
+    from .nuts import (NUTSConfig, make_transformed_logpdf,
+                       nuts_sample_stepwise)
 
     if args.new is None:
         raise SystemExit('--resume is only supported for the AM sampler; '
@@ -111,10 +112,19 @@ def run_nuts(args, setup):
     print('NUTS: {} chains, {} warmup + {} samples, max depth {}...'.format(
         args.chains, cfg.num_warmup, n_samples, cfg.max_depth))
     tic = time.time()
-    # lax.map, not vmap: a chain-batched rho batches the BVN lax.switch,
-    # which then executes every branch (see parallel/chains.py)
-    out = jax.lax.map(lambda zk: nuts_sample(logpdf, zk[0], zk[1], cfg),
-                      (z0s, keys))
+
+    def progress(phase, i, total):
+        if i % 25 == 0 or i == total:
+            print('  {} {}/{} ({:.1f} s)'.format(phase, i, total,
+                                                 time.time() - tic),
+                  flush=True)
+
+    # stepwise host dispatch (one bounded device program per transition —
+    # monolithic multi-minute programs crash the hosted-TPU tunnel worker);
+    # inside each step the chains run under lax.map, not vmap: a
+    # chain-batched rho batches the BVN lax.switch, which then executes
+    # every branch (see parallel/chains.py)
+    out = nuts_sample_stepwise(logpdf, z0s, keys, cfg, progress=progress)
     samples = np.asarray(out['samples'])     # (chains, n, dim) z-space
     dt = time.time() - tic
     print('NUTS finished: {:.1f} s ({:.3f} s/sample/chain); accept {:.2f}, '

@@ -118,6 +118,10 @@ def xla_accumulate_day(h_scat, cdf_mu, idx, clipped, Dparams, cell,
     idx_p = jnp.pad(idx, ((0, pad), (0, 0)))   # (0,0) is in-bounds, h=0
     cl_p = jnp.pad(clipped, (0, pad))
 
+    # remat per chunk: reverse mode (MAP/NUTS) would otherwise store every
+    # quadrature node's (C, 2K+2, 2K+2) exp intermediates across all chunks
+    # and days — ~GBs at the full Bayes config (HBM-measured)
+    @jax.checkpoint
     def chunk_step(buf, args):
         h_c, mu_c, idx_c, cl_c = args
         blocks = build_block(mu_c)                   # (C, 2K+1, 2K+1)
