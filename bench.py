@@ -66,17 +66,29 @@ def measure(n_iters=20):
             False)
         return fields[-1].sum()
 
+    # chain each sim's input on the previous result so the device must
+    # execute the sims strictly sequentially, and keep the WHOLE chain in
+    # one device program (lax.scan): this is exactly how the MCMC layer
+    # consumes forward sims, and it keeps per-iteration host<->device
+    # round-trips (tens of ms through the hosted-TPU tunnel) out of the
+    # measurement
+    import jax
+    from jax import lax
+
+    @jax.jit
+    def chained(mu0):
+        def step(mu, _):
+            out = run(mu)
+            return jnp.float32(1.179) + out * jnp.float32(1e-12), out
+        acc, outs = lax.scan(step, mu0, None, length=n_iters)
+        return acc + outs.sum() * jnp.float32(1e-12)
+
     # warm-up / compile (transfer forces completion; block_until_ready has
     # proven unreliable for timing through the hosted-TPU tunnel)
-    float(run(jnp.float32(1.179)))
-    # chain each sim's input on the previous result so the device must
-    # execute the sims strictly sequentially — measures true per-sim time
+    float(chained(jnp.float32(1.179)))
     t0 = time.time()
-    acc = jnp.float32(1.179)
-    for _ in range(n_iters):
-        out = run(acc)
-        acc = jnp.float32(1.179) + out * jnp.float32(1e-12)
-    float(acc)
+    v = float(chained(jnp.float32(1.179)))
+    assert np.isfinite(v)
     dt = (time.time() - t0) / n_iters
     return dt, s.ndays
 
