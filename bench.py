@@ -72,7 +72,6 @@ def measure(n_iters=20):
     # consumes forward sims, and it keeps per-iteration host<->device
     # round-trips (tens of ms through the hosted-TPU tunnel) out of the
     # measurement
-    import jax
     from jax import lax
 
     @jax.jit

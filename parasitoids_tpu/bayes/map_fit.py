@@ -199,6 +199,12 @@ def main(argv=None):
         if '=' in ov:
             k, _, v = ov.partition('=')
             params.chg_param(k, v)
+    if params.use_pallas is None:
+        # autodiff MAP optimizes with gradients: keep primal and gradient
+        # from the same (XLA) computation at every |rho| — the Pallas
+        # primal's backward rule differentiates the XLA path
+        # (ops/pallas_kernel.py module docstring)
+        params.use_pallas = False
     setup = BayesSetup(params)
 
     import time

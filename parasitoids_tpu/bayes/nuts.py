@@ -426,14 +426,21 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
         if progress is not None:
             progress('sample', i + 1, config.num_samples)
     import numpy as np
-    samples = np.stack([np.asarray(s) for s in samples], axis=1)
-    logps = np.stack([np.asarray(x) for x in logps], axis=1)
-    astats = np.stack([np.asarray(x) for x in astats], axis=1)
-    divs = np.stack([np.asarray(x) for x in divs], axis=1)
+    n_chains, dim = np.asarray(z0s).shape
+    if samples:
+        samples = np.stack([np.asarray(s) for s in samples], axis=1)
+        logps = np.stack([np.asarray(x) for x in logps], axis=1)
+        astats = np.stack([np.asarray(x) for x in astats], axis=1)
+        divs = np.stack([np.asarray(x) for x in divs], axis=1)
+    else:   # warmup-only run (num_samples=0)
+        samples = np.zeros((n_chains, 0, dim), np.float32)
+        logps = np.zeros((n_chains, 0), np.float32)
+        astats = np.zeros((n_chains, 0), np.float32)
+        divs = np.zeros((n_chains, 0), bool)
     return {'samples': samples, 'logp': logps,
             'step_size': np.asarray(step_size),
             'inv_mass': np.asarray(inv_mass),
-            'accept_rate': astats.mean(),
+            'accept_rate': astats.mean() if astats.size else np.float32(0),
             'n_divergent': divs.astype(np.int32).sum()}
 
 

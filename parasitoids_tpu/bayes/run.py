@@ -56,7 +56,7 @@ parser.add_argument('overrides', nargs='*',
                     help='Params key=value overrides (e.g. interp_num=30)')
 
 
-def build_setup(overrides=()):
+def build_setup(overrides=(), need_grad=False):
     params = Params()
     params.cmd_line_chg(['--kalbar'])
     params.PLOT = False
@@ -67,6 +67,12 @@ def build_setup(overrides=()):
         if '=' in ov:
             key, _, val = ov.partition('=')
             params.chg_param(key, val)
+    if need_grad and params.use_pallas is None:
+        # gradient-based samplers keep log-density and gradient from the
+        # SAME computation at every |rho|: the Pallas primal's fixed-node
+        # quadrature parts ways with its XLA-path backward beyond
+        # |rho| > 0.925 (ops/pallas_kernel.py module docstring)
+        params.use_pallas = False
     return BayesSetup(params)
 
 
@@ -152,7 +158,7 @@ def main(argv=None):
     enable_compilation_cache()
 
     print('devices: {}'.format(jax.devices()))
-    setup = build_setup(args.overrides)
+    setup = build_setup(args.overrides, need_grad=args.sampler == 'nuts')
     if args.sampler == 'nuts':
         return run_nuts(args, setup)
     from ..parallel.chains import chain_mesh, init_chains, run_chains

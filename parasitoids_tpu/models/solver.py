@@ -9,10 +9,16 @@ Design departures, deliberate and TPU-idiomatic:
 * all transforms are **real** FFTs (`rfft2`/`irfft2`) — fields and kernels
   are real, so the Hermitian half-spectrum halves both FLOPs and memory
   versus the reference's complex FFTs (scipy fftpack / Reikna complex64),
-* the FFT pad is a *static* shape ≥ 2·dom_len − 1, so every per-day circular
-  convolution is alias-free by construction (the reference sizes its pad
-  from the largest trimmed kernel per run, CalcSol.py:20-21, which is data
-  dependent and aliases when wrong),
+* the FFT pad is a *static* shape ≥ dom_len + rad_res, which is exactly
+  alias-free for every **single-kernel** convolution of a domain-limited
+  signal (see ``SolverConfig.for_domain``) — and the solvers are structured
+  so that single-kernel convolutions are the only kind in the chain: the
+  population model carries each release cohort as its own truncated field
+  rather than multiplying several kernel spectra at once.  (The reference
+  sizes its pad from the largest trimmed kernel per run, CalcSol.py:20-21,
+  which is data dependent and aliases when wrong.)  The one exception,
+  ``propagate_prob_logdepth``, builds k-fold spectral products and
+  therefore uses the larger 2·dom_len − 1 pad with a documented caveat,
 * the zero/absorbing boundary is enforced **every day**: the daily update
   truncates the solution to the domain and re-transforms it.  The reference
   does this lazily — it detects pad-region mass and re-FFTs only then (the
@@ -26,12 +32,12 @@ Design departures, deliberate and TPU-idiomatic:
   single ``jnp.roll`` on the padded array.
 
 Population mode reproduces ``CalcSol.get_populations`` (CalcSol.py:205-325):
-release-day cohorts are chained in Fourier space; the reference's per-day
-``back_solve`` re-convolution of earlier cohorts (CalcSol.py:72-109) becomes
-a batched multiply with precomputed suffix products of the release-day
-kernel FFTs, followed by one batched inverse FFT.  The forward transform of
-the truncated field is computed once per day and shared between the cohort
-back-solve and the next day's chain update.
+instead of the reference's per-day ``back_solve`` re-convolution of earlier
+cohorts from the current solution (CalcSol.py:72-109), each release cohort
+is carried forward as its own domain-truncated field and all cohorts
+advance with the day's kernel in one *batched* FFT — same chain of
+single-kernel convolutions (so the D + rad_res pad stays exact), one scan,
+no spectral products.
 """
 
 from __future__ import annotations
@@ -163,8 +169,13 @@ def propagate_prob_logdepth(kernels, config: SolverConfig):
     renormalized per day exactly like the default.  Use when day count is
     large and per-day boundary interaction is negligible; parity with the
     sequential solver holds whenever no mass reaches the pad.
+
+    Because day-k of the product composes k kernel spectra (support up to
+    k·rad_res), this path keeps the conservative 2·dom_len − 1 pad rather
+    than the single-kernel D + rad_res pad the sequential solvers use.
     """
-    D, P = config.dom_len, config.fft_len
+    D = config.dom_len
+    P = max(config.fft_len, next_fast_len(2 * D - 1))
     k_hat = filter_fft(kernels[1:], P)                    # (n-1, P, Ph)
     prefix = lax.associative_scan(jnp.multiply, k_hat, axis=0)
     sol_hat = signal_fft(kernels[0], P)[None] * prefix
@@ -185,6 +196,16 @@ def propagate_pop(kernels, r_dur: int, r_number, dist_weights,
     not-yet-released mass held at the origin during the release ramp
     (CalcSol.py:236-237,273-274,305-306).
 
+    Each cohort is carried forward as its own domain-truncated field, so
+    every transform in the chain is a single-kernel convolution — exactly
+    the regime for which ``SolverConfig.for_domain``'s P >= D + rad_res pad
+    is alias-free.  (A spectral suffix-product back-solve would multiply
+    several kernel spectra at once; the composite support, up to
+    r_dur*rad_res, overruns that pad.  The reference's ``back_solve`` also
+    applies one filter at a time with an inverse transform between
+    applications, CalcSol.py:88-106.)  The per-day cohort transforms are
+    batched — one batched FFT per day over the (r_dur, D, D) cohort state.
+
     Args:
         kernels: (ndays, D, D) daily pmfs; entries 0..r_dur-1 are the
             release-day spreads (day 0 built with the release start time).
@@ -203,62 +224,38 @@ def propagate_pop(kernels, r_dur: int, r_number, dist_weights,
     def thresh(x):
         return r_small_vals_dense(x, prob_model=False)
 
-    out = []
-    # day 0: cohort 0 spread once; the rest of the release waits at origin
+    # cohort state: (r_dur, D, D); cohort d activates on day d
+    cohorts0 = jnp.zeros((r_dur, D, D), dtype)
+    cohorts0 = cohorts0.at[0].set(kernels[0])
+
     day0 = thresh(kernels[0]) * (r_number * dist_weights[0])
     day0 = day0.at[c, c].add(r_number * (1.0 - dist_weights[0]))
-    out.append(day0)
 
-    # release-day kernel filters (for cohort back-chaining)
-    rel_filter_hat = filter_fft(kernels[:r_dur], P)     # (r_dur, P, Ph)
-    Ph = rel_filter_hat.shape[-1]
-
-    # --- release ramp: days 1..r_dur-1 (python loop; r_dur is static) ----
-    last_dom = kernels[r_dur - 1] if r_dur == 1 else None
-    for day in range(1, r_dur):
-        # current day's own spread as the running signal
-        cursol_hat = signal_fft(kernels[day], P)
-        # cohort d (< day) = today's signal convolved with its own and the
-        # intermediate release-day kernels d..day-1 (CalcSol.py:91-106)
-        suffix = jnp.concatenate([
-            jnp.cumprod(rel_filter_hat[:day][::-1], axis=0)[::-1],
-            jnp.ones((1, P, Ph), cursol_hat.dtype)], axis=0)  # (day+1,P,Ph)
-        fields = _irfft(cursol_hat[None] * suffix, P)[:, :D, :D]
-        w = dist_weights[:day + 1]
-        pop = thresh(jnp.tensordot(w, fields, axes=1,
+    def step(cohorts, xs):
+        kernel, kh, day = xs
+        # all active cohorts advance with today's kernel (one batched FFT);
+        # cohorts not yet released stay zero (0 * kh = 0)
+        moved = _irfft(signal_fft(cohorts, P) * kh[None], P)[:, :D, :D]
+        # a release day seeds its own cohort with today's spread instead
+        d_idx = jnp.arange(r_dur)
+        cohorts = jnp.where((d_idx == day)[:, None, None],
+                            kernel[None], moved)
+        active = (d_idx <= day).astype(dtype)
+        w = dist_weights * active
+        pop = thresh(jnp.tensordot(w, cohorts, axes=1,
                                    precision=lax.Precision.HIGHEST)
                      * r_number)
-        released = jnp.sum(w)
-        pop = pop.at[c, c].add(r_number * (1.0 - released))
-        out.append(pop)
-        last_dom = fields[-1]  # cohort `day`'s own truncated spread
+        # unreleased mass waits at the origin (ref :236-237,273-274,305-306)
+        pop = pop.at[c, c].add(r_number * (1.0 - jnp.sum(w)))
+        return cohorts, pop
 
-    # after the ramp the suffix products are fixed: cohort_d(n) =
-    # fft(dom_n) * prod_{i=d}^{r_dur-2} rel_filter_hat[i]; the last cohort
-    # is dom_n itself, so only r_dur-1 extra inverse transforms per day.
-    suffix_earlier = (jnp.cumprod(rel_filter_hat[:r_dur - 1][::-1],
-                                  axis=0)[::-1]
-                      if r_dur > 1 else None)            # (r_dur-1, P, Ph)
-
-    def step(dom, kh):
-        z = signal_fft(dom, P)
-        full = _irfft(z * kh, P)
-        dom_next = full[:D, :D]
-        if r_dur == 1:
-            pop = thresh(dom_next * (dist_weights[0] * r_number))
-        else:
-            z_next = signal_fft(dom_next, P)
-            cohorts = _irfft(z_next[None] * suffix_earlier, P)[:, :D, :D]
-            mix = (jnp.tensordot(dist_weights[:-1], cohorts, axes=1,
-                                 precision=lax.Precision.HIGHEST)
-                   + dist_weights[-1] * dom_next)
-            pop = thresh(mix * r_number)
-        return dom_next, pop
-
-    if ndays > r_dur:
-        # batched filter transforms for the post-release chain (one FFT op)
-        _, post = lax.scan(step, last_dom, filter_fft(kernels[r_dur:], P))
-        out = jnp.concatenate([jnp.stack(out), post], axis=0)
+    if ndays > 1:
+        # all daily filter transforms as ONE batched FFT before the scan
+        _, rest = lax.scan(
+            step, cohorts0,
+            (kernels[1:], filter_fft(kernels[1:], P),
+             jnp.arange(1, ndays)))
+        out = jnp.concatenate([day0[None], rest], axis=0)
     else:
-        out = jnp.stack(out)
+        out = day0[None]
     return out.astype(dtype)

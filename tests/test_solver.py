@@ -160,3 +160,56 @@ def test_propagate_pop_vs_reference_calcsol(r_dur):
                                    jnp.asarray(w), cfg))
     # absolute tolerance scales with r_number (f32 fields vs f64 reference)
     np.testing.assert_allclose(got, want, atol=r_number * 2e-6)
+
+
+@pytest.mark.parametrize('r_dur', [1, 3])
+def test_propagate_pop_boundary_vs_chronological_oracle(r_dur):
+    """Cohort semantics under heavy boundary interaction.
+
+    Each release cohort must advance *chronologically* — convolved with
+    every day's kernel in time order, with the absorbing-boundary
+    truncation applied between days (``fftconvolve(mode='same')`` in the
+    oracle).  The reference's spectral back-solve applies release-day
+    filters after the post-ramp chain, which under-absorbs boundary mass
+    (observed as unphysical day-over-day population *growth* on the tiny
+    Carnarvon golden); this test pins the physical order with kernels whose
+    mass is pushed against the domain edge."""
+    from scipy.signal import fftconvolve
+
+    D, ndays, r_number = 41, 6, 5000.0
+    c = D // 2
+    cfg = SolverConfig.for_domain(D // 2)
+    # kernels with strong off-center drift: mass reaches the boundary fast
+    kernels = []
+    rng = np.random.default_rng(7)
+    for i in range(ndays):
+        k = np.zeros((D, D))
+        r0, c0 = c + 8, c + 10     # persistent drift toward a corner
+        block = rng.uniform(0.2, 1.0, (13, 13))
+        k[r0 - 6:r0 + 7, c0 - 6:c0 + 7] = block / block.sum()
+        kernels.append(k)
+    kernels = np.stack(kernels)
+    w = np.full(r_dur, 1.0 / r_dur)
+
+    cohorts = {0: kernels[0]}
+    out = []
+    pop0 = np.where(kernels[0] >= 1e-8, kernels[0], 0.0) * (r_number * w[0])
+    pop0[c, c] += r_number * (1.0 - w[0])
+    out.append(pop0)
+    for day in range(1, ndays):
+        for d in list(cohorts):
+            cohorts[d] = fftconvolve(cohorts[d], kernels[day], mode='same')
+        if day < r_dur:
+            cohorts[day] = kernels[day]
+        mix = sum(w[d] * cohorts[d] for d in cohorts)
+        pop = np.where(mix * r_number >= 1e-8, mix * r_number, 0.0)
+        pop[c, c] += r_number * (1.0 - sum(w[d] for d in cohorts))
+        out.append(pop)
+    oracle = np.stack(out)
+    # sanity: the drift really does push mass off-domain
+    assert oracle[-1].sum() < 0.9 * r_number
+
+    got = np.asarray(propagate_pop(jnp.asarray(kernels, jnp.float32), r_dur,
+                                   r_number, jnp.asarray(w, jnp.float32),
+                                   cfg))
+    np.testing.assert_allclose(got, oracle, atol=r_number * 2e-6)
