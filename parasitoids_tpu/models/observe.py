@@ -55,8 +55,8 @@ def _emergence_weights(collection_day, obs_cols, ndays):
 
 
 class _Projection(NamedTuple):
-    point_rows: jnp.ndarray    # flattened gather index (row*D + col)
-    weights: jnp.ndarray       # (ndays, n_obs_cols)
+    point_rows: np.ndarray     # flattened gather index (row*D + col)
+    weights: np.ndarray        # (ndays, n_obs_cols)
 
 
 class ObservationOps:
@@ -81,7 +81,7 @@ class ObservationOps:
                             locinfo.emerg_grids[nframe]], np.int32)
             W = _emergence_weights(cd, obs, ndays)
             self.release_proj.append(_Projection(
-                jnp.asarray(idx), jnp.asarray(W, jnp.float32)))
+                idx, np.asarray(W, np.float32)))
 
         ### sentinel-field emergence (per collection)
         # field sums via concatenated cell gather + per-field segment ids
@@ -91,24 +91,23 @@ class ObservationOps:
             fc = locinfo.field_cells[fid]
             cells.append(fc[:, 0] * D + fc[:, 1])
             seg.append(np.full(fc.shape[0], n))
-        self.sent_cells = jnp.asarray(np.concatenate(cells), jnp.int32)
-        self.sent_seg = jnp.asarray(np.concatenate(seg), jnp.int32)
+        self.sent_cells = np.concatenate(cells).astype(np.int32)
+        self.sent_seg = np.concatenate(seg).astype(np.int32)
         self.n_sent = len(locinfo.sent_ids)
         self.sentinel_W = []
         for nframe, dframe in enumerate(locinfo.sent_DataFrames):
             cd = locinfo.collection_datesPR[nframe].days
             obs = [int(d / np.timedelta64(1, 'D'))
                    for d in dframe['datePR'].unique()]
-            self.sentinel_W.append(jnp.asarray(
-                _emergence_weights(cd, obs, ndays), jnp.float32))
+            self.sentinel_W.append(np.asarray(
+                _emergence_weights(cd, obs, ndays), np.float32))
 
         ### grid adult counts: end-of-day density at sampled cells
         # (ref Bayes_funcs.py:167-173: modelsol[date.days-1])
         gidx = np.array([r * D + c for r, c in locinfo.grid_cells], np.int32)
-        self.grid_idx = jnp.asarray(gidx)
-        self.grid_days = jnp.asarray(
-            np.array([d.days - 1 for d in locinfo.grid_obs_datesPR],
-                     np.int32))
+        self.grid_idx = gidx
+        self.grid_days = np.array(
+            [d.days - 1 for d in locinfo.grid_obs_datesPR], np.int32)
 
         ### cardinal-direction transects (list of static gathers per day)
         self.card_gathers = []
@@ -125,7 +124,7 @@ class ObservationOps:
                              center + delta, center - delta])
             self.card_gathers.append(
                 (int(date.days) - 1,
-                 jnp.asarray(rows * D + cols)))   # (4, obslen) flat index
+                 rows * D + cols))                # (4, obslen) flat index
 
     # ------------------------------------------------------------------
     @partial(jax.jit, static_argnums=(0,))
@@ -162,3 +161,29 @@ class ObservationOps:
         (ref Bayes_funcs.py:183-221)."""
         flat = fields.reshape(fields.shape[0], -1)
         return [flat[day][idx] for day, idx in self.card_gathers]
+
+    # --- host (NumPy) variants for viz/analysis tooling ----------------
+    # Same math as the jitted methods, no jax involvement: plotting tools
+    # must not initialize the accelerator backend (through the hosted-TPU
+    # tunnel a single fresh compile costs minutes of wall clock).
+
+    def project_emergence_np(self, fields):
+        flat = np.asarray(fields).reshape(len(fields), -1)
+        release = [flat[:, p.point_rows].T @ p.weights
+                   for p in self.release_proj]
+        cell_vals = flat[:, self.sent_cells]             # (ndays, n_cells)
+        field_tot = np.zeros((self.n_sent, flat.shape[0]),
+                             cell_vals.dtype)
+        np.add.at(field_tot, self.sent_seg, cell_vals.T)
+        sentinel = [field_tot @ W for W in self.sentinel_W]
+        return release, sentinel
+
+    def project_grid_np(self, fields):
+        flat = np.asarray(fields).reshape(len(fields), -1)
+        days = np.clip(self.grid_days, 0, flat.shape[0] - 1)  # jnp-gather clamp
+        return flat[:, self.grid_idx][days].T
+
+    def project_card_np(self, fields):
+        flat = np.asarray(fields).reshape(len(fields), -1)
+        return [flat[min(day, flat.shape[0] - 1)][idx]
+                for day, idx in self.card_gathers]

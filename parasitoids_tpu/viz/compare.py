@@ -36,7 +36,7 @@ def compare_emergence(fields, days, params, locinfo, outfile=None,
     """
     plt = _mpl()
     obs_ops = ObservationOps(locinfo, params.domain_info, len(days))
-    rel_model, sent_model = obs_ops.project_emergence(np.asarray(fields))
+    rel_model, sent_model = obs_ops.project_emergence_np(fields)
     ncoll = len(locinfo.release_emerg)
     fig, axes = plt.subplots(2, ncoll + 1, figsize=(6 * (ncoll + 1), 8),
                              squeeze=False)
@@ -97,7 +97,7 @@ def assess_fit(fields, days, params, locinfo, outfile=None, bw=False):
     sampling-effort annotation."""
     plt = _mpl()
     obs_ops = ObservationOps(locinfo, params.domain_info, len(days))
-    grid_model = np.asarray(obs_ops.project_grid(np.asarray(fields)))
+    grid_model = np.asarray(obs_ops.project_grid_np(fields))
     n_days = grid_model.shape[1]
     fig, axes = plt.subplots(1, n_days, figsize=(5 * n_days, 4),
                              squeeze=False)

@@ -208,6 +208,10 @@ def main(argv=None):
         create_animation(fields, days, params)
     else:
         day = int(mode)
+        if day not in days:
+            print('day {} not in this run; available days: {}'.format(
+                day, list(days)))
+            return
         idx = days.index(day)
         out = plot(fields[idx], day, params,
                    outfile='{}_day{}.png'.format(path, day))

@@ -5,6 +5,7 @@ inputs: the reference functions are pure numpy/scipy, so we feed them the
 same synthetic population fields (as the CSR lists they expect) and our
 LocInfo object (attribute-compatible with the reference's)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 from scipy import sparse
@@ -105,3 +106,24 @@ def test_shapes_match_observations(locinfo, fields, obs_ops):
     card = obs_ops.project_card(fields)
     for model, data in zip(card, locinfo.card_obs):
         assert model.shape == data.shape
+
+
+def test_host_variants_match_jitted(fields, obs_ops):
+    """The NumPy projections used by viz tooling must agree with the jitted
+    ones (including the jnp out-of-bounds-gather clamp for short runs)."""
+    rel_j, sent_j = obs_ops.project_emergence(fields)
+    rel_n, sent_n = obs_ops.project_emergence_np(fields)
+    for j, n in zip(rel_j, rel_n):
+        np.testing.assert_allclose(np.asarray(j), n, rtol=1e-5)
+    for j, n in zip(sent_j, sent_n):
+        np.testing.assert_allclose(np.asarray(j), n, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(obs_ops.project_grid(fields)),
+                               obs_ops.project_grid_np(fields), rtol=1e-5)
+    for j, n in zip(obs_ops.project_card(fields),
+                    obs_ops.project_card_np(fields)):
+        np.testing.assert_allclose(np.asarray(j), n, rtol=1e-5)
+    # short run exercising the clamp path
+    short = np.asarray(fields)[:2]
+    np.testing.assert_allclose(
+        np.asarray(obs_ops.project_grid(jnp.asarray(short))),
+        obs_ops.project_grid_np(short), rtol=1e-5)
