@@ -34,9 +34,13 @@ def geweke(trace, first=0.1, last=0.5, intervals=20):
     tail_mean = tail.mean()
     tail_var = _spectral_var_0(tail) / len(tail)
     out = []
-    for start in np.linspace(0, (1 - first) * n * (1 - 1e-9),
-                             intervals).astype(int):
-        seg = trace[start:start + int(first * n)]
+    # early segments must end before the comparison tail begins, else late
+    # segments are subsets of the tail and compare against themselves
+    # (z ~ 0 regardless of convergence); PyMC restricts starts the same way
+    seg_len = int(first * n)
+    max_start = max(0, last_start - seg_len)
+    for start in np.linspace(0, max_start, intervals).astype(int):
+        seg = trace[start:start + seg_len]
         if len(seg) < 2:
             continue
         seg_var = _spectral_var_0(seg) / len(seg)

@@ -150,9 +150,17 @@ def _build_subtree(lpg, inv_mass, step, depth, z0, p0, grad0, energy0, key,
                        lambda a: a[0], (ckp, p))
 
         def check_turns(_):
+            # dz must point along increasing trajectory time: when growing
+            # backward (step < 0) the checkpoint is the time-LATER end, so
+            # the displacement is negated — without this, straight leftward
+            # segments read as U-turns (and real ones are missed), breaking
+            # the reversibility NUTS depends on.
+            direction = jnp.sign(step)
+
             def scan_fn(turn, j):
                 active = (j >= idx_min) & (j <= idx_max)
-                t = _is_turning(inv_mass, ckp[j], p, z - ckz[j])
+                t = _is_turning(inv_mass, ckp[j], p,
+                                direction * (z - ckz[j]))
                 return turn | (active & t), None
 
             turn, _ = lax.scan(scan_fn, jnp.asarray(False),

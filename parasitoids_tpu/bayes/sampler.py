@@ -45,10 +45,13 @@ _OPT_SCALE = 2.38 ** 2 / _N_MODEL
 
 
 class MCMCConfig(NamedTuple):
+    # NOTE: no pre-spread (``sprd_factor``) option here by design — the
+    # reference's MCMC never samples it either (disabled/None in
+    # Bayes_Run.py:168-175; it is a MAP-only prior, Bayes_MAP.py:200-205).
+    # The pre-spread day is supported in map_fit.py and nuts.py.
     n_samples: int
     adapt_start: int = _ADAPT_START
     obs_scale: float = 0.05       # relative RW scale for obs parameters
-    sprd: bool = False            # include the Kalbar pre-spread factor
 
 
 class ChainState(NamedTuple):

@@ -68,10 +68,14 @@ def load_chain(path, setup):
         return ChainState(m=m, o=o, proj=proj, **kw)
 
     rest = {f: fields[f] for f in _STATE_FIELDS if f not in ('m', 'o')}
-    if fields['m'].ndim == 2:     # vmapped chains
+    if fields['m'].ndim == 2:     # stacked chains
+        # lax.map, not vmap: a chain-batched forward pass pays every rho
+        # lax.switch branch via select (~33x/chain, parallel/chains.py);
+        # sequential per-chain evaluation is what the samplers use too
         import jax
-        state = jax.vmap(lambda m, o, kw: rebuild(m, o, **kw))(
-            fields['m'], fields['o'], rest)
+        state = jax.lax.map(lambda args: rebuild(args[0], args[1],
+                                                 **args[2]),
+                            (fields['m'], fields['o'], rest))
     else:
         state = rebuild(fields['m'], fields['o'], **rest)
     return traces, state, meta

@@ -52,18 +52,22 @@ def compare_emergence(fields, days, params, locinfo, outfile=None,
     axes[0][0].set_title('model spread, day {} PR'.format(days[-1]))
     axes[1][0].axis('off')
 
+    cell_area = cell ** 2
     for k in range(ncoll):
-        # observed emergence normalized by sampled area
-        # (ref CompareToData.py:100-105)
-        area = locinfo.grid_data['area'].to_numpy(float)
-        obs = locinfo.release_emerg[k] / area[:len(locinfo.release_emerg[k]),
-                                             None].clip(min=1.0)
+        # observed emergence normalized by sampled area: the release-field
+        # total is scaled by the single scalar 100/area.sum() — grid
+        # collection sampled that combined area — NOT per-grid-point rows
+        # (which are in (datePR,row,col) order, unrelated to the area
+        # column's file order).  Ref CompareToData.py:100-105.
+        area_total = float(locinfo.grid_data['area'].to_numpy(float).sum())
+        obs = (locinfo.release_emerg[k].sum(axis=0) *
+               100.0 / max(area_total, 1e-9))
         model = np.asarray(rel_model[k])
-        x = np.arange(obs.shape[1])
+        x = np.arange(obs.shape[0])
         sty_o = dict(color='0.2') if bw else {}
         sty_m = (dict(color='white', edgecolor='black', hatch='//')
                  if bw else {})
-        axes[0][k + 1].bar(x - 0.2, obs.sum(axis=0), width=0.4,
+        axes[0][k + 1].bar(x - 0.2, obs, width=0.4,
                            label='observed/area', **sty_o)
         axes[0][k + 1].bar(x + 0.2, model.sum(axis=0) /
                            max(model.sum(), 1e-9) * obs.sum(), width=0.4,
@@ -72,7 +76,13 @@ def compare_emergence(fields, days, params, locinfo, outfile=None,
                                  '{}'.format(k))
         axes[0][k + 1].legend()
 
-        obs_s = locinfo.sentinel_emerg[k]
+        # sentinel rows are per-field (sent_ids order): normalize each by
+        # its field area, 10000/(cells * m^2/cell), before summing
+        # (ref CompareToData.py:105)
+        sent_scale = np.array([10000.0 /
+                               (locinfo.field_sizes[sid] * cell_area)
+                               for sid in locinfo.sent_ids])
+        obs_s = locinfo.sentinel_emerg[k] * sent_scale[:, None]
         model_s = np.asarray(sent_model[k])
         xs = np.arange(obs_s.shape[1])
         axes[1][k + 1].bar(xs - 0.2, obs_s.sum(axis=0), width=0.4,

@@ -77,6 +77,7 @@ def plot_daily_kernel(site='data/kalbar', day_index=0, outfile=None,
     import jax.numpy as jnp
     from ..config import Params
     from ..io.wind import get_wind_data, pack_wind
+    from ..models.forward import _auto_half_width
     from ..ops.daily_kernel import KernelConfig, build_daily_kernel
     from .plot_result import alpha_viridis, crop_to_support, _extent_meters
     plt = _mpl()
@@ -89,9 +90,14 @@ def plot_daily_kernel(site='data/kalbar', day_index=0, outfile=None,
     flat = jnp.asarray(packed.reshape(-1, 2), jnp.float32)
     cs = jnp.concatenate([jnp.zeros((1, 2), flat.dtype),
                           jnp.cumsum(flat, axis=0)])
+    cell = p.domain_info[0] / p.domain_info[1]
+    K = (p.kernel_rad if p.kernel_rad is not None
+         else _auto_half_width(p.Dparams, cell))
+    Kl = (p.kernel_rad_local if p.kernel_rad_local is not None
+          else _auto_half_width(p.Dlparams, cell, lo=3))
     kcfg = KernelConfig(rad_res=int(p.domain_info[1]),
-                        periods=packed.shape[1], K=p.kernel_rad,
-                        K_local=p.kernel_rad_local, G=p.quad_nodes)
+                        periods=packed.shape[1], K=int(K),
+                        K_local=int(Kl), G=p.quad_nodes)
     hp = (p.lam, *p.g_params, *p.f_params)
     pmf, loss = build_daily_kernel(flat, cs, jnp.int32(day_index), hp,
                                    p.Dparams, p.Dlparams, p.mu_r,

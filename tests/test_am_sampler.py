@@ -73,3 +73,31 @@ def test_store_resume_exact(tmp_path, setup):
     s_b, tr_b = run_mcmc(setup, state2, MCMCConfig(n_samples=10))
     np.testing.assert_allclose(np.asarray(tr_a), np.asarray(tr_b),
                                rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_store_resume_stacked_chains(tmp_path, setup):
+    """Multi-chain (stacked-state) resume rebuilds per-chain projections
+    via sequential lax.map — the chain-batched vmap alternative pays every
+    rho lax.switch branch (~33x/chain, parallel/chains.py)."""
+    from parasitoids_tpu.bayes.sampler import (MCMCConfig, init_chain_state,
+                                               run_mcmc)
+    from parasitoids_tpu.bayes.store import load_chain, save_chain
+
+    s0 = init_chain_state(setup, random.PRNGKey(2))
+    s1 = init_chain_state(setup, random.PRNGKey(3))
+    s0, tr0 = run_mcmc(setup, s0, MCMCConfig(n_samples=5))
+    s1, tr1 = run_mcmc(setup, s1, MCMCConfig(n_samples=5))
+    stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]), s0, s1)
+
+    db = str(tmp_path / 'chains')
+    save_chain(db, np.stack([np.asarray(tr0), np.asarray(tr1)]), stacked,
+               meta={'chains': 2})
+    traces, state2, meta = load_chain(db, setup)
+    assert traces.shape[:2] == (2, 5)
+    assert state2.m.shape[0] == 2
+    # the rebuilt cached projections match the originals per chain
+    for orig, re in ((s0, jax.tree.map(lambda x: x[0], state2)),
+                     (s1, jax.tree.map(lambda x: x[1], state2))):
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6), orig.proj, re.proj)

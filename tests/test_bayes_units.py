@@ -105,6 +105,24 @@ def test_geweke_stationary_vs_drifting():
     assert np.abs(zd).max() > 4.0
 
 
+def test_geweke_segments_stay_out_of_comparison_tail():
+    """Regression: start indices must not reach into the final ``last``
+    fraction — segments inside the tail compare against themselves (z ~ 0)
+    and mask non-convergence."""
+    n = 1000
+    out = geweke(np.random.default_rng(3).normal(size=n),
+                 first=0.1, last=0.5)
+    seg_len = int(0.1 * n)
+    tail_start = int((1 - 0.5) * n)
+    assert (out[:, 0] + seg_len <= tail_start).all()
+    # a chain drifting through its first half must be flagged by EVERY
+    # early segment, not averaged away by self-comparing late segments
+    drift = np.concatenate([np.linspace(8, 0, n // 2),
+                            np.random.default_rng(4).normal(size=n // 2)])
+    zd = geweke(drift, first=0.1, last=0.5)[:, 1]
+    assert np.abs(zd).min() > 2.0
+
+
 def test_effective_sample_size():
     rng = np.random.default_rng(2)
     iid = rng.normal(0, 1, 4000)

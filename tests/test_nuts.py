@@ -96,3 +96,42 @@ def test_nuts_on_parasitoid_model():
     m_vec, o_vec, _ = constrain(jnp.asarray(out['samples'][-1]))
     assert np.isfinite(np.asarray(m_vec)).all()
     assert np.isfinite(np.asarray(o_vec)).all()
+
+
+def test_backward_subtree_uturn_symmetric():
+    """Regression: the checkpoint U-turn criterion must be orientation-
+    corrected for backward-built subtrees (dz along increasing trajectory
+    time).  Before the fix, every leftward doubling of >= 2 leaves on a
+    straight trajectory spuriously read as turning, collapsing backward
+    growth and breaking reversibility."""
+    from parasitoids_tpu.bayes import nuts as N
+
+    def logpdf(z):
+        return -0.5 * jnp.sum(z * z)
+
+    lpg = jax.value_and_grad(logpdf)
+    inv_mass = jnp.ones(2)
+    z0 = jnp.zeros(2)
+    p0 = jnp.array([1.0, 0.2])
+    lp0, g0 = lpg(z0)
+    e0 = -lp0 + N._kinetic(inv_mass, p0)
+    key = random.PRNGKey(0)
+    for depth in (1, 2, 3, 4):
+        tf, *_ = N._build_subtree(lpg, inv_mass, jnp.float32(0.05),
+                                  jnp.int32(depth), z0, p0, g0, e0, key, 6)
+        tb, *_ = N._build_subtree(lpg, inv_mass, jnp.float32(-0.05),
+                                  jnp.int32(depth), z0, p0, g0, e0, key, 6)
+        # short straight segments: neither direction is a U-turn
+        assert not bool(tf.turning), depth
+        assert not bool(tb.turning), depth
+        assert int(tf.n_leaf) == int(tb.n_leaf) == 2 ** depth
+
+    # and a genuine U-turn IS detected in both directions: integrate more
+    # than a half period of the unit Gaussian oscillator (period 2*pi)
+    tf, *_ = N._build_subtree(lpg, inv_mass, jnp.float32(0.5),
+                              jnp.int32(4), z0, p0, g0, e0, key, 6)
+    tb, *_ = N._build_subtree(lpg, inv_mass, jnp.float32(-0.5),
+                              jnp.int32(4), z0, p0, g0, e0, key, 6)
+    assert bool(tf.turning)
+    assert bool(tb.turning)
+    assert int(tf.n_leaf) == int(tb.n_leaf)
