@@ -79,7 +79,11 @@ def setup_forward(params: Params, dtype=None) -> ForwardSetup:
     # the fused Pallas accumulate is the TPU hot path (validated on a real
     # v5e chip: matches the XLA scatter path to 2e-7, ~8x faster); elsewhere
     # (CPU tests, virtual multi-chip dry runs) the XLA scatter path is used.
-    if getattr(params, 'use_pallas', None) is not None:
+    if dtype == jnp.float64:
+        # the Mosaic kernel is f32-only (Pallas TPU tiling/SMEM layout);
+        # f64 validation mode always takes the XLA scatter path
+        use_pallas = False
+    elif getattr(params, 'use_pallas', None) is not None:
         use_pallas = params.use_pallas
     else:
         from ..ops.pallas_kernel import pallas_available
