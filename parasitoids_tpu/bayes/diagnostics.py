@@ -69,7 +69,12 @@ def gelman_rubin(chains):
     W = chain_vars.mean(axis=0)
     B = n * chain_means.var(axis=0, ddof=1)
     var_hat = (n - 1) / n * W + B / n
-    rhat = np.sqrt(var_hat / np.where(W > 0, W, 1.0))
+    with np.errstate(divide='ignore', invalid='ignore'):
+        rhat = np.sqrt(var_hat / W)
+    # degenerate cases: all chains constant and equal -> converged (1.0);
+    # zero within-chain variance but chains disagree -> inf (not the
+    # arbitrary scale-dependent number sqrt(B/n) would give)
+    rhat = np.where(W > 0, rhat, np.where(B > 0, np.inf, 1.0))
     return rhat[0] if rhat.size == 1 else rhat
 
 

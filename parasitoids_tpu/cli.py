@@ -18,7 +18,28 @@ from .models.forward import setup_forward, simulate
 from .utils.cache import enable_compilation_cache
 
 
+_USAGE = """\
+usage: python -m parasitoids_tpu [flags] [key=value ...]
+
+flags:
+  --pop / --prob          population vs single-wasp probability model
+  --kalbar / --carnarvon  dataset preset (release schedule, wind files)
+  --plot / --no_plot      write per-day figures after the run
+  --output / --no_output  save <outfile>.npz + .json (reference format)
+
+key=value overrides set any Params field, e.g.:
+  ndays=5 'domain_info=(8000.0,320)' n_periods=20 outfile=output/run
+  use_f64=True            float64 validation mode (XLA path)
+
+See README.md for the full command map.
+"""
+
+
 def main(params: Params | None = None, argv=None):
+    if params is None and argv is None and \
+            any(a in ('-h', '--help') for a in sys.argv[1:]):
+        print(_USAGE)
+        return None, None
     enable_compilation_cache()
     if params is None:
         params = Params()
