@@ -80,7 +80,7 @@ class BayesSetup:
     """Everything needed to evaluate the posterior for one site/domain."""
 
     def __init__(self, params: Params | None = None, sprd_factor=None,
-                 dtype=jnp.float32):
+                 dtype=None):
         if params is None:
             params = Params()
             params.cmd_line_chg(['--kalbar'])
@@ -96,7 +96,10 @@ class BayesSetup:
             params.kernel_rad = K
         if params.kernel_rad_local is None:
             params.kernel_rad_local = Kl
+        # dtype=None lets setup_forward honor use_f64 validation mode
+        # (which also flips jax_enable_x64); default is f32
         self.setup: ForwardSetup = setup_forward(params, dtype=dtype)
+        dtype = self.setup.wind_flat.dtype
         self.locinfo = LocInfo(params.dataset, params.coord,
                                params.domain_info)
         self.ndays = self.setup.ndays

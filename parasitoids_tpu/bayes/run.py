@@ -46,6 +46,16 @@ parser.add_argument('--sampler', choices=['am', 'nuts'], default='am',
                          'gradient-based NUTS (n_periods fixed, as MAP)')
 parser.add_argument('--max-depth', type=int, default=6,
                     help='NUTS maximum tree depth')
+parser.add_argument('--init', default='map',
+                    help="NUTS chain initialization: 'map' (default: short "
+                         "MAP fit first — the far-from-data prior point "
+                         "has near-zero predicted rates at observed cells, "
+                         "where floor-rate log-likelihood terms are "
+                         "f32-noise-dominated and warmup stalls), 'prior' "
+                         "(reference initial values), or a saved trace "
+                         ".npz (start from its final states)")
+parser.add_argument('--init-map-steps', type=int, default=200,
+                    help='Adam steps for --init map')
 parser.add_argument('--seed', type=int, default=0)
 parser.add_argument('--checkpoint-every', type=int, default=1000,
                     help='save the trace store every N samples (AM path); '
@@ -99,6 +109,43 @@ def _report(traces, setup):
     print('ESS (g_aw, pooled): {:.1f}'.format(ess))
 
 
+def _nuts_init_point(args, setup, z0_prior):
+    """Pick the NUTS starting point in unconstrained space.
+
+    The reference-equivalent prior point predicts ~zero density at most
+    observed cells; there the Poisson log-likelihood is a sum of floor-rate
+    terms whose f32 fluctuations dominate the local landscape, so warmup's
+    dual averaging collapses the step size.  Starting from a short MAP fit
+    (or a previous run's state) puts warmup inside the smooth typical set.
+    """
+    from .map_fit import _make_objective, map_fit
+
+    mode = args.init
+    if mode == 'prior':
+        return z0_prior
+    _, _, unconstrain = _make_objective(setup, use_sprd=False)
+    if mode == 'map':
+        print('NUTS init: MAP fit ({} steps)...'.format(
+            args.init_map_steps), flush=True)
+        fit = map_fit(setup, n_steps=args.init_map_steps, use_sprd=False)
+        print('NUTS init: MAP logp = {:.2f}'.format(fit['logp']),
+              flush=True)
+        return jnp.asarray(fit['z'], jnp.float32)   # same z-packing
+    # otherwise: a saved trace store — start from chain 0's final state
+    st = np.load(mode if mode.endswith('.npz') else mode + '.npz')
+    m = np.atleast_2d(st['state_m'])[0]
+    o = np.atleast_2d(st['state_o'])[0]
+    n_obs = 4 + setup.n_sent
+    if o.shape[0] != n_obs:
+        raise SystemExit('--init trace has {} obs params, model needs {} '
+                         '(different site/domain?)'.format(o.shape[0],
+                                                           n_obs))
+    print('NUTS init: from trace {}'.format(mode), flush=True)
+    return unconstrain(jnp.asarray(m, jnp.float32),
+                       jnp.asarray(o, jnp.float32),
+                       jnp.asarray(0.3, jnp.float32))
+
+
 def run_nuts(args, setup):
     """Gradient-based sampling path (``--sampler nuts``): vmapped chains,
     unconstrained space with log-Jacobians, warmup = burn-in argument."""
@@ -110,10 +157,14 @@ def run_nuts(args, setup):
                          'rerun NUTS with --new (warmup re-adapts).')
     n_samples, burn, db = int(args.new[0]), int(args.new[1]), args.new[2]
     logpdf, constrain, z0 = make_transformed_logpdf(setup)
+    z0 = _nuts_init_point(args, setup, z0)
     cfg = NUTSConfig(num_warmup=max(burn, 10), num_samples=n_samples,
                      max_depth=args.max_depth)
     keys = random.split(random.PRNGKey(args.seed), args.chains)
-    z0s = jnp.broadcast_to(z0, (args.chains,) + z0.shape)
+    # small per-chain jitter in z-space so chains are distinguishable
+    z0s = (jnp.broadcast_to(z0, (args.chains,) + z0.shape) +
+           0.01 * random.normal(random.PRNGKey(args.seed + 1),
+                                (args.chains,) + z0.shape, z0.dtype))
 
     print('NUTS: {} chains, {} warmup + {} samples, max depth {}...'.format(
         args.chains, cfg.num_warmup, n_samples, cfg.max_depth))

@@ -9,6 +9,7 @@ gradient-based MAP/NUTS.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ['g_wind_prob', 'f_time_prob', 'h_flight_prob', 'dmat']
@@ -18,18 +19,23 @@ def g_wind_prob(windr, aw, bw):
     """Probability of take-off given wind speed: decreasing logistic.
 
     aw: wind speed at which the probability is 0.5; bw: steepness.
+    Computed as a stable sigmoid: the naive ``1/(1+exp(u))`` keeps a finite
+    primal when ``exp`` overflows to inf but its autodiff is inf/inf = NaN
+    — at f32, ``b*(a-t) > 88`` is reachable under the Bayes priors, and one
+    NaN gradient coordinate poisons every NUTS trajectory.
     """
-    return 1.0 / (1.0 + jnp.exp(bw * (windr - aw)))
+    return jax.nn.sigmoid(-bw * (windr - aw))
 
 
 def f_time_prob(n, a1, b1, a2, b2):
     """Take-off probability mass function over ``n`` equally spaced times of
     day (hours): normalized positive part of a difference of two logistics
-    (morning rise a1/b1, evening fall a2/b2)."""
+    (morning rise a1/b1, evening fall a2/b2); stable sigmoids (see
+    ``g_wind_prob``)."""
     t_tild = jnp.linspace(0.0, 24.0 - 24.0 / n, n)
     likelihood = jnp.maximum(
-        1.0 / (1.0 + jnp.exp(-b1 * (t_tild - a1))) -
-        1.0 / (1.0 + jnp.exp(-b2 * (t_tild - a2))),
+        jax.nn.sigmoid(b1 * (t_tild - a1)) -
+        jax.nn.sigmoid(b2 * (t_tild - a2)),
         0.0)
     return likelihood / likelihood.sum()
 

@@ -38,8 +38,21 @@ _DEFAULT = os.path.join(os.path.expanduser('~'), '.cache',
 def enable_compilation_cache(path: str | None = None):
     import jax
 
+    pin_platform_from_env()
     path = path or os.environ.get('PARA_TPU_CACHE_DIR', _DEFAULT)
     os.makedirs(path, exist_ok=True)
     jax.config.update('jax_compilation_cache_dir', path)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     return path
+
+
+def pin_platform_from_env():
+    """Re-apply ``JAX_PLATFORMS`` from the environment: the hosted-TPU site
+    hook overrides it via ``jax.config`` at import time, so without this,
+    ``JAX_PLATFORMS=cpu`` runs would silently land on the TPU tunnel.
+    Called by every driver entry point (via enable_compilation_cache)."""
+    import jax
+
+    env = os.environ.get('JAX_PLATFORMS')
+    if env:
+        jax.config.update('jax_platforms', env)

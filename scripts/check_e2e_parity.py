@@ -15,7 +15,14 @@ With ``--f64`` our side runs in float64 validation mode (use_f64): the
 remaining difference vs the reference then isolates algorithmic deviation
 from float32 accumulation.
 
+``--carnarvon`` switches to the 5-day-release dataset, exercising the
+release-cohort back-solve path at full scale on both sides (note the
+reference's back_solve re-FFT crashes on Fourier-boundary events,
+CalcSol.py:105 — a latent reference bug; keep ndays small enough that no
+event triggers there).
+
 Usage: python scripts/check_e2e_parity.py [ndays] [--prob] [--f64]
+       [--carnarvon]
 """
 
 import os
@@ -56,7 +63,8 @@ def main():
     globalvars.cuda = False
 
     p = Params()
-    p.cmd_line_chg(['--kalbar'])
+    p.cmd_line_chg(['--carnarvon' if '--carnarvon' in sys.argv
+                    else '--kalbar'])
     p.PLOT = False
     p.OUTPUT = False
     p.PROB_MODEL = prob_model

@@ -9,9 +9,11 @@ pin).  Set PARA_TPU_TEST_PLATFORM=tpu to run the suite on a real chip.
 import os
 import sys
 
-# Must happen before jax is imported anywhere.
-os.environ.setdefault('JAX_PLATFORMS',
-                      os.environ.get('PARA_TPU_TEST_PLATFORM', 'cpu'))
+# Must happen before jax is imported anywhere.  Force (not setdefault): the
+# hosted-TPU driver shell exports JAX_PLATFORMS=axon, and pin_platform_from_env
+# (called by every driver entry point) re-applies the env value — so the env
+# var itself must name the test platform.
+os.environ['JAX_PLATFORMS'] = os.environ.get('PARA_TPU_TEST_PLATFORM', 'cpu')
 _flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in _flags:
     os.environ['XLA_FLAGS'] = (
