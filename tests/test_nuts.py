@@ -65,11 +65,10 @@ def test_nuts_vmappable_chains():
     assert np.isfinite(np.asarray(out['logp'])).all()
 
 
-@pytest.mark.slow
-def test_nuts_on_parasitoid_model():
-    """End-to-end NUTS over the real (tiny-config) posterior."""
+def _tiny_setup():
+    """Tiny-config BayesSetup: full 10 km extent (sentinel fields sit ~8 km
+    out) at coarse resolution so forward evals stay cheap on CPU."""
     from parasitoids_tpu.bayes.model import BayesSetup
-    from parasitoids_tpu.bayes.nuts import make_transformed_logpdf
     from parasitoids_tpu.config import Params
 
     p = Params()
@@ -78,13 +77,20 @@ def test_nuts_on_parasitoid_model():
     p.OUTPUT = False
     p.PROB_MODEL = False
     p.ndays = 3
-    # full 10 km extent (sentinel fields sit ~8 km out) at coarse resolution
     p.domain_info = (10000.0, 50)
     p.interp_num = 2
     p.kernel_rad = 6
     p.kernel_rad_local = 3
     p.quad_nodes = 8
-    setup = BayesSetup(p)
+    return BayesSetup(p)
+
+
+@pytest.mark.slow
+def test_nuts_on_parasitoid_model():
+    """End-to-end NUTS over the real (tiny-config) posterior."""
+    from parasitoids_tpu.bayes.nuts import make_transformed_logpdf
+
+    setup = _tiny_setup()
     logpdf, constrain, z0 = make_transformed_logpdf(setup)
     lp0 = float(logpdf(z0))
     assert np.isfinite(lp0)
@@ -135,3 +141,32 @@ def test_backward_subtree_uturn_symmetric():
     assert bool(tf.turning)
     assert bool(tb.turning)
     assert int(tf.n_leaf) == int(tb.n_leaf)
+
+
+@pytest.mark.slow
+def test_nuts_map_init_zpacking_compatible():
+    """The NUTS driver initializes chains from a short MAP fit
+    (bayes/run.py ``--init map``); that relies on ``map_fit(use_sprd=False)``
+    and ``make_transformed_logpdf`` sharing one z-packing (both built on
+    ``_make_objective``).  Pin the contract: shapes match and the MAP point
+    has a finite transformed-space log density no worse than the prior
+    start."""
+    from parasitoids_tpu.bayes.map_fit import map_fit
+    from parasitoids_tpu.bayes.nuts import make_transformed_logpdf
+
+    setup = _tiny_setup()
+    logpdf, constrain, z0 = make_transformed_logpdf(setup)
+    fit = map_fit(setup, n_steps=5, use_sprd=False)
+    z_map = jnp.asarray(fit['z'], jnp.float32)
+    assert z_map.shape == z0.shape
+    lp_map = float(logpdf(z_map))
+    assert np.isfinite(lp_map)
+    # 5 Adam steps from the same start must not have moved to a worse mode
+    # by orders of magnitude (smoke check on objective consistency)
+    lp0 = float(logpdf(z0))
+    assert lp_map > lp0 - abs(lp0)
+    # constrained point is finite and n_periods stays at the fixed value
+    m_vec, o_vec, _ = constrain(z_map)
+    assert np.isfinite(np.asarray(m_vec)).all()
+    assert np.isfinite(np.asarray(o_vec)).all()
+    assert float(m_vec[13]) == 30.0
