@@ -74,9 +74,14 @@ def _make_objective(setup: BayesSetup, use_sprd):
 
 
 def map_fit(setup: BayesSetup, n_steps=300, learning_rate=0.02,
-            use_sprd=None, m0=None, o0=None, sprd0=0.3):
+            use_sprd=None, m0=None, o0=None, sprd0=0.3, chunk_steps=25):
     """Optimize the posterior mode.  Returns a dict with the constrained
-    estimates, the log posterior at the mode, and the optimization trace."""
+    estimates, the log posterior at the mode, and the optimization trace.
+
+    The optimization is dispatched in bounded chunks of ``chunk_steps``
+    Adam steps per device program (the hosted-TPU tunnel kills workers that
+    run one monolithic multi-minute program; chunking is mathematically a
+    no-op, same pattern as the MCMC/NUTS stepwise drivers)."""
     if use_sprd is None:
         use_sprd = setup.params.dataset == 'kalbar'
     neg_logpost, constrain, unconstrain = _make_objective(setup, use_sprd)
@@ -93,8 +98,8 @@ def map_fit(setup: BayesSetup, n_steps=300, learning_rate=0.02,
 
     opt = optax.adam(learning_rate)
 
-    @jax.jit
-    def run(z0):
+    @partial(jax.jit, static_argnames='length')
+    def run_chunk(z, opt_state, length):
         def step(carry, _):
             z, opt_state = carry
             loss, grad = jax.value_and_grad(neg_logpost)(z)
@@ -102,13 +107,23 @@ def map_fit(setup: BayesSetup, n_steps=300, learning_rate=0.02,
             updates, opt_state = opt.update(grad, opt_state)
             return (optax.apply_updates(z, updates), opt_state), loss
 
-        (z, _), losses = lax.scan(step, (z0, opt.init(z0)), None,
-                                  length=n_steps)
-        return z, losses
+        (z, opt_state), losses = lax.scan(step, (z, opt_state), None,
+                                          length=length)
+        return z, opt_state, losses
 
-    z, losses = run(z0)
-    m_vec, o_vec, sprd = constrain(z)
-    logp = -float(neg_logpost(z))
+    final_logp = jax.jit(lambda z: -neg_logpost(z))
+
+    z, opt_state = z0, opt.init(z0)
+    losses = []
+    done = 0
+    while done < n_steps:
+        length = min(chunk_steps, n_steps - done)
+        z, opt_state, chunk_losses = run_chunk(z, opt_state, length)
+        losses.append(np.asarray(chunk_losses))
+        done += length
+    losses = np.concatenate(losses) if losses else np.zeros(0)
+    m_vec, o_vec, sprd = jax.jit(constrain)(z)
+    logp = float(final_logp(z))
     n_params = _N_MODEL - 1 + len(o_vec) + (1 if use_sprd else 0)
     return {
         'z': np.asarray(z),
@@ -129,7 +144,7 @@ def laplace_approximation(setup: BayesSetup, fit):
     back through the bijections by linearization."""
     neg_logpost, constrain, _ = _make_objective(setup, fit['use_sprd'])
     z = jnp.asarray(fit['z'])
-    H = jax.hessian(neg_logpost)(z)
+    H = jax.jit(jax.hessian(neg_logpost))(z)
     H = np.asarray(H)
     # regularize singular directions (e.g. the fixed n_periods slot)
     for i in range(H.shape[0]):
@@ -137,8 +152,8 @@ def laplace_approximation(setup: BayesSetup, fit):
             H[i, i] = 1e12
     cov_z = np.linalg.inv(H)
     # delta method: sd in constrained space
-    jac = np.asarray(jax.jacobian(
-        lambda zz: jnp.concatenate([constrain(zz)[0], constrain(zz)[1]]))(z))
+    jac = np.asarray(jax.jit(jax.jacobian(
+        lambda zz: jnp.concatenate([constrain(zz)[0], constrain(zz)[1]])))(z))
     cov_theta = jac @ cov_z @ jac.T
     return {'cov_z': cov_z, 'cov_theta': cov_theta,
             'sd_theta': np.sqrt(np.clip(np.diag(cov_theta), 0, None))}
