@@ -118,7 +118,11 @@ def map_fit(setup: BayesSetup, n_steps=300, learning_rate=0.02,
     done = 0
     while done < n_steps:
         length = min(chunk_steps, n_steps - done)
-        z, opt_state, chunk_losses = run_chunk(z, opt_state, length)
+        # block per chunk: async dispatch would otherwise enqueue every
+        # chunk at once — the queue-depth equivalent of one monolithic
+        # program (crashes the tunneled-TPU worker)
+        z, opt_state, chunk_losses = jax.block_until_ready(
+            run_chunk(z, opt_state, length))
         losses.append(np.asarray(chunk_losses))
         done += length
     losses = np.concatenate(losses) if losses else np.zeros(0)

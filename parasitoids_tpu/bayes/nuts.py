@@ -413,11 +413,28 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
 
     ``progress``: optional callable(phase, step_index, total) for logging.
     Returns the same dict as ``nuts_sample`` with a leading chain axis.
+
+    Every transition is synchronized (``jax.block_until_ready``) before the
+    next is dispatched: JAX dispatch is asynchronous, so without the block
+    the host loop enqueues the *entire* run in seconds and the accelerator
+    worker faces a 100+-deep queue of multi-second programs — the same
+    failure mode as one monolithic program (observed crashing the v5e
+    tunnel worker).  The block costs one host round-trip (~tens of ms)
+    against transitions that run for seconds, and makes the progress
+    callback report real execution, not dispatch.
     """
-    carries = _warm_init_mapped(logpdf, config, z0s, keys)
+    # canonicalize the static configs per step kind: the warmup transition
+    # never reads num_samples and the draw transition reads only max_depth
+    # (+ never the schedule lengths), so zeroing the unused fields makes the
+    # XLA (persistent) cache key independent of run length — changing
+    # ``--new N burn`` must not recompile the multi-minute step programs
+    warm_cfg = config._replace(num_samples=0)
+    draw_cfg = config._replace(num_warmup=0, num_samples=0)
+
+    carries = _warm_init_mapped(logpdf, warm_cfg, z0s, keys)
     for i in range(config.num_warmup):
-        carries = _warm_step_mapped(logpdf, config, carries,
-                                    jnp.int32(i))
+        carries = jax.block_until_ready(
+            _warm_step_mapped(logpdf, warm_cfg, carries, jnp.int32(i)))
         if progress is not None:
             progress('warmup', i + 1, config.num_warmup)
     z, lp, grad, key, step_size, inv_mass = jax.vmap(_warmup_final)(carries)
@@ -425,8 +442,8 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
     state = ((z, lp, grad, key), step_size, inv_mass)
     samples, logps, astats, divs = [], [], [], []
     for i in range(config.num_samples):
-        state, (zs, lps, asts, dvs) = _draw_step_mapped(logpdf, config,
-                                                        state)
+        state, (zs, lps, asts, dvs) = jax.block_until_ready(
+            _draw_step_mapped(logpdf, draw_cfg, state))
         samples.append(zs)
         logps.append(lps)
         astats.append(asts)
