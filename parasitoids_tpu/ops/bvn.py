@@ -150,6 +150,82 @@ def bvn_upper_grid(h, k, rho, phi_prod=None):
         operand=None)
 
 
+@partial(jax.custom_jvp, nondiff_argnums=(5,))
+def _cell_masses_core(mu, sig_x, sig_y, rho, cell, K):
+    """Corner-CDF cell masses on sanitized inputs (see
+    :func:`bvn_cell_masses` for the contract).  Carries a custom JVP: the
+    quadrature evaluates only the *value*; tangents use the closed-form BVN
+    CDF derivatives (no quadrature, no ``lax.switch``), which makes
+    reverse-mode gradients (MAP/NUTS) cost ~a forward pass instead of
+    differentiating through every Gauss–Legendre node."""
+    dtype = mu.dtype
+    n = 2 * K + 1
+
+    # standardized corner coordinates (x ascending with column index,
+    # y descending with row index — reference orientation)
+    xe = ((jnp.arange(n + 1, dtype=dtype) - K - 0.5) * cell - mu[0]) / sig_x
+    ye = ((K + 0.5 - jnp.arange(n + 1, dtype=dtype)) * cell - mu[1]) / sig_y
+    H = jnp.broadcast_to(xe[:, None], (n + 1, n + 1))
+    Kg = jnp.broadcast_to(ye[None, :], (n + 1, n + 1))
+    # the independence term is separable on the corner lattice: two 1-D
+    # ndtr sweeps instead of 2(n+1)^2 full-grid evaluations
+    phi_prod = ndtr(-xe)[:, None] * ndtr(-ye)[None, :]
+    U = bvn_upper_grid(H, Kg, rho, phi_prod)  # [x_edge, y_edge]
+
+    # cell (row i, col j): x ∈ [xe[j], xe[j+1]], y ∈ [ye[i+1], ye[i]]
+    rect = (U[:-1, 1:] - U[1:, 1:]) - (U[:-1, :-1] - U[1:, :-1])
+    # clamp f32 differencing noise (~1e-8) in the far tails
+    return jnp.maximum(rect.T, 0.0)           # -> [row, col]
+
+
+@_cell_masses_core.defjvp
+def _cell_masses_jvp(K, primals, tangents):
+    """Closed-form tangent of the corner-CDF cell masses.
+
+    With L(h, k; ρ) = P(X > h, Y > k) the upper-orthant probability,
+
+        ∂L/∂h = −φ(h) Φ(−(k − ρh)/√(1−ρ²))
+        ∂L/∂k = −φ(k) Φ(−(h − ρk)/√(1−ρ²))
+        ∂L/∂ρ = φ₂(h, k; ρ)                    (Plackett's identity)
+
+    — all branch-free and quadrature-free.  The cell-mass tangent is the
+    same four-corner difference applied to dU.  Linear in the input
+    tangents, so JAX transposes this rule to get the reverse-mode VJP.
+    """
+    mu, sig_x, sig_y, rho, cell = primals
+    dmu, dsig_x, dsig_y, drho, dcell = tangents
+    dtype = mu.dtype
+    n = 2 * K + 1
+
+    primal_out = _cell_masses_core(mu, sig_x, sig_y, rho, cell, K)
+
+    jcol = jnp.arange(n + 1, dtype=dtype) - K - 0.5          # x multipliers
+    irow = K + 0.5 - jnp.arange(n + 1, dtype=dtype)          # y multipliers
+    xe = (jcol * cell - mu[0]) / sig_x
+    ye = (irow * cell - mu[1]) / sig_y
+    dxe = (jcol * dcell - dmu[0]) / sig_x - xe * (dsig_x / sig_x)
+    dye = (irow * dcell - dmu[1]) / sig_y - ye * (dsig_y / sig_y)
+
+    s2 = jnp.maximum(1.0 - rho * rho, jnp.asarray(1e-12, dtype))
+    s = jnp.sqrt(s2)
+    H = xe[:, None]
+    Kg = ye[None, :]
+    pdf_x = jnp.exp(-0.5 * xe * xe) / _SQRT_2PI              # φ(h), (n+1,)
+    pdf_y = jnp.exp(-0.5 * ye * ye) / _SQRT_2PI              # φ(k), (n+1,)
+    Lh = -pdf_x[:, None] * ndtr(-(Kg - rho * H) / s)         # ∂L/∂h
+    Lk = -pdf_y[None, :] * ndtr(-(H - rho * Kg) / s)         # ∂L/∂k
+    # ∂L/∂ρ = bivariate density; the exponent is ≤ 0 (PD quadratic form),
+    # so exp only ever underflows to 0
+    Q = (H * H - 2.0 * rho * H * Kg + Kg * Kg) / s2
+    Lrho = jnp.exp(-0.5 * Q) / (_TWO_PI * s)
+
+    dU = dxe[:, None] * Lh + dye[None, :] * Lk + drho * Lrho
+    rect_t = (dU[:-1, 1:] - dU[1:, 1:]) - (dU[:-1, :-1] - dU[1:, :-1])
+    # the primal clamps tail differencing noise at 0; zero those tangents
+    tangent_out = jnp.where(primal_out > 0, rect_t.T, 0.0)
+    return primal_out, tangent_out
+
+
 @partial(jax.jit, static_argnames=('K', 'G'))
 def bvn_cell_masses(mu, sig_x, sig_y, rho, cell, K, G=None):
     """Integrate N(mu, S) over every cell of a (2K+1)×(2K+1) grid window.
@@ -176,23 +252,7 @@ def bvn_cell_masses(mu, sig_x, sig_y, rho, cell, K, G=None):
     sig_y = jnp.maximum(jnp.asarray(sig_y, dtype), 1e-8)
     rho = jnp.clip(jnp.asarray(rho, dtype), -1 + 1e-6, 1 - 1e-6)
     cell = jnp.asarray(cell, dtype)
-    n = 2 * K + 1
-
-    # standardized corner coordinates (x ascending with column index,
-    # y descending with row index — reference orientation)
-    xe = ((jnp.arange(n + 1, dtype=dtype) - K - 0.5) * cell - mu[0]) / sig_x
-    ye = ((K + 0.5 - jnp.arange(n + 1, dtype=dtype)) * cell - mu[1]) / sig_y
-    H = jnp.broadcast_to(xe[:, None], (n + 1, n + 1))
-    Kg = jnp.broadcast_to(ye[None, :], (n + 1, n + 1))
-    # the independence term is separable on the corner lattice: two 1-D
-    # ndtr sweeps instead of 2(n+1)^2 full-grid evaluations
-    phi_prod = ndtr(-xe)[:, None] * ndtr(-ye)[None, :]
-    U = bvn_upper_grid(H, Kg, rho, phi_prod)  # [x_edge, y_edge]
-
-    # cell (row i, col j): x ∈ [xe[j], xe[j+1]], y ∈ [ye[i+1], ye[i]]
-    rect = (U[:-1, 1:] - U[1:, 1:]) - (U[:-1, :-1] - U[1:, :-1])
-    # clamp f32 differencing noise (~1e-8) in the far tails
-    return jnp.maximum(rect.T, 0.0)           # -> [row, col]
+    return _cell_masses_core(mu, sig_x, sig_y, rho, cell, K)
 
 
 @partial(jax.jit, static_argnames=('K', 'G'))

@@ -127,3 +127,41 @@ def test_gradients_wrt_all_params(rho0):
     tm = theta.at[4].add(-eps)
     fd = (center_mass(tp) - center_mass(tm)) / (2 * eps)
     np.testing.assert_allclose(g[4], fd, rtol=0.05, atol=1e-4)
+
+
+@pytest.mark.parametrize('case', [
+    # (mu_x, mu_y, sig_x, sig_y, rho) spanning every node-count branch and
+    # both signs of rho, incl. the |rho| > 0.925 asymptotic-series branch
+    (3.0, -7.0, 21.0, 14.0, 0.25),
+    (0.0, 0.0, 4.0, 40.0, -0.8),
+    (10.0, 5.0, 30.0, 30.0, 0.95),
+    (-2.0, 1.0, 12.0, 9.0, -0.97),
+    (1.0, 2.0, 8.0, 8.0, 0.0),
+])
+def test_closed_form_gradient_matches_fd(case):
+    """The corner scheme carries a custom JVP built from the closed-form
+    BVN CDF derivatives (dL/dh = -phi(h) Phi(-(k - rho h)/sqrt(1-rho^2)),
+    dL/drho = the bivariate density, Plackett's identity) instead of
+    differentiating through the Gauss-Legendre quadrature.  Check every
+    parameter's reverse-mode gradient against central differences of the
+    primal, and that jvp == grad . tangent (the transpose is consistent)."""
+    K = 6
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.normal(size=(2 * K + 1, 2 * K + 1)), jnp.float32)
+
+    def f(theta):
+        return jnp.sum(w * bvn_cell_masses(theta[:2], theta[2], theta[3],
+                                           theta[4], theta[5], K))
+
+    theta = jnp.asarray(list(case) + [25.0], jnp.float32)
+    g = np.asarray(jax.grad(f)(theta), np.float64)
+    for i in range(6):
+        eps = 1e-2 * max(1.0, abs(float(theta[i])))
+        fd = (float(f(theta.at[i].add(eps)))
+              - float(f(theta.at[i].add(-eps)))) / (2 * eps)
+        np.testing.assert_allclose(g[i], fd, rtol=5e-2, atol=5e-5,
+                                   err_msg=f'param {i} of case {case}')
+    tangent = jnp.asarray(rng.normal(size=6), jnp.float32)
+    _, jv = jax.jvp(f, (theta,), (tangent,))
+    np.testing.assert_allclose(float(jv), float(g @ np.asarray(tangent)),
+                               rtol=1e-3, atol=1e-5)
