@@ -218,12 +218,10 @@ def main(argv=None):
         if '=' in ov:
             k, _, v = ov.partition('=')
             params.chg_param(k, v)
-    if params.use_pallas is None:
-        # autodiff MAP optimizes with gradients: keep primal and gradient
-        # from the same (XLA) computation at every |rho| — the Pallas
-        # primal's backward rule differentiates the XLA path
-        # (ops/pallas_kernel.py module docstring)
-        params.use_pallas = False
+    # gradients now come from the Pallas backward kernel (closed-form BVN
+    # derivatives, ops/pallas_kernel.py), consistent with the Pallas primal
+    # — so MAP uses the standard TPU-default path; use_pallas=False forces
+    # the XLA path for validation
     setup = BayesSetup(params)
 
     import time

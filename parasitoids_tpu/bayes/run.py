@@ -77,12 +77,11 @@ def build_setup(overrides=(), need_grad=False):
         if '=' in ov:
             key, _, val = ov.partition('=')
             params.chg_param(key, val)
-    if need_grad and params.use_pallas is None:
-        # gradient-based samplers keep log-density and gradient from the
-        # SAME computation at every |rho|: the Pallas primal's fixed-node
-        # quadrature parts ways with its XLA-path backward beyond
-        # |rho| > 0.925 (ops/pallas_kernel.py module docstring)
-        params.use_pallas = False
+    # gradient-based samplers use the Pallas path on TPU like every other
+    # driver: the backward is now a Pallas kernel built from the closed-form
+    # BVN CDF derivatives (ops/pallas_kernel.py ``_day_bwd_kernel``), so the
+    # log-density and its gradient come from the same on-chip computation;
+    # use_pallas=False still forces the XLA path for validation
     return BayesSetup(params)
 
 

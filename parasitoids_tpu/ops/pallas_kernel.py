@@ -27,10 +27,10 @@ G=20 (the XLA path selects 6/12/20 from |ρ| via ``lax.switch``), and the
 0.925).  This path is the **default on TPU** (validated on v5e: matches the
 XLA path to ≤2e-7 per cell at the headline config, ~8× faster);
 ``use_pallas=True/False`` forces it either way.  Gradient-based drivers
-(autodiff MAP, NUTS) default to the XLA path instead so that their
-log-density and its gradient come from the *same* computation at every |ρ|
-(the custom VJP below differentiates the XLA math; for |ρ| > 0.925 the two
-paths' primals part ways).
+(autodiff MAP, NUTS) use it too: the custom VJP's backward pass is a second
+Pallas kernel (``_day_bwd_kernel``) built from the closed-form BVN CDF
+derivatives (the same formulas as ops/bvn.py ``_cell_masses_jvp``), so the
+log-density and its gradient come from the same on-chip computation.
 """
 
 from __future__ import annotations
@@ -245,15 +245,217 @@ def _accumulate_impl(h_scat, cdf_mu, idx, clipped, Dparams, cell,
     return buf[:buf_len, :buf_len], loss[0, 0]
 
 
+def _day_bwd_kernel(params_ref, quad_ref, h_ref, mux_ref, muy_ref, idxr_ref,
+                    idxc_ref, clip_ref, ct_ref, dh_ref, dmux_ref, dmuy_ref,
+                    dcl_ref, dscal_ref, *, K, G, H, W, dtype):
+    """Backward of one flight minute: gather the cotangent window, rebuild
+    the primal block, and contract against the **closed-form** BVN CDF
+    derivative lattices (ops/bvn.py ``_cell_masses_jvp``):
+
+        ∂L/∂h = −φ(h) Φ(−(k − ρh)/√(1−ρ²))
+        ∂L/∂k = −φ(k) Φ(−(h − ρk)/√(1−ρ²))
+        ∂L/∂ρ = φ₂(h, k; ρ)          (Plackett's identity)
+
+    so the backward costs ~the forward's quadrature rebuild plus three
+    coefficient lattices — no per-node differentiation.  Per-minute
+    gradients (dh, dμx, dμy, dclip) write to SMEM vectors; the shared
+    scalars (dσx, dσy, dρ, dcell) accumulate in one SMEM row."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t = pl.program_id(0)
+    n = 2 * K + 1
+
+    @pl.when(t == 0)
+    def _():
+        dscal_ref[0, 0] = jnp.asarray(0.0, dtype)
+        dscal_ref[0, 1] = jnp.asarray(0.0, dtype)
+        dscal_ref[0, 2] = jnp.asarray(0.0, dtype)
+        dscal_ref[0, 3] = jnp.asarray(0.0, dtype)
+
+    sig_x = params_ref[0]
+    sig_y = params_ref[1]
+    rho = params_ref[2]
+    cell = params_ref[3]
+    inv_s = params_ref[4]                          # 1/√(1−ρ²)
+    inv_s2 = params_ref[5]                         # 1/(1−ρ²)
+    ct_loss = params_ref[6]
+    mux = mux_ref[t]
+    muy = muy_ref[t]
+    h_t = h_ref[t]
+    clip_t = clip_ref[t]
+
+    r0 = idxr_ref[t]
+    c0 = idxc_ref[t]
+    r0a = pl.multiple_of((r0 // 8) * 8, 8)
+    c0a = pl.multiple_of((c0 // 128) * 128, 128)
+    dr = r0 - r0a
+    dc = c0 - c0a
+
+    # cotangent window: aligned tile, rotated back (cyclic, so a shift of
+    # H−dr ≡ −dr; no wrap reaches [:n, :n] since dr + n <= H, dc + n <= W;
+    # the where keeps the shift in [0, size) for Mosaic's dynamic roll)
+    tile = ct_ref[pl.ds(r0a, H), pl.ds(c0a, W)]
+    sr = jnp.where(dr == 0, 0, H - dr)
+    sc = jnp.where(dc == 0, 0, W - dc)
+    win = pltpu.roll(pltpu.roll(tile, sc, 1), sr, 0)
+    ct_win = win[:n, :n]
+
+    # --- primal rebuild (same math as _day_kernel) ---------------------
+    col = lax.broadcasted_iota(jnp.int32, (1, n + 1), 1).astype(dtype)
+    row = lax.broadcasted_iota(jnp.int32, (n + 1, 1), 0).astype(dtype)
+    xe = ((col - (K + 0.5)) * cell - mux) / sig_x           # (1, n+1)
+    ye = (((K + 0.5) - row) * cell - muy) / sig_y           # (n+1, 1)
+
+    hk = xe * ye
+    hs = 0.5 * (xe * xe + ye * ye)
+    U = jnp.zeros((n + 1, n + 1), dtype)
+    for g in range(G):
+        sn = quad_ref[0, g]
+        wfac = quad_ref[1, g]
+        inv = quad_ref[2, g]
+        U = U + wfac * jnp.exp((sn * hk - hs) * inv)
+    U = U + _ndtr(-xe) * _ndtr(-ye)
+    rect = ((U[1:, :-1] - U[1:, 1:]) - (U[:-1, :-1] - U[:-1, 1:]))
+    block = jnp.maximum(rect, 0.0)
+    bsum = jnp.sum(block)
+
+    # --- direct gradients ----------------------------------------------
+    dh_ref[t] = jnp.sum(ct_win * block) + ct_loss * clip_t * (1.0 - bsum)
+    dcl_ref[t] = ct_loss * h_t * (1.0 - bsum)
+
+    # cotangent on the block (buffer contribution h·block plus the loss
+    # term −ct_loss·clip·h·bsum), masked by the max(rect, 0) clamp
+    ctb = jnp.where(rect > 0, h_t * ct_win - ct_loss * clip_t * h_t, 0.0)
+
+    # adjoint of the four-corner difference: ct_U[i,j] = ctb[i−1,j]
+    # − ctb[i−1,j−1] − ctb[i,j] + ctb[i,j−1]  (out-of-range ctb = 0)
+    zero = jnp.asarray(0.0, dtype)
+    t1 = lax.pad(ctb, zero, ((1, 0, 0), (0, 1, 0)))
+    t2 = lax.pad(ctb, zero, ((1, 0, 0), (1, 0, 0)))
+    t3 = lax.pad(ctb, zero, ((0, 1, 0), (0, 1, 0)))
+    t4 = lax.pad(ctb, zero, ((0, 1, 0), (1, 0, 0)))
+    ctU = t1 - t2 - t3 + t4                                 # (n+1, n+1)
+
+    # closed-form derivative lattices
+    inv_sqrt2pi = jnp.asarray(1.0 / _SQRT_2PI_F, dtype)
+    pdf_x = jnp.exp(-0.5 * xe * xe) * inv_sqrt2pi           # φ(xe), (1,n+1)
+    pdf_y = jnp.exp(-0.5 * ye * ye) * inv_sqrt2pi           # φ(ye), (n+1,1)
+    Lx = -pdf_x * _ndtr(-(ye - rho * xe) * inv_s)           # ∂U/∂xe_j
+    Ly = -pdf_y * _ndtr(-(xe - rho * ye) * inv_s)           # ∂U/∂ye_i
+    Q = (xe * xe - 2.0 * rho * hk + ye * ye) * inv_s2
+    Lrho = jnp.exp(-0.5 * Q) * (inv_s / _TWO_PI)            # φ₂(xe, ye; ρ)
+
+    dxe = jnp.sum(ctU * Lx, axis=0, keepdims=True)          # (1, n+1)
+    dye = jnp.sum(ctU * Ly, axis=1, keepdims=True)          # (n+1, 1)
+
+    # chain through the standardization
+    dmux_ref[t] = -jnp.sum(dxe) / sig_x
+    dmuy_ref[t] = -jnp.sum(dye) / sig_y
+    dscal_ref[0, 0] += -jnp.sum(dxe * xe) / sig_x           # dσx
+    dscal_ref[0, 1] += -jnp.sum(dye * ye) / sig_y           # dσy
+    dscal_ref[0, 2] += jnp.sum(ctU * Lrho)                  # dρ
+    dscal_ref[0, 3] += (jnp.sum(dxe * (col - (K + 0.5))) / sig_x
+                        + jnp.sum(dye * ((K + 0.5) - row)) / sig_y)  # dcell
+
+
+@partial(jax.jit, static_argnames=('K', 'G', 'buf_len', 'interpret'))
+def _accumulate_bwd_impl(ct_buf, ct_loss, h_scat, cdf_mu, idx, clipped,
+                         Dparams, cell, K: int, G: int, buf_len: int,
+                         interpret: bool = False):
+    """Pallas backward of ``_accumulate_impl``: one sequential grid pass
+    over the day's minutes against the (padded) buffer cotangent."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    dtype = h_scat.dtype
+    T = h_scat.shape[0]
+    n = 2 * K + 1
+    H = -(-(n + 7) // 8) * 8
+    W = -(-(n + 127) // 128) * 128
+    max_start = buf_len - n
+    buf_rows = max((max_start // 8) * 8 + H, buf_len)
+    buf_cols = max((max_start // 128) * 128 + W, buf_len)
+
+    sig_x_r, sig_y_r, rho_r = Dparams
+    sig_x = jnp.maximum(jnp.asarray(sig_x_r, dtype), 1e-8)
+    sig_y = jnp.maximum(jnp.asarray(sig_y_r, dtype), 1e-8)
+    rho = jnp.clip(jnp.asarray(rho_r, dtype), -1 + 1e-6, 1 - 1e-6)
+    s2 = jnp.maximum(1.0 - rho * rho, jnp.asarray(1e-12, dtype))
+    s = jnp.sqrt(s2)
+    params = jnp.stack([sig_x, sig_y, rho, jnp.asarray(cell, dtype),
+                        1.0 / s, 1.0 / s2, jnp.asarray(ct_loss, dtype)])
+
+    Gq = _G_NODES
+    x_np, w_np = gauss_legendre(Gq)
+    x = jnp.asarray(x_np, dtype)
+    w = jnp.asarray(w_np, dtype)
+    asr = jnp.arcsin(rho)
+    sn = jnp.sin(asr * 0.5 * (1.0 + x))
+    wfac = w * asr / (2.0 * _TWO_PI)
+    inv = 1.0 / (1.0 - sn * sn)
+    quad = jnp.stack([sn, wfac, inv])
+
+    ct_pad = jnp.pad(jnp.asarray(ct_buf, dtype),
+                     ((0, buf_rows - buf_len), (0, buf_cols - buf_len)))
+
+    kernel = partial(_day_bwd_kernel, K=K, G=Gq, H=H, W=W, dtype=dtype)
+    dh, dmux, dmuy, dcl, dscal = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # params (7,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # quad (3, Gq)
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # h (T,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # mu_x (T,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # mu_y (T,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # idx_r (T,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # idx_c (T,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # clipped (T,)
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # ct buffer
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # dh (T,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # dmux (T,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # dmuy (T,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # dcl (T,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # dscal (1, 4)
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T,), dtype),
+            jax.ShapeDtypeStruct((T,), dtype),
+            jax.ShapeDtypeStruct((T,), dtype),
+            jax.ShapeDtypeStruct((T,), dtype),
+            jax.ShapeDtypeStruct((1, 4), dtype),
+        ),
+        interpret=interpret,
+    )(params, quad, h_scat, cdf_mu[:, 0], cdf_mu[:, 1],
+      idx[:, 0], idx[:, 1], clipped, ct_pad)
+
+    # clamp/clip VJPs of the sanitization above (flat outside the active
+    # region, exactly like the XLA path's maximum/clip rules)
+    dsig_x = jnp.where(jnp.asarray(sig_x_r, dtype) > 1e-8,
+                       dscal[0, 0], 0.0)
+    dsig_y = jnp.where(jnp.asarray(sig_y_r, dtype) > 1e-8,
+                       dscal[0, 1], 0.0)
+    drho = jnp.where(jnp.abs(jnp.asarray(rho_r, dtype)) < 1.0 - 1e-6,
+                     dscal[0, 2], 0.0)
+    dmu = jnp.stack([dmux, dmuy], axis=1)
+    return dh, dmu, dcl, (dsig_x, dsig_y, drho), dscal[0, 3]
+
+
+_SQRT_2PI_F = float(np.sqrt(2.0 * np.pi))
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def pallas_accumulate_day(h_scat, cdf_mu, idx, clipped, Dparams, cell,
                           K: int, G: int, buf_len: int,
                           interpret: bool = False):
     """Fused Pallas day accumulation (see ``_accumulate_impl``) with a
-    custom VJP: Mosaic kernels have no autodiff, so the backward pass
-    recomputes through the mathematically-identical XLA scatter path
-    (``ops.daily_kernel.xla_accumulate_day``) — gradient users (MAP, NUTS)
-    keep the fast Pallas primal."""
+    custom VJP: Mosaic kernels have no autodiff, so the backward pass is a
+    second Pallas kernel (``_day_bwd_kernel``) built from the closed-form
+    BVN CDF derivatives — gradient users (MAP, NUTS) keep both the fast
+    Pallas primal *and* a device-rate backward."""
     return _accumulate_impl(h_scat, cdf_mu, idx, clipped, Dparams, cell,
                             K, G, buf_len, interpret)
 
@@ -267,14 +469,12 @@ def _accumulate_fwd(h_scat, cdf_mu, idx, clipped, Dparams, cell,
 
 def _accumulate_bwd(K, G, buf_len, interpret, res, ct):
     h_scat, cdf_mu, idx, clipped, Dparams, cell = res
-    from .daily_kernel import xla_accumulate_day
-
-    def f(h, mu, cl, Dp, c):
-        return xla_accumulate_day(h, mu, idx, cl, Dp, c, K, G, buf_len)
-
-    _, vjp = jax.vjp(f, h_scat, cdf_mu, clipped, Dparams, cell)
-    dh, dmu, dcl, dD, dc = vjp(ct)
+    ct_buf, ct_loss = ct
+    dh, dmu, dcl, dD, dc = _accumulate_bwd_impl(
+        ct_buf, ct_loss, h_scat, cdf_mu, idx, clipped, Dparams, cell,
+        K, G, buf_len, interpret)
     didx = np.zeros(idx.shape, jax.dtypes.float0)   # integer arg
+    dc = jnp.asarray(dc, jnp.result_type(cell))
     return dh, dmu, didx, dcl, dD, dc
 
 

@@ -84,3 +84,47 @@ def test_pallas_gradient_matches_xla_path():
     for a, b in zip(g_p, g_x):
         assert float(b) != 0.0
         np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
+
+
+def test_pallas_backward_kernel_all_inputs():
+    """Direct VJP parity of ``pallas_accumulate_day`` (whose backward is
+    the Pallas ``_day_bwd_kernel`` with closed-form BVN derivatives)
+    against autodiff through ``xla_accumulate_day`` — for every
+    differentiable input (h_scat, cdf_mu, Dparams, cell) and with a
+    nonzero cotangent on BOTH outputs (buffer and clipped-block loss)."""
+    import jax
+    from parasitoids_tpu.ops.daily_kernel import xla_accumulate_day
+    from parasitoids_tpu.ops.pallas_kernel import pallas_accumulate_day
+
+    interpret = jax.default_backend() != 'tpu'
+    rng = np.random.default_rng(7)
+    T, K, buf_len = 24, 5, 64
+    n = 2 * K + 1
+    h = jnp.asarray(rng.uniform(0.0, 1e-3, T), jnp.float32)
+    mu = jnp.asarray(rng.uniform(-12.0, 12.0, (T, 2)), jnp.float32)
+    # some interior blocks, some at the clip boundary (idx extremes)
+    idx = jnp.asarray(rng.integers(0, buf_len - n + 1, (T, 2)), jnp.int32)
+    clipped = jnp.asarray(rng.integers(0, 2, T), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(buf_len, buf_len)), jnp.float32)
+
+    def obj(theta, path):
+        Dp = (theta[0], theta[1], theta[2])
+        hh = h * theta[3]
+        mm = mu + theta[4]
+        cl = clipped * theta[5]
+        if path == 'pallas':
+            buf, loss = pallas_accumulate_day(hh, mm, idx, cl, Dp,
+                                              theta[6], K, 8, buf_len,
+                                              interpret)
+        else:
+            buf, loss = xla_accumulate_day(hh, mm, idx, cl, Dp, theta[6],
+                                           K, 8, buf_len)
+        return (w * buf).sum() + 3.0 * loss
+
+    theta = jnp.asarray([21.1, 10.6, 0.35, 1.0, 0.0, 1.0, 25.0],
+                        jnp.float32)
+    g_p = np.asarray(jax.grad(lambda t: obj(t, 'pallas'))(theta))
+    g_x = np.asarray(jax.grad(lambda t: obj(t, 'xla'))(theta))
+    assert np.all(np.isfinite(g_p))
+    assert np.linalg.norm(g_x) > 0
+    np.testing.assert_allclose(g_p, g_x, rtol=2e-4, atol=1e-7)
