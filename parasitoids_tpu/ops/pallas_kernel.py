@@ -49,6 +49,7 @@ __all__ = ['pallas_accumulate_day', 'pallas_available']
 _SQRT2 = float(np.sqrt(2.0))
 _TWO_PI = 2.0 * np.pi
 _G_NODES = 20
+_SQRT_2PI_F = float(np.sqrt(2.0 * np.pi))
 
 
 def pallas_available() -> bool:
@@ -443,8 +444,6 @@ def _accumulate_bwd_impl(ct_buf, ct_loss, h_scat, cdf_mu, idx, clipped,
     dmu = jnp.stack([dmux, dmuy], axis=1)
     return dh, dmu, dcl, (dsig_x, dsig_y, drho), dscal[0, 3]
 
-
-_SQRT_2PI_F = float(np.sqrt(2.0 * np.pi))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
