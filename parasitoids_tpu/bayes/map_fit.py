@@ -146,10 +146,21 @@ def laplace_approximation(setup: BayesSetup, fit):
     Bayes_MAP.py:521-569): returns means and the full covariance in the
     *unconstrained* space plus per-parameter standard deviations mapped
     back through the bijections by linearization."""
+    if setup.setup.kcfg.pallas:
+        # jax.hessian is forward-over-reverse, and the Pallas day kernel's
+        # custom_vjp admits no forward mode — evaluate the one-time Hessian
+        # through the XLA path (custom_jvp there is fwd-differentiable;
+        # primals agree to ~2e-7).  The Adam fit itself keeps Pallas grads.
+        import copy
+        params = copy.copy(setup.params)
+        params.use_pallas = False
+        setup = BayesSetup(params, sprd_factor=setup.sprd_factor)
     neg_logpost, constrain, _ = _make_objective(setup, fit['use_sprd'])
     z = jnp.asarray(fit['z'])
     H = jax.jit(jax.hessian(neg_logpost))(z)
-    H = np.asarray(H)
+    # np.array (copy): np.asarray of a CPU-backend jax array is a read-only
+    # zero-copy view, and the regularization below writes in place
+    H = np.array(H)
     # regularize singular directions (e.g. the fixed n_periods slot)
     for i in range(H.shape[0]):
         if abs(H[i, i]) < 1e-12:

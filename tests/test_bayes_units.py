@@ -134,3 +134,38 @@ def test_effective_sample_size():
     for i in range(1, 4000):
         ar[i] = 0.95 * ar[i - 1] + rng.normal()
     assert effective_sample_size(ar) < 500
+
+
+@pytest.mark.slow
+def test_laplace_through_pallas_setup():
+    """``jax.hessian`` is forward-over-reverse and the Pallas day kernel's
+    custom_vjp admits no forward mode — ``laplace_approximation`` must
+    detect a Pallas-path setup and evaluate the Hessian through the XLA
+    path (map_fit.py).  Exercise the full MAP + Laplace flow on a
+    Pallas(interpret) setup."""
+    from parasitoids_tpu.bayes.map_fit import laplace_approximation, map_fit
+    from parasitoids_tpu.bayes.model import BayesSetup
+    from parasitoids_tpu.config import Params
+
+    p = Params()
+    p.cmd_line_chg(['--kalbar'])
+    p.PLOT = False
+    p.OUTPUT = False
+    p.PROB_MODEL = False
+    p.ndays = 3
+    p.domain_info = (10000.0, 50)
+    p.interp_num = 2
+    p.kernel_rad = 6
+    p.kernel_rad_local = 3
+    p.quad_nodes = 8
+    setup = BayesSetup(p)
+    # force the Pallas path in interpret mode (no TPU in CI)
+    setup.setup = setup.setup._replace(
+        kcfg=setup.setup.kcfg._replace(pallas=True, interpret=True))
+    assert setup.setup.kcfg.pallas
+    fit = map_fit(setup, n_steps=3, use_sprd=False)
+    assert np.isfinite(fit['logp'])
+    lap = laplace_approximation(setup, fit)
+    sd = lap['sd_theta']
+    assert np.all(np.isfinite(sd))
+    assert np.any(sd > 0)
