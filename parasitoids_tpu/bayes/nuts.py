@@ -401,8 +401,19 @@ def _draw_step_mapped(logpdf, config, state):
     return (carries, state[1], state[2]), outs
 
 
+def _ckpt_save(path, payload):
+    """Atomic checkpoint write (tmp + rename)."""
+    import os
+
+    import numpy as np
+    tmp = path + '.tmp.npz'     # explicit suffix so np.savez appends nothing
+    np.savez(tmp, **payload)
+    os.replace(tmp, path)
+
+
 def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
-                         progress=None):
+                         progress=None, checkpoint_path=None,
+                         checkpoint_every=25, resume=False):
     """Host-dispatched NUTS over stacked chains (leading axis of
     ``z0s``/``keys``): same math as :func:`nuts_sample`, but each transition
     is its own bounded device program.  Long monolithic sampler programs can
@@ -414,6 +425,14 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
     ``progress``: optional callable(phase, step_index, total) for logging.
     Returns the same dict as ``nuts_sample`` with a leading chain axis.
 
+    ``checkpoint_path``/``checkpoint_every``: persist the complete sampler
+    state (warmup carry or draw state incl. RNG keys, plus draws so far)
+    every N transitions — hosted-accelerator tunnels die occasionally, and
+    warmup at full scale is minutes of work.  ``resume=True`` continues
+    from the checkpoint and reproduces the uninterrupted run EXACTLY
+    (bitwise — the state round-trips); a completed run deletes its
+    checkpoint.
+
     Every transition is synchronized (``jax.block_until_ready``) before the
     next is dispatched: JAX dispatch is asynchronous, so without the block
     the host loop enqueues the *entire* run in seconds and the accelerator
@@ -423,6 +442,10 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
     against transitions that run for seconds, and makes the progress
     callback report real execution, not dispatch.
     """
+    import os
+
+    import numpy as np
+
     # canonicalize the static configs per step kind: the warmup transition
     # never reads num_samples and the draw transition reads only max_depth
     # (+ never the schedule lengths), so zeroing the unused fields makes the
@@ -431,26 +454,104 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
     warm_cfg = config._replace(num_samples=0)
     draw_cfg = config._replace(num_warmup=0, num_samples=0)
 
-    carries = _warm_init_mapped(logpdf, warm_cfg, z0s, keys)
-    for i in range(config.num_warmup):
+    # ------------------------------------------------------------------
+    # checkpoint/resume: the warmup carry is a flat tuple of arrays and the
+    # draw state is ((z, lp, grad, key), step_size, inv_mass), so both
+    # phases serialize to a plain npz.  A tunnel/infra crash mid-run loses
+    # at most ``checkpoint_every`` transitions.
+    cfg_sig = np.asarray([config.num_warmup, config.num_samples,
+                          config.max_depth, np.asarray(z0s).shape[0],
+                          np.asarray(z0s).shape[1]])
+    samples, logps, astats, divs = [], [], [], []
+    start_w, start_d = 0, 0
+    carries = state = None
+    if resume:
+        if not (checkpoint_path and os.path.exists(checkpoint_path)):
+            raise FileNotFoundError(
+                'no NUTS checkpoint at {!r}'.format(checkpoint_path))
+        with np.load(checkpoint_path, allow_pickle=False) as d:
+            if not np.array_equal(d['cfg_sig'], cfg_sig):
+                raise ValueError(
+                    'checkpoint config {} does not match requested {} '
+                    '(num_warmup num_samples max_depth chains dim)'.format(
+                        d['cfg_sig'].tolist(), cfg_sig.tolist()))
+            phase = str(d['phase'])
+            if phase == 'warmup':
+                start_w = int(d['i'])
+                nleaf = int(d['n_leaves'])
+                carries = tuple(jnp.asarray(d['w%d' % k])
+                                for k in range(nleaf))
+            else:
+                start_w = config.num_warmup
+                start_d = int(d['i'])
+                state = ((jnp.asarray(d['z']), jnp.asarray(d['lp']),
+                          jnp.asarray(d['grad']), jnp.asarray(d['key'])),
+                         jnp.asarray(d['step_size']),
+                         jnp.asarray(d['inv_mass']))
+                if start_d:
+                    samples = [np.asarray(s) for s in
+                               d['samples'].swapaxes(0, 1)[:start_d]]
+                    logps = [np.asarray(x) for x in
+                             d['logp'].swapaxes(0, 1)[:start_d]]
+                    astats = [np.asarray(x) for x in
+                              d['astat'].swapaxes(0, 1)[:start_d]]
+                    divs = [np.asarray(x) for x in
+                            d['div'].swapaxes(0, 1)[:start_d]]
+
+    def _save_warm(i, carries):
+        leaves = [np.asarray(c) for c in carries]
+        payload = {'phase': 'warmup', 'i': i, 'cfg_sig': cfg_sig,
+                   'n_leaves': len(leaves)}
+        payload.update({'w%d' % k: v for k, v in enumerate(leaves)})
+        _ckpt_save(checkpoint_path, payload)
+
+    def _save_draw(i, state):
+        (z, lp, grad, key), step_size, inv_mass = state
+        payload = {'phase': 'draw', 'i': i, 'cfg_sig': cfg_sig,
+                   'z': np.asarray(z), 'lp': np.asarray(lp),
+                   'grad': np.asarray(grad), 'key': np.asarray(key),
+                   'step_size': np.asarray(step_size),
+                   'inv_mass': np.asarray(inv_mass),
+                   'samples': (np.stack(samples, axis=1) if samples else
+                               np.zeros((cfg_sig[3], 0, cfg_sig[4]),
+                                        np.float32)),
+                   'logp': (np.stack(logps, axis=1) if logps else
+                            np.zeros((cfg_sig[3], 0), np.float32)),
+                   'astat': (np.stack(astats, axis=1) if astats else
+                             np.zeros((cfg_sig[3], 0), np.float32)),
+                   'div': (np.stack(divs, axis=1) if divs else
+                           np.zeros((cfg_sig[3], 0), bool))}
+        _ckpt_save(checkpoint_path, payload)
+
+    # ------------------------------------------------------------------
+    if carries is None and state is None:
+        carries = _warm_init_mapped(logpdf, warm_cfg, z0s, keys)
+    for i in range(start_w, config.num_warmup):
         carries = jax.block_until_ready(
             _warm_step_mapped(logpdf, warm_cfg, carries, jnp.int32(i)))
         if progress is not None:
             progress('warmup', i + 1, config.num_warmup)
-    z, lp, grad, key, step_size, inv_mass = jax.vmap(_warmup_final)(carries)
+        if checkpoint_path and (i + 1) % checkpoint_every == 0:
+            _save_warm(i + 1, carries)
+    if state is None:
+        z, lp, grad, key, step_size, inv_mass = jax.vmap(_warmup_final)(
+            carries)
+        state = ((z, lp, grad, key), step_size, inv_mass)
 
-    state = ((z, lp, grad, key), step_size, inv_mass)
-    samples, logps, astats, divs = [], [], [], []
-    for i in range(config.num_samples):
+    for i in range(start_d, config.num_samples):
         state, (zs, lps, asts, dvs) = jax.block_until_ready(
             _draw_step_mapped(logpdf, draw_cfg, state))
-        samples.append(zs)
-        logps.append(lps)
-        astats.append(asts)
-        divs.append(dvs)
+        samples.append(np.asarray(zs))
+        logps.append(np.asarray(lps))
+        astats.append(np.asarray(asts))
+        divs.append(np.asarray(dvs))
         if progress is not None:
             progress('sample', i + 1, config.num_samples)
-    import numpy as np
+        if checkpoint_path and (i + 1) % checkpoint_every == 0:
+            _save_draw(i + 1, state)
+    step_size, inv_mass = state[1], state[2]
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        os.remove(checkpoint_path)   # run completed; drop the checkpoint
     n_chains, dim = np.asarray(z0s).shape
     if samples:
         samples = np.stack([np.asarray(s) for s in samples], axis=1)

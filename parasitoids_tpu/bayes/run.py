@@ -16,6 +16,7 @@ HDF5 database; Gelman–Rubin is printed automatically when >= 2 chains.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -38,7 +39,12 @@ group.add_argument('--new', nargs=3,
                    metavar=('iterations', 'burn-in', 'db_name'),
                    help='Start a new MCMC run.')
 group.add_argument('--resume', nargs=2, metavar=('db_name', 'iterations'),
-                   help='Resume sampling from a saved run.')
+                   help='Resume sampling from a saved run.  AM: continue '
+                        'the stored chain for <iterations> more samples.  '
+                        'NUTS: continue an interrupted run from its '
+                        '<db>.ckpt.npz transition checkpoint to the '
+                        'originally requested totals (<iterations> '
+                        'ignored).')
 parser.add_argument('--chains', type=int, default=1,
                     help='number of parallel chains (vmapped/sharded)')
 parser.add_argument('--sampler', choices=['am', 'nuts'], default='am',
@@ -151,22 +157,38 @@ def run_nuts(args, setup):
     from .nuts import (NUTSConfig, make_transformed_logpdf,
                        nuts_sample_stepwise)
 
-    if args.new is None:
-        raise SystemExit('--resume is only supported for the AM sampler; '
-                         'rerun NUTS with --new (warmup re-adapts).')
-    n_samples, burn, db = int(args.new[0]), int(args.new[1]), args.new[2]
-    logpdf, constrain, z0 = make_transformed_logpdf(setup)
-    z0 = _nuts_init_point(args, setup, z0)
-    cfg = NUTSConfig(num_warmup=max(burn, 10), num_samples=n_samples,
-                     max_depth=args.max_depth)
+    resume = args.new is None
+    if resume:
+        # --resume <db> <iters>: continue an interrupted run from its
+        # transition checkpoint to the originally requested totals (the
+        # iters argument is ignored — warmup schedules are length-bound)
+        db = args.resume[0]
+        ckpt = db.removesuffix('.npz') + '.ckpt.npz'
+        if not os.path.exists(ckpt):
+            raise SystemExit('no NUTS checkpoint at {!r} (a completed run '
+                             'deletes it; rerun with --new)'.format(ckpt))
+        with np.load(ckpt) as d:
+            nw, ns, md, nch, _dim = (int(v) for v in d['cfg_sig'])
+        n_samples = ns
+        cfg = NUTSConfig(num_warmup=nw, num_samples=ns, max_depth=md)
+        args.chains = nch
+        logpdf, constrain, z0 = make_transformed_logpdf(setup)
+    else:
+        n_samples, burn, db = int(args.new[0]), int(args.new[1]), args.new[2]
+        ckpt = db.removesuffix('.npz') + '.ckpt.npz'
+        logpdf, constrain, z0 = make_transformed_logpdf(setup)
+        z0 = _nuts_init_point(args, setup, z0)
+        cfg = NUTSConfig(num_warmup=max(burn, 10), num_samples=n_samples,
+                         max_depth=args.max_depth)
     keys = random.split(random.PRNGKey(args.seed), args.chains)
     # small per-chain jitter in z-space so chains are distinguishable
     z0s = (jnp.broadcast_to(z0, (args.chains,) + z0.shape) +
            0.01 * random.normal(random.PRNGKey(args.seed + 1),
                                 (args.chains,) + z0.shape, z0.dtype))
 
-    print('NUTS: {} chains, {} warmup + {} samples, max depth {}...'.format(
-        args.chains, cfg.num_warmup, n_samples, cfg.max_depth))
+    print('NUTS: {} chains, {} warmup + {} samples, max depth {}{}...'.format(
+        args.chains, cfg.num_warmup, n_samples, cfg.max_depth,
+        ' (resuming)' if resume else ''))
     tic = time.time()
 
     def progress(phase, i, total):
@@ -180,7 +202,10 @@ def run_nuts(args, setup):
     # inside each step the chains run under lax.map, not vmap: a
     # chain-batched rho batches the BVN lax.switch, which then executes
     # every branch (see parallel/chains.py)
-    out = nuts_sample_stepwise(logpdf, z0s, keys, cfg, progress=progress)
+    out = nuts_sample_stepwise(
+        logpdf, z0s, keys, cfg, progress=progress, checkpoint_path=ckpt,
+        checkpoint_every=max(1, min(args.checkpoint_every, 25)),
+        resume=resume)
     samples = np.asarray(out['samples'])     # (chains, n, dim) z-space
     dt = time.time() - tic
     print('NUTS finished: {:.1f} s ({:.3f} s/sample/chain); accept {:.2f}, '

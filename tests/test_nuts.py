@@ -170,3 +170,73 @@ def test_nuts_map_init_zpacking_compatible():
     assert np.isfinite(np.asarray(m_vec)).all()
     assert np.isfinite(np.asarray(o_vec)).all()
     assert float(m_vec[13]) == 30.0
+
+
+@pytest.mark.parametrize('interrupt', ['warmup', 'draw'])
+def test_stepwise_checkpoint_resume_exact(tmp_path, interrupt):
+    """A run interrupted mid-warmup or mid-draw and resumed from its
+    transition checkpoint must produce EXACTLY the draws of an
+    uninterrupted run (the checkpoint holds the full sampler state
+    including RNG keys), and a completed run deletes its checkpoint."""
+    import os
+
+    from parasitoids_tpu.bayes.nuts import nuts_sample_stepwise
+
+    cfg = NUTSConfig(num_warmup=8, num_samples=10, max_depth=4)
+    z0s = jnp.zeros((2, 2))
+    keys = random.split(random.PRNGKey(5), 2)
+    ckpt = str(tmp_path / 'run.ckpt.npz')
+
+    ref = nuts_sample_stepwise(_corr_gauss_logpdf, z0s, keys, cfg)
+
+    class Stop(Exception):
+        pass
+
+    stop_at = ('warmup', 5) if interrupt == 'warmup' else ('sample', 4)
+
+    def interrupter(phase, i, total):
+        if (phase, i) == stop_at:
+            raise Stop
+
+    with pytest.raises(Stop):
+        nuts_sample_stepwise(_corr_gauss_logpdf, z0s, keys, cfg,
+                             progress=interrupter, checkpoint_path=ckpt,
+                             checkpoint_every=2)
+    assert os.path.exists(ckpt)
+
+    out = nuts_sample_stepwise(_corr_gauss_logpdf, z0s, keys, cfg,
+                               checkpoint_path=ckpt, checkpoint_every=2,
+                               resume=True)
+    np.testing.assert_array_equal(out['samples'], ref['samples'])
+    np.testing.assert_array_equal(out['logp'], ref['logp'])
+    np.testing.assert_allclose(out['step_size'], ref['step_size'])
+    assert not os.path.exists(ckpt)   # completed run drops the checkpoint
+
+
+def test_stepwise_resume_rejects_mismatched_config(tmp_path):
+    import os
+
+    from parasitoids_tpu.bayes.nuts import nuts_sample_stepwise
+
+    cfg = NUTSConfig(num_warmup=6, num_samples=4, max_depth=4)
+    z0s = jnp.zeros((2, 2))
+    keys = random.split(random.PRNGKey(6), 2)
+    ckpt = str(tmp_path / 'r.ckpt.npz')
+
+    class Stop(Exception):
+        pass
+
+    def interrupter(phase, i, total):
+        if (phase, i) == ('warmup', 4):
+            raise Stop
+
+    with pytest.raises(Stop):
+        nuts_sample_stepwise(_corr_gauss_logpdf, z0s, keys, cfg,
+                             progress=interrupter, checkpoint_path=ckpt,
+                             checkpoint_every=2)
+    assert os.path.exists(ckpt)
+    with pytest.raises(ValueError, match='does not match'):
+        nuts_sample_stepwise(_corr_gauss_logpdf, z0s, keys,
+                             cfg._replace(max_depth=5),
+                             checkpoint_path=ckpt, checkpoint_every=2,
+                             resume=True)
