@@ -413,7 +413,7 @@ def _ckpt_save(path, payload):
 
 def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
                          progress=None, checkpoint_path=None,
-                         checkpoint_every=25, resume=False):
+                         checkpoint_every=25, resume=False, mesh=None):
     """Host-dispatched NUTS over stacked chains (leading axis of
     ``z0s``/``keys``): same math as :func:`nuts_sample`, but each transition
     is its own bounded device program.  Long monolithic sampler programs can
@@ -453,6 +453,29 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
     # ``--new N burn`` must not recompile the multi-minute step programs
     warm_cfg = config._replace(num_samples=0)
     draw_cfg = config._replace(num_warmup=0, num_samples=0)
+
+    # ------------------------------------------------------------------
+    # chain execution: lax.map per device (never vmap — a chain-batched rho
+    # batches the BVN lax.switch, which then executes every branch); with a
+    # mesh the chain axis is sharded over devices exactly like
+    # parallel/chains.py run_chains (chains % devices == 0 required)
+    if mesh is None:
+        warm_init = lambda z, k: _warm_init_mapped(logpdf, warm_cfg, z, k)
+        warm_step = lambda c, i: _warm_step_mapped(logpdf, warm_cfg, c, i)
+        draw_step = lambda s: _draw_step_mapped(logpdf, draw_cfg, s)
+    else:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        cs, rep = P('chains'), P()
+        warm_init = jax.jit(shard_map(
+            lambda z, k: _warm_init_mapped(logpdf, warm_cfg, z, k),
+            mesh=mesh, in_specs=(cs, cs), out_specs=cs, check_rep=False))
+        warm_step = jax.jit(shard_map(
+            lambda c, i: _warm_step_mapped(logpdf, warm_cfg, c, i),
+            mesh=mesh, in_specs=(cs, rep), out_specs=cs, check_rep=False))
+        draw_step = jax.jit(shard_map(
+            lambda s: _draw_step_mapped(logpdf, draw_cfg, s),
+            mesh=mesh, in_specs=(cs,), out_specs=cs, check_rep=False))
 
     # ------------------------------------------------------------------
     # checkpoint/resume: the warmup carry is a flat tuple of arrays and the
@@ -525,10 +548,10 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
 
     # ------------------------------------------------------------------
     if carries is None and state is None:
-        carries = _warm_init_mapped(logpdf, warm_cfg, z0s, keys)
+        carries = warm_init(z0s, keys)
     for i in range(start_w, config.num_warmup):
         carries = jax.block_until_ready(
-            _warm_step_mapped(logpdf, warm_cfg, carries, jnp.int32(i)))
+            warm_step(carries, jnp.int32(i)))
         if progress is not None:
             progress('warmup', i + 1, config.num_warmup)
         if checkpoint_path and (i + 1) % checkpoint_every == 0:
@@ -540,7 +563,7 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
 
     for i in range(start_d, config.num_samples):
         state, (zs, lps, asts, dvs) = jax.block_until_ready(
-            _draw_step_mapped(logpdf, draw_cfg, state))
+            draw_step(state))
         samples.append(np.asarray(zs))
         logps.append(np.asarray(lps))
         astats.append(np.asarray(asts))

@@ -202,10 +202,16 @@ def run_nuts(args, setup):
     # inside each step the chains run under lax.map, not vmap: a
     # chain-batched rho batches the BVN lax.switch, which then executes
     # every branch (see parallel/chains.py)
+    mesh = None
+    n_dev = len(jax.devices())
+    if n_dev > 1 and args.chains % n_dev == 0:
+        from ..parallel.chains import chain_mesh
+        mesh = chain_mesh()
+        print('  chains sharded over {} devices'.format(n_dev))
     out = nuts_sample_stepwise(
         logpdf, z0s, keys, cfg, progress=progress, checkpoint_path=ckpt,
         checkpoint_every=max(1, min(args.checkpoint_every, 25)),
-        resume=resume)
+        resume=resume, mesh=mesh)
     samples = np.asarray(out['samples'])     # (chains, n, dim) z-space
     dt = time.time() - tic
     print('NUTS finished: {:.1f} s ({:.3f} s/sample/chain); accept {:.2f}, '
