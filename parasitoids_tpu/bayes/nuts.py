@@ -279,25 +279,67 @@ def _warm_windows(config: NUTSConfig):
     return w1, w2
 
 
+def _find_reasonable_eps(lpg, z, lp, grad, inv_mass, key, eps0,
+                         max_iter=30):
+    """Hoffman–Gelman Algorithm 4: double/halve the step size until one
+    leapfrog step's acceptance ratio crosses 1/2.  A fixed ``init_step_size``
+    can sit orders of magnitude off the posterior's scale; dual averaging
+    then spends most of a short warmup walking there."""
+    dtype = z.dtype
+    key, kp = random.split(key)
+    p = random.normal(kp, z.shape, dtype) / jnp.sqrt(inv_mass)
+    H0 = -lp + _kinetic(inv_mass, p)
+
+    def accept_ratio(eps):
+        p_half = p + 0.5 * eps * grad
+        z1 = z + eps * inv_mass * p_half
+        lp1, g1 = lpg(z1)
+        p1 = p_half + 0.5 * eps * g1
+        H1 = -lp1 + _kinetic(inv_mass, p1)
+        a = jnp.exp(jnp.clip(H0 - H1, -50.0, 50.0))
+        return jnp.where(jnp.isfinite(a), a, 0.0)
+
+    a0 = accept_ratio(jnp.asarray(eps0, dtype))
+    up = a0 > 0.5          # too-easy step: grow; else shrink
+
+    def cond(s):
+        eps, a, it = s
+        keep = jnp.where(up, a > 0.5, a < 0.5)
+        return keep & (it < max_iter) & (eps < 50.0) & (eps > 1e-7)
+
+    def body(s):
+        eps, _, it = s
+        eps = eps * jnp.where(up, 2.0, 0.5)
+        return eps, accept_ratio(eps), it + 1
+
+    eps, _, _ = lax.while_loop(
+        cond, body, (jnp.asarray(eps0, dtype), a0, jnp.int32(0)))
+    return jnp.clip(eps, 1e-6, 50.0), key
+
+
 def _warmup_init(lpg, z0, key, config: NUTSConfig):
     dtype = z0.dtype
     dim = z0.shape[0]
     lp0, grad0 = lpg(z0)
-    eps0 = jnp.asarray(config.init_step_size, dtype)
+    eps0, key = _find_reasonable_eps(lpg, z0, lp0, grad0,
+                                     jnp.ones(dim, dtype), key,
+                                     config.init_step_size)
     key, kw = random.split(key)
-    return (z0, lp0, grad0, kw, jnp.log(eps0), jnp.log(eps0),
+    leps = jnp.log(eps0)
+    return (z0, lp0, grad0, kw, leps, leps,
             jnp.asarray(0.0, dtype), jnp.ones(dim, dtype),
             jnp.asarray(0.0, dtype), jnp.zeros(dim, dtype),
-            jnp.zeros(dim, dtype))
+            jnp.zeros(dim, dtype),
+            jnp.log(10.0) + leps,            # dual-averaging anchor mu
+            jnp.int32(0))                    # adaptation-clock start
 
 
 def _warm_step(lpg, config: NUTSConfig, carry, i):
     """One warmup transition + dual-averaging / Welford adaptation update."""
     z, lp, grad, key, log_eps, log_eps_bar, h_bar, inv_mass, \
-        wf_n, wf_mean, wf_m2 = carry
+        wf_n, wf_mean, wf_m2, mu, i0 = carry
     dtype = z.dtype
     w1, w2 = _warm_windows(config)
-    mu = jnp.log(10.0 * jnp.asarray(config.init_step_size, dtype))
     kappa, gamma, t0 = 0.75, 0.05, 10.0
 
     key, k = random.split(key)
@@ -305,8 +347,9 @@ def _warm_step(lpg, config: NUTSConfig, carry, i):
     z, lp, grad, astat, _, _ = _nuts_step(
         lpg, inv_mass, step_size, config.max_depth, z, lp, grad, k)
 
-    # dual averaging (Hoffman & Gelman sec 3.2)
-    t = i.astype(dtype) + 1.0
+    # dual averaging (Hoffman & Gelman sec 3.2) on the adaptation clock,
+    # which restarts when the metric switches (below)
+    t = (i - i0).astype(dtype) + 1.0
     h_bar = ((1 - 1 / (t + t0)) * h_bar +
              (config.target_accept - astat) / (t + t0))
     log_eps = mu - jnp.sqrt(t) / gamma * h_bar
@@ -319,13 +362,21 @@ def _warm_step(lpg, config: NUTSConfig, carry, i):
     delta = z - wf_mean
     wf_mean = wf_mean + in_win * delta / jnp.maximum(wf_n2, 1.0)
     wf_m2 = wf_m2 + in_win * delta * (z - wf_mean)
-    # at window close, switch to the estimated diagonal metric
+    # at window close, switch to the estimated diagonal metric and RESTART
+    # step-size adaptation around the current step size (Stan does the
+    # same after every metric update: the old h_bar history and anchor
+    # describe the old metric, and the averaged eps would otherwise be
+    # dominated by pre-switch iterates)
     close = (i == w2 - 1) & (wf_n2 > 2)
     var = wf_m2 / jnp.maximum(wf_n2 - 1.0, 1.0)
     var = jnp.where(var > 1e-10, var, 1.0)
     inv_mass = jnp.where(close, var, inv_mass)
+    h_bar = jnp.where(close, 0.0, h_bar)
+    mu = jnp.where(close, jnp.log(10.0) + log_eps, mu)
+    log_eps_bar = jnp.where(close, log_eps, log_eps_bar)
+    i0 = jnp.where(close, i + 1, i0)
     return (z, lp, grad, key, log_eps, log_eps_bar, h_bar, inv_mass,
-            wf_n2, wf_mean, wf_m2)
+            wf_n2, wf_mean, wf_m2, mu, i0)
 
 
 def _warmup_final(carry):
