@@ -515,18 +515,18 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
         warm_step = lambda c, i: _warm_step_mapped(logpdf, warm_cfg, c, i)
         draw_step = lambda s: _draw_step_mapped(logpdf, draw_cfg, s)
     else:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
         cs, rep = P('chains'), P()
         warm_init = jax.jit(shard_map(
             lambda z, k: _warm_init_mapped(logpdf, warm_cfg, z, k),
-            mesh=mesh, in_specs=(cs, cs), out_specs=cs, check_rep=False))
+            mesh=mesh, in_specs=(cs, cs), out_specs=cs, check_vma=False))
         warm_step = jax.jit(shard_map(
             lambda c, i: _warm_step_mapped(logpdf, warm_cfg, c, i),
-            mesh=mesh, in_specs=(cs, rep), out_specs=cs, check_rep=False))
+            mesh=mesh, in_specs=(cs, rep), out_specs=cs, check_vma=False))
         draw_step = jax.jit(shard_map(
             lambda s: _draw_step_mapped(logpdf, draw_cfg, s),
-            mesh=mesh, in_specs=(cs,), out_specs=cs, check_rep=False))
+            mesh=mesh, in_specs=(cs,), out_specs=cs, check_vma=False))
 
     # ------------------------------------------------------------------
     # checkpoint/resume: the warmup carry is a flat tuple of arrays and the

@@ -36,7 +36,8 @@ from .priors import (ModelParams, ObsParams, STEP_SCALES,
                      initial_model_params, initial_obs_params,
                      log_prior_model, log_prior_obs)
 
-__all__ = ['MCMCConfig', 'ChainState', 'init_chain_state', 'run_mcmc']
+__all__ = ['MCMCConfig', 'ChainState', 'init_chain_state', 'run_mcmc',
+           'mcmc_step']
 
 _N_MODEL = 15
 _DISCRETE_IDX = 13        # n_periods position in the block
@@ -123,8 +124,18 @@ def _proposal_chol(state, adapt_start):
     return jnp.linalg.cholesky(cov)
 
 
-def _mcmc_step(setup: BayesSetup, state: ChainState, cfg: MCMCConfig):
+def _mcmc_step(setup: BayesSetup, state: ChainState, cfg: MCMCConfig,
+               beta=1.0):
+    """One AM transition targeting ``prior + beta * loglik``.
+
+    ``beta`` is the inverse temperature: 1.0 is the posterior (the only
+    value the reference's AdaptiveMetropolis ever targets); ``beta < 1``
+    tempers the *likelihood only* (priors stay exact, so every tempered
+    chain still lives on the prior support) — used by the replica-exchange
+    sampler in ``tempering.py``.  ``state.loglik`` stays untempered.
+    """
     n_sent = setup.n_sent
+    beta = jnp.asarray(beta, jnp.float32)
     key, k_prop, k_acc = random.split(state.key, 3)
 
     # ---- model block update (full forward sim) ----------------------
@@ -146,7 +157,8 @@ def _mcmc_step(setup: BayesSetup, state: ChainState, cfg: MCMCConfig):
 
     ll_prop, proj_prop = lax.cond(jnp.isfinite(prior_prop), eval_prop, skip,
                                   operand=None)
-    log_ratio = (prior_prop + ll_prop) - (state.prior_m + state.loglik)
+    log_ratio = ((prior_prop + beta * ll_prop)
+                 - (state.prior_m + beta * state.loglik))
     accept = jnp.log(random.uniform(k_acc)) < log_ratio
 
     m_new = jnp.where(accept, m_prop_vec, state.m)
@@ -185,7 +197,7 @@ def _mcmc_step(setup: BayesSetup, state: ChainState, cfg: MCMCConfig):
             jnp.isfinite(prior_p),
             lambda _: setup.log_likelihood(proj_new, o_p),
             lambda _: jnp.asarray(-jnp.inf, ll_cur.dtype), operand=None)
-        ratio = (prior_p + ll_p) - (prior_o + ll_cur)
+        ratio = (prior_p + beta * ll_p) - (prior_o + beta * ll_cur)
         acc = jnp.log(random.uniform(k2)) < ratio
         o_vec = jnp.where(acc, o_prop, o_vec)
         prior_o = jnp.where(acc, prior_p, prior_o)
@@ -201,6 +213,10 @@ def _mcmc_step(setup: BayesSetup, state: ChainState, cfg: MCMCConfig):
         m_new, o_vec,
         jnp.stack([prior_m_new + prior_o + ll_cur])])
     return new_state, sample
+
+
+# public alias for the tempering layer (beta-parameterized transition)
+mcmc_step = _mcmc_step
 
 
 @partial(jax.jit, static_argnames=('setup', 'cfg'))

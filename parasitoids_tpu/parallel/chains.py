@@ -87,11 +87,11 @@ def run_chains(setup: BayesSetup, states, cfg: MCMCConfig, mesh=None):
     """
     if mesh is None:
         return _run_chains(setup, states, cfg)
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     spec = P('chains')
     f = shard_map(
         lambda st: jax.lax.map(lambda s: run_mcmc(setup, s, cfg), st),
-        mesh=mesh, in_specs=spec, out_specs=spec, check_rep=False)
+        mesh=mesh, in_specs=spec, out_specs=spec, check_vma=False)
     states = shard_chain_states(states, mesh)
     return jax.jit(f)(states)

@@ -46,11 +46,11 @@ def _shard(x, mesh):
 
 
 def _sharded_map(fn, thetas, mesh):
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     spec = P(mesh.axis_names[0])
     f = shard_map(lambda th: jax.lax.map(fn, th), mesh=mesh,
-                  in_specs=spec, out_specs=spec, check_rep=False)
+                  in_specs=spec, out_specs=spec, check_vma=False)
     return jax.jit(f)(thetas)
 
 

@@ -1,0 +1,165 @@
+"""Replica-exchange (parallel tempering) sampler tests.
+
+Covers: ladder construction, even-odd pairing, beta=1 equivalence with the
+plain AM sampler, swap bookkeeping, and stacked-vs-mesh-sharded (ppermute)
+numerical identity on the 8 virtual CPU devices from conftest.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import random
+
+from parasitoids_tpu.config import Params
+
+
+def _tiny_setup():
+    from parasitoids_tpu.bayes.model import BayesSetup
+    p = Params()
+    p.cmd_line_chg(['--kalbar'])
+    p.PLOT = False
+    p.OUTPUT = False
+    p.PROB_MODEL = False
+    p.ndays = 3
+    p.domain_info = (10000.0, 50)
+    p.interp_num = 2
+    p.kernel_rad = 6
+    p.kernel_rad_local = 3
+    p.quad_nodes = 8
+    return BayesSetup(p)
+
+
+@pytest.fixture(scope='module')
+def setup():
+    return _tiny_setup()
+
+
+def test_geometric_ladder():
+    from parasitoids_tpu.bayes.tempering import geometric_ladder
+    b = geometric_ladder(5, beta_min=0.05)
+    assert b.shape == (5,)
+    assert b[0] == 1.0
+    np.testing.assert_allclose(b[-1], 0.05, rtol=1e-6)
+    assert (np.diff(b) < 0).all()
+    # geometric: constant ratio
+    r = b[1:] / b[:-1]
+    np.testing.assert_allclose(r, r[0], rtol=1e-5)
+    assert geometric_ladder(1).tolist() == [1.0]
+
+
+def test_pairing_even_odd():
+    from parasitoids_tpu.bayes.tempering import _pairing
+    T = 5
+    idx = jnp.arange(T)
+    # parity 0: pairs (0,1), (2,3); 4 unpaired
+    is_l, is_r, pid = _pairing(idx, 0, T)
+    assert np.asarray(is_l).tolist() == [True, False, True, False, False]
+    assert np.asarray(is_r).tolist() == [False, True, False, True, False]
+    assert np.asarray(pid)[:4].tolist() == [0, 0, 2, 2]
+    # parity 1: pairs (1,2), (3,4); 0 unpaired
+    is_l, is_r, pid = _pairing(idx, 1, T)
+    assert np.asarray(is_l).tolist() == [False, True, False, True, False]
+    assert np.asarray(is_r).tolist() == [False, False, True, False, True]
+    # every replica is in at most one pair and pairs are adjacent
+    paired = np.asarray(is_l | is_r)
+    assert paired.tolist() == [False, True, True, True, True]
+
+
+def test_pt_single_temperature_matches_plain_am(setup):
+    """T=1 PT is exactly the plain AM chain (beta=1 path untouched)."""
+    from parasitoids_tpu.bayes.sampler import (MCMCConfig, init_chain_state,
+                                               run_mcmc)
+    from parasitoids_tpu.bayes.tempering import (PTConfig, init_pt_states,
+                                                 run_pt)
+
+    states = init_pt_states(setup, random.PRNGKey(0), 1, jitter=0.0)
+    cfg = PTConfig(n_rounds=2, swap_every=3)
+    st_pt, tr_pt, stats = run_pt(setup, states, np.ones(1, np.float32),
+                                 random.PRNGKey(99), cfg)
+
+    s0 = jax.tree.map(lambda x: x[0], states)
+    _, tr_am = run_mcmc(setup, s0, MCMCConfig(n_samples=6))
+    np.testing.assert_array_equal(np.asarray(tr_pt[0]), np.asarray(tr_am))
+    assert stats['swap_attempts'].shape == (0,)
+
+
+@pytest.mark.slow
+def test_pt_stacked_runs_and_swaps(setup):
+    """Multi-temperature PT: finite traces, chains move, swaps happen,
+    bookkeeping counts even-odd pair attempts correctly."""
+    from parasitoids_tpu.bayes.tempering import (PTConfig, geometric_ladder,
+                                                 init_pt_states, run_pt)
+
+    T = 4
+    betas = geometric_ladder(T, beta_min=0.05)
+    states = init_pt_states(setup, random.PRNGKey(1), T)
+    cfg = PTConfig(n_rounds=8, swap_every=3)
+    states, traces, stats = run_pt(setup, states, betas,
+                                   random.PRNGKey(2), cfg)
+    traces = np.asarray(traces)
+    assert traces.shape == (T, 24, traces.shape[-1])
+    assert np.isfinite(traces).all()
+    # even-odd attempt schedule: pair 0 and 2 attempted on even rounds (4),
+    # pair 1 on odd rounds (4)
+    att = np.asarray(stats['swap_attempts'])
+    np.testing.assert_array_equal(att, [4.0, 4.0, 4.0])
+    acc = np.asarray(stats['swap_accepts'])
+    assert (acc >= 0).all() and (acc <= att).all()
+    # replicas at different temperatures are at different positions
+    final_m = np.asarray(states.m)
+    assert not np.allclose(final_m[0], final_m[-1])
+    # the cached loglik is consistent with each replica's own position
+    # (i.e. swaps moved the cache with the position)
+    from parasitoids_tpu.bayes.sampler import _as_model, _as_obs
+    for t in (0, T - 1):
+        m = _as_model(jnp.asarray(states.m[t]))
+        proj = setup.forward_projections(m)
+        ll = setup.log_likelihood(proj, _as_obs(jnp.asarray(states.o[t]),
+                                                setup.n_sent))
+        np.testing.assert_allclose(float(ll), float(states.loglik[t]),
+                                   rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_pt_sharded_matches_stacked(setup):
+    """ppermute mesh path == gather stacked path, bit-for-bit traces."""
+    from parasitoids_tpu.bayes.tempering import (PTConfig, geometric_ladder,
+                                                 init_pt_states, run_pt,
+                                                 run_pt_sharded)
+    from parasitoids_tpu.parallel.chains import chain_mesh
+
+    n_dev = len(jax.devices())
+    assert n_dev == 8, 'conftest should provide 8 virtual devices'
+    T = 8
+    betas = geometric_ladder(T, beta_min=0.05)
+    states = init_pt_states(setup, random.PRNGKey(3), T)
+    cfg = PTConfig(n_rounds=4, swap_every=2)
+    key = random.PRNGKey(4)
+
+    st_a, tr_a, stats_a = run_pt(setup, states, betas, key, cfg)
+    mesh = chain_mesh()
+    st_b, tr_b, stats_b = run_pt_sharded(setup, states, betas, key, cfg,
+                                         mesh)
+    np.testing.assert_array_equal(np.asarray(tr_a), np.asarray(tr_b))
+    np.testing.assert_array_equal(np.asarray(stats_a['swap_attempts']),
+                                  np.asarray(stats_b['swap_attempts']))
+    np.testing.assert_array_equal(np.asarray(stats_a['swap_accepts']),
+                                  np.asarray(stats_b['swap_accepts']))
+    for fa, fb in zip(st_a.m, st_b.m):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+    np.testing.assert_array_equal(np.asarray(st_a.loglik),
+                                  np.asarray(st_b.loglik))
+
+
+def test_pt_sharded_rejects_mismatched_ladder(setup):
+    from parasitoids_tpu.bayes.tempering import (PTConfig, geometric_ladder,
+                                                 init_pt_states,
+                                                 run_pt_sharded)
+    from parasitoids_tpu.parallel.chains import chain_mesh
+
+    betas = geometric_ladder(3)
+    states = init_pt_states(setup, random.PRNGKey(5), 3)
+    with pytest.raises(ValueError):
+        run_pt_sharded(setup, states, betas, random.PRNGKey(6),
+                       PTConfig(n_rounds=1), chain_mesh())
