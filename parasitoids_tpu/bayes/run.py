@@ -47,9 +47,25 @@ group.add_argument('--resume', nargs=2, metavar=('db_name', 'iterations'),
                         'ignored).')
 parser.add_argument('--chains', type=int, default=1,
                     help='number of parallel chains (vmapped/sharded)')
-parser.add_argument('--sampler', choices=['am', 'nuts'], default='am',
-                    help='adaptive Metropolis (reference-equivalent) or '
-                         'gradient-based NUTS (n_periods fixed, as MAP)')
+parser.add_argument('--sampler', choices=['am', 'nuts', 'pt'], default='am',
+                    help='adaptive Metropolis (reference-equivalent), '
+                         'gradient-based NUTS (n_periods fixed, as MAP), '
+                         'or replica-exchange parallel tempering (pt: '
+                         'multimodal-robust AM + marginal-likelihood '
+                         'estimates)')
+parser.add_argument('--temps', type=int, default=8,
+                    help='PT: number of temperature rungs (one replica '
+                         'each; sharded one-per-device when the device '
+                         'count matches)')
+parser.add_argument('--beta-min', type=float, default=0.0,
+                    help='PT: 0 (default) = power ladder reaching the '
+                         'prior (beta=0), enabling log-evidence estimates; '
+                         '> 0 = geometric ladder down to this beta '
+                         '(sampling-only)')
+parser.add_argument('--ladder-power', type=float, default=5.0,
+                    help='PT: exponent of the power ladder')
+parser.add_argument('--swap-every', type=int, default=10,
+                    help='PT: AM steps between replica-exchange attempts')
 parser.add_argument('--max-depth', type=int, default=6,
                     help='NUTS maximum tree depth')
 parser.add_argument('--init', default='map',
@@ -234,6 +250,118 @@ def run_nuts(args, setup):
     _report(traces, setup)
 
 
+def run_pt_cli(args, setup):
+    """Replica-exchange path (``--sampler pt``): a ladder of tempered AM
+    replicas with periodic state swaps; the cold chain is the posterior
+    sample and, when the ladder reaches beta = 0 (default), the per-replica
+    log-likelihood traces yield marginal-likelihood estimates
+    (thermodynamic integration + stepping-stone) — model-comparison
+    machinery the reference lacks entirely (its only such number is the
+    MAP AIC, Bayes_MAP.py:494-517)."""
+    from .store import load_extras
+    from .tempering import (PTConfig, geometric_ladder, init_pt_states,
+                            log_evidence, power_ladder, run_pt,
+                            run_pt_sharded)
+
+    resume = args.new is None
+    if resume:
+        db, n_more = args.resume[0], int(args.resume[1])
+        print('Resuming PT from {}...'.format(db))
+        all_tr, states, meta = load_chain(db, setup)
+        if meta.get('sampler') != 'pt':
+            raise SystemExit('{} was not written by --sampler pt'.format(db))
+        ex = load_extras(db)
+        betas = np.asarray(ex['betas'], np.float32)
+        se = int(meta['swap_every'])
+        burn = int(meta['burn'])
+        rounds_done = int(meta['rounds_done'])
+        seed = int(meta['seed'])
+        lls = np.asarray(ex['loglik'])
+        att = np.asarray(ex['swap_attempts'])
+        acc = np.asarray(ex['swap_accepts'])
+        rounds = -(-n_more // se)
+    else:
+        n_samples, burn, db = int(args.new[0]), int(args.new[1]), args.new[2]
+        se = args.swap_every
+        seed = args.seed
+        if args.beta_min > 0:
+            betas = geometric_ladder(args.temps, args.beta_min)
+        else:
+            betas = power_ladder(args.temps, args.ladder_power)
+        rounds = -(-(burn + n_samples) // se)
+        rounds_done = 0
+        print('Initializing {} replicas (beta {:.3g} .. {:.3g})...'.format(
+            args.temps, betas[0], betas[-1]))
+        states = init_pt_states(setup, random.PRNGKey(seed), args.temps)
+        all_tr = None
+        lls = None
+        att = acc = np.zeros(args.temps - 1)
+    T = betas.shape[0]
+    swap_key = random.PRNGKey(seed + 2)
+
+    n_dev = len(jax.devices())
+    sharded = n_dev == T and T > 1
+    if sharded:
+        from ..parallel.chains import chain_mesh
+        mesh = chain_mesh()
+        print('  one replica per device over {} devices (ppermute swaps)'
+              .format(n_dev))
+    print('PT: {} rungs, {} swap rounds x {} steps{}...'.format(
+        T, rounds, se, ' (resuming at round {})'.format(rounds_done)
+        if rounds_done else ''))
+
+    chunk = max(1, min(args.checkpoint_every // se, rounds))
+    tic = time.time()
+    done = 0
+    while done < rounds:
+        n = min(chunk, rounds - done)
+        cfg = PTConfig(n_rounds=n, swap_every=se)
+        if sharded:
+            states, tr, stats = run_pt_sharded(
+                setup, states, betas, swap_key, cfg, mesh,
+                round_offset=rounds_done + done)
+        else:
+            states, tr, stats = run_pt(
+                setup, states, betas, swap_key, cfg,
+                round_offset=rounds_done + done)
+        cold = np.asarray(tr[:1])                      # (1, steps, dim)
+        ll_new = np.asarray(stats['loglik'])
+        all_tr = cold if all_tr is None else append_traces(all_tr, cold)
+        lls = ll_new if lls is None else np.concatenate([lls, ll_new],
+                                                        axis=1)
+        att = att + np.asarray(stats['swap_attempts'])
+        acc = acc + np.asarray(stats['swap_accepts'])
+        done += n
+        save_chain(db, all_tr, states,
+                   meta={'sampler': 'pt', 'swap_every': se, 'burn': burn,
+                         'rounds_done': rounds_done + done, 'seed': seed,
+                         'n_samples': max(all_tr.shape[-2] - burn, 0)},
+                   extra={'betas': betas, 'loglik': lls,
+                          'swap_attempts': att, 'swap_accepts': acc})
+        if done < rounds:
+            print('  checkpoint: {}/{} rounds done'.format(done, rounds))
+    dt = time.time() - tic
+    steps = rounds * se
+    print('PT finished: {:.1f} s ({:.3f} s/step across {} replicas)'.format(
+        dt, dt / steps, T))
+    print('Saved to {}.npz'.format(db.removesuffix('.npz')))
+
+    with np.errstate(invalid='ignore'):
+        rates = np.where(att > 0, acc / np.maximum(att, 1), np.nan)
+    print('swap acceptance by rung (beta_hi->beta_lo): ' +
+          ' '.join('{:.2f}'.format(r) for r in rates))
+    ev = log_evidence(betas, lls, burn=min(burn, lls.shape[1] - 1))
+    if ev['complete']:
+        print('log evidence: TI {:.2f}, stepping-stone {:.2f}'.format(
+            ev['ti'], ev['ss']))
+    else:
+        print('log Z(1) - log Z(beta={:.3g}): TI {:.2f}, stepping-stone '
+              '{:.2f} (ladder does not reach the prior; use --beta-min 0 '
+              'for absolute evidence)'.format(betas.min(), ev['ti'],
+                                              ev['ss']))
+    _report(all_tr[:, burn:] if all_tr.shape[1] > burn else all_tr, setup)
+
+
 def main(argv=None):
     args = parser.parse_args(argv)
     enable_compilation_cache()
@@ -242,6 +370,8 @@ def main(argv=None):
     setup = build_setup(args.overrides, need_grad=args.sampler == 'nuts')
     if args.sampler == 'nuts':
         return run_nuts(args, setup)
+    if args.sampler == 'pt':
+        return run_pt_cli(args, setup)
     from ..parallel.chains import chain_mesh, init_chains, run_chains
 
     n_dev = len(jax.devices())

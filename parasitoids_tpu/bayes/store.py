@@ -18,15 +18,21 @@ import numpy as np
 
 from .sampler import ChainState
 
-__all__ = ['save_chain', 'load_chain', 'append_traces']
+__all__ = ['save_chain', 'load_chain', 'load_extras', 'append_traces']
 
 _STATE_FIELDS = ('m', 'o', 'loglik', 'prior_m', 'prior_o', 'key', 'count',
                  'mean', 'm2', 'accepts_m', 'accepts_o', 'log_scale')
 
 
-def save_chain(path, traces, state: ChainState, meta=None):
+def save_chain(path, traces, state: ChainState, meta=None, extra=None):
     """Write traces (n_chains, n_samples, dim) + sampler state.  Projections
-    are not stored; they are recomputed on resume (one forward sim)."""
+    are not stored; they are recomputed on resume (one forward sim).
+
+    ``extra``: optional dict of additional arrays stored alongside (prefixed
+    ``x_`` in the npz; read back with ``load_extras``) — the tempering
+    driver keeps its beta ladder and per-replica log-likelihood traces
+    there so ``log_evidence`` can be recomputed from a saved run.
+    """
     if path.endswith('.npz'):
         path = path[:-4]
     d = os.path.dirname(path)
@@ -35,9 +41,19 @@ def save_chain(path, traces, state: ChainState, meta=None):
     payload = {'traces': np.asarray(traces)}
     for f in _STATE_FIELDS:
         payload['state_' + f] = np.asarray(getattr(state, f))
+    for k, v in (extra or {}).items():
+        payload['x_' + k] = np.asarray(v)
     np.savez(path, **payload)
     with open(path + '.meta.json', 'w') as fh:
         json.dump(meta or {}, fh)
+
+
+def load_extras(path):
+    """Read back the ``extra`` arrays stored by ``save_chain``."""
+    if not path.endswith('.npz'):
+        path = path + '.npz'
+    with np.load(path) as npz:
+        return {k[2:]: npz[k] for k in npz.files if k.startswith('x_')}
 
 
 def load_chain(path, setup):

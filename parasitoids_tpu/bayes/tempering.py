@@ -42,8 +42,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from .model import BayesSetup
 from .sampler import ChainState, MCMCConfig, mcmc_step
 
-__all__ = ['PTConfig', 'geometric_ladder', 'init_pt_states', 'run_pt',
-           'run_pt_sharded']
+__all__ = ['PTConfig', 'geometric_ladder', 'power_ladder', 'init_pt_states',
+           'run_pt', 'run_pt_sharded', 'log_evidence']
 
 # chain-state fields exchanged on an accepted swap (position + everything
 # cached at that position); adaptation fields stay with the temperature
@@ -67,6 +67,76 @@ def geometric_ladder(n_temps, beta_min=0.1):
     return np.asarray(beta_min ** expo, np.float32)
 
 
+def logsumexp(x):
+    x = np.asarray(x, np.float64)
+    m = np.max(x)
+    if not np.isfinite(m):
+        return m
+    return m + np.log(np.sum(np.exp(x - m)))
+
+
+def power_ladder(n_temps, power=5.0):
+    """Power-law inverse-temperature ladder from 1.0 down to **0.0**.
+
+    ``beta_k = (1 - k/(T-1))^power`` — the standard ladder for marginal-
+    likelihood estimation (Xie et al. 2011 recommend power ~3-5): unlike
+    ``geometric_ladder`` it reaches the prior (beta = 0), so
+    ``log_evidence`` covers the whole [0, 1] path and yields the actual
+    model evidence rather than a ratio.  Rungs crowd toward beta = 0,
+    where E_beta[loglik] changes fastest.
+    """
+    if n_temps < 2:
+        raise ValueError('an evidence ladder needs at least two rungs')
+    frac = 1.0 - np.arange(n_temps) / (n_temps - 1)
+    return np.asarray(frac ** power, np.float32)
+
+
+def log_evidence(betas, logliks, burn=0):
+    """Marginal-likelihood estimates from per-replica log-likelihood draws.
+
+    ``betas``: (T,) descending inverse temperatures (as run_pt uses);
+    ``logliks``: (T, n_steps) untempered log-likelihood at each replica's
+    position per step; ``burn``: steps to drop from the front.
+
+    Returns a dict with two estimators over the ladder span
+    [beta_min, 1]:
+
+    * ``'ti'`` — thermodynamic integration (trapezoid over
+      ``E_beta[loglik]``), the path-sampling identity
+      ``log Z = \\int_0^1 E_beta[loglik] d beta``;
+    * ``'ss'`` — stepping-stone (Xie et al. 2011): for each rung,
+      ``log r_k = logsumexp((b_hi - b_lo) ll_lo) - log N`` with draws from
+      the *colder-in-likelihood* (lower-beta) rung, summed up the ladder —
+      unbiased per rung and typically tighter than TI on coarse ladders.
+
+    Both equal ``log Z(posterior) - log Z(beta_min)``; with a ladder that
+    reaches beta = 0 (``power_ladder``) that lower state is the prior,
+    ``Z(0) = 1``, so the values ARE ``log Z``.  ``'complete'`` in the
+    returned dict says whether that holds.  The reference has no evidence
+    machinery at all (its only model-comparison number is the MAP AIC,
+    Bayes_MAP.py:494-517).
+    """
+    betas = np.asarray(betas, np.float64)
+    ll = np.asarray(logliks, np.float64)[:, burn:]
+    if ll.shape[0] != betas.shape[0]:
+        raise ValueError('betas/logliks replica-count mismatch')
+    if ll.shape[1] < 1:
+        raise ValueError('no post-burn draws')
+    order = np.argsort(betas)          # ascending for the integration
+    b = betas[order]
+    ll = ll[order]
+    mean_ll = ll.mean(axis=1)
+    ti = float(np.trapezoid(mean_ll, b))
+    n = ll.shape[1]
+    ss = 0.0
+    for k in range(len(b) - 1):
+        d = b[k + 1] - b[k]
+        ss += float(logsumexp(d * ll[k]) - np.log(n))
+    return {'ti': ti, 'ss': ss,
+            'betas': b, 'mean_loglik': mean_ll,
+            'complete': bool(b[0] == 0.0)}
+
+
 def init_pt_states(setup: BayesSetup, key, n_temps, jitter=0.05):
     """Stacked per-temperature chain states with jittered starts."""
     from ..parallel.chains import init_chains
@@ -79,7 +149,10 @@ def _advance(setup, state, beta, cfg: PTConfig):
                       obs_scale=cfg.obs_scale)
 
     def step(s, _):
-        return mcmc_step(setup, s, mcfg, beta=beta)
+        s, sample = mcmc_step(setup, s, mcfg, beta=beta)
+        # untempered loglik alongside the position trace: the raw material
+        # for log_evidence (TI needs E_beta[loglik] at every rung)
+        return s, (sample, s.loglik)
 
     return lax.scan(step, state, None, length=cfg.swap_every)
 
@@ -129,35 +202,47 @@ def _swap_sweep_stacked(states, betas, key, parity):
 
 
 @partial(jax.jit, static_argnames=('setup', 'cfg'))
-def run_pt(setup: BayesSetup, states, betas, swap_key, cfg: PTConfig):
+def run_pt(setup: BayesSetup, states, betas, swap_key, cfg: PTConfig,
+           round_offset=0):
     """Parallel tempering as one compiled single-chip program.
 
     ``states``: stacked ChainState with leading temperature axis matching
     ``betas`` (index 0 must be beta = 1).  Returns
     ``(states, traces (T, n_rounds*swap_every, dim), swap_stats)`` where
     ``traces[0]`` is the posterior (cold) chain and ``swap_stats`` holds
-    per-adjacent-pair attempt/accept counts.
+    per-adjacent-pair attempt/accept counts plus the untempered per-replica
+    log-likelihood trace (T, n_rounds*swap_every) for ``log_evidence``.
+
+    ``round_offset`` is the global index of this call's first swap round:
+    a run driven in checkpointed chunks (run.py ``--sampler pt``) passes
+    the rounds already done, so swap parity and swap randomness continue
+    exactly as one monolithic call would.
     """
     betas = jnp.asarray(betas, jnp.float32)
     T = betas.shape[0]
+    round_offset = jnp.asarray(round_offset, jnp.int32)
 
     def one_round(carry, r):
         states, att, acc = carry
-        states, traces = lax.map(
+        rr = round_offset + r
+        states, (traces, lls) = lax.map(
             lambda sb: _advance(setup, sb[0], sb[1], cfg), (states, betas))
         if T > 1:
             states, pa, pt_att = _swap_sweep_stacked(
-                states, betas, random.fold_in(swap_key, r), r % 2)
+                states, betas, random.fold_in(swap_key, rr), rr % 2)
             att, acc = att + pt_att, acc + pa
-        return (states, att, acc), traces
+        return (states, att, acc), (traces, lls)
 
     zero = jnp.zeros(max(T - 1, 0))
-    (states, att, acc), traces = lax.scan(
+    (states, att, acc), (traces, lls) = lax.scan(
         one_round, (states, zero, zero), jnp.arange(cfg.n_rounds))
     # (rounds, T, swap_every, dim) -> (T, rounds*swap_every, dim)
     traces = jnp.transpose(traces, (1, 0, 2, 3)).reshape(
         T, cfg.n_rounds * cfg.swap_every, -1)
-    return states, traces, {'swap_attempts': att, 'swap_accepts': acc}
+    lls = jnp.transpose(lls, (1, 0, 2)).reshape(
+        T, cfg.n_rounds * cfg.swap_every)
+    return states, traces, {'swap_attempts': att, 'swap_accepts': acc,
+                            'loglik': lls}
 
 
 def _swap_step_collective(s, betas, key, parity, rank, T, axis):
@@ -191,7 +276,7 @@ def _swap_step_collective(s, betas, key, parity, rank, T, axis):
 
 
 def run_pt_sharded(setup: BayesSetup, states, betas, swap_key,
-                   cfg: PTConfig, mesh):
+                   cfg: PTConfig, mesh, round_offset=0):
     """Parallel tempering with one replica per device over ``mesh``.
 
     Identical transition/swap randomness to ``run_pt`` (tested equal); the
@@ -209,33 +294,38 @@ def run_pt_sharded(setup: BayesSetup, states, betas, swap_key,
                              T, mesh.devices.size))
     axis = mesh.axis_names[0]
 
-    def device_fn(states1, betas_all, key):
+    def device_fn(states1, betas_all, key, off):
         s = jax.tree.map(lambda x: x[0], states1)     # local shard size 1
         rank = lax.axis_index(axis)
         b = betas_all[rank]
 
         def one_round(carry, r):
             s, att, acc = carry
-            s, traces = _advance(setup, s, b, cfg)
+            rr = off + r
+            s, (traces, lls) = _advance(setup, s, b, cfg)
             s, pa, pt_att = _swap_step_collective(
-                s, betas_all, random.fold_in(key, r), r % 2, rank, T, axis)
-            return (s, att + pt_att, acc + pa), traces
+                s, betas_all, random.fold_in(key, rr), rr % 2, rank, T,
+                axis)
+            return (s, att + pt_att, acc + pa), (traces, lls)
 
-        (s, att, acc), traces = lax.scan(
+        (s, att, acc), (traces, lls) = lax.scan(
             one_round, (s, jnp.zeros(()), jnp.zeros(())),
             jnp.arange(cfg.n_rounds))
         traces = traces.reshape(cfg.n_rounds * cfg.swap_every, -1)
+        lls = lls.reshape(cfg.n_rounds * cfg.swap_every)
         out = jax.tree.map(lambda x: x[None], s)
-        return out, traces[None], att[None], acc[None]
+        return out, traces[None], lls[None], att[None], acc[None]
 
     f = shard_map(device_fn, mesh=mesh,
-                  in_specs=(P(axis), P(), P()),
-                  out_specs=(P(axis), P(axis), P(axis), P(axis)),
+                  in_specs=(P(axis), P(), P(), P()),
+                  out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
                   check_vma=False)
     sharding = NamedSharding(mesh, P(axis))
     states = jax.tree.map(lambda x: jax.device_put(x, sharding), states)
-    states, traces, att, acc = jax.jit(f)(states, betas, swap_key)
+    states, traces, lls, att, acc = jax.jit(f)(
+        states, betas, swap_key, jnp.asarray(round_offset, jnp.int32))
     # per-device counters hold the pair whose LEFT member lives there;
     # device T-1 is never a left, so the first T-1 entries are the ladder
     return states, traces, {'swap_attempts': att[:T - 1],
-                            'swap_accepts': acc[:T - 1]}
+                            'swap_accepts': acc[:T - 1],
+                            'loglik': lls}

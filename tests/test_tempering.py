@@ -48,6 +48,61 @@ def test_geometric_ladder():
     assert geometric_ladder(1).tolist() == [1.0]
 
 
+def test_power_ladder():
+    from parasitoids_tpu.bayes.tempering import power_ladder
+    b = power_ladder(6, power=5.0)
+    assert b.shape == (6,)
+    assert b[0] == 1.0 and b[-1] == 0.0
+    assert (np.diff(b) < 0).all()
+    # rungs crowd toward beta = 0 (spacing shrinks toward the prior end)
+    gaps = -np.diff(b)
+    assert (np.diff(gaps) < 0).all()
+    with pytest.raises(ValueError):
+        power_ladder(1)
+
+
+def test_log_evidence_conjugate_normal():
+    """TI and stepping-stone recover the exact evidence of a conjugate
+    normal model: theta ~ N(0,1), y | theta ~ N(theta, s2).  The tempered
+    posterior at beta is N(beta*y/s2 / tau, 1/tau), tau = 1 + beta/s2, and
+    log Z = log N(y; 0, 1 + s2) exactly."""
+    from parasitoids_tpu.bayes.tempering import log_evidence, power_ladder
+
+    rng = np.random.default_rng(0)
+    y, s2 = 1.7, 0.5
+    exact = -0.5 * (np.log(2 * np.pi * (1 + s2)) + y ** 2 / (1 + s2))
+
+    betas = power_ladder(32, power=3.0)
+    n = 4000
+    lls = np.empty((len(betas), n))
+    for i, b in enumerate(betas):
+        tau = 1.0 + b / s2
+        th = rng.normal(b * y / s2 / tau, 1.0 / np.sqrt(tau), size=n)
+        lls[i] = -0.5 * (np.log(2 * np.pi * s2) + (y - th) ** 2 / s2)
+    ev = log_evidence(betas, lls, burn=0)
+    assert ev['complete']
+    np.testing.assert_allclose(ev['ss'], exact, atol=0.02)
+    np.testing.assert_allclose(ev['ti'], exact, atol=0.05)
+    # burn handling + shape checks
+    ev2 = log_evidence(betas, lls, burn=100)
+    assert abs(ev2['ss'] - exact) < 0.05
+    with pytest.raises(ValueError):
+        log_evidence(betas[:-1], lls)
+    with pytest.raises(ValueError):
+        log_evidence(betas, lls, burn=n)
+
+
+def test_log_evidence_incomplete_ladder_flagged():
+    from parasitoids_tpu.bayes.tempering import geometric_ladder, log_evidence
+    betas = geometric_ladder(4, beta_min=0.2)
+    lls = np.zeros((4, 10))
+    ev = log_evidence(betas, lls)
+    assert not ev['complete']
+    # constant loglik: both estimators give (1 - beta_min) * c exactly
+    np.testing.assert_allclose(ev['ti'], 0.0, atol=1e-12)
+    np.testing.assert_allclose(ev['ss'], 0.0, atol=1e-12)
+
+
 def test_pairing_even_odd():
     from parasitoids_tpu.bayes.tempering import _pairing
     T = 5
@@ -82,6 +137,10 @@ def test_pt_single_temperature_matches_plain_am(setup):
     _, tr_am = run_mcmc(setup, s0, MCMCConfig(n_samples=6))
     np.testing.assert_array_equal(np.asarray(tr_pt[0]), np.asarray(tr_am))
     assert stats['swap_attempts'].shape == (0,)
+    # loglik trace recorded per step; last entry matches the state cache
+    ll = np.asarray(stats['loglik'])
+    assert ll.shape == (1, 6)
+    np.testing.assert_allclose(ll[0, -1], float(st_pt.loglik[0]), rtol=1e-6)
 
 
 @pytest.mark.slow
@@ -122,6 +181,36 @@ def test_pt_stacked_runs_and_swaps(setup):
 
 
 @pytest.mark.slow
+def test_pt_chunked_matches_monolithic(setup):
+    """Two offset chunks reproduce one monolithic run bitwise (the CLI's
+    checkpointed driving mode)."""
+    from parasitoids_tpu.bayes.tempering import (PTConfig, geometric_ladder,
+                                                 init_pt_states, run_pt)
+
+    T = 3
+    betas = geometric_ladder(T, beta_min=0.1)
+    states0 = init_pt_states(setup, random.PRNGKey(7), T)
+    key = random.PRNGKey(8)
+
+    st_m, tr_m, stats_m = run_pt(setup, states0, betas, key,
+                                 PTConfig(n_rounds=4, swap_every=2))
+
+    cfg = PTConfig(n_rounds=2, swap_every=2)
+    st_c, tr1, s1 = run_pt(setup, states0, betas, key, cfg, round_offset=0)
+    st_c, tr2, s2 = run_pt(setup, st_c, betas, key, cfg, round_offset=2)
+    np.testing.assert_array_equal(
+        np.asarray(tr_m), np.concatenate([tr1, tr2], axis=1))
+    np.testing.assert_array_equal(
+        np.asarray(stats_m['loglik']),
+        np.concatenate([s1['loglik'], s2['loglik']], axis=1))
+    np.testing.assert_array_equal(
+        np.asarray(stats_m['swap_attempts']),
+        np.asarray(s1['swap_attempts'] + s2['swap_attempts']))
+    np.testing.assert_array_equal(np.asarray(st_m.m), np.asarray(st_c.m))
+    np.testing.assert_array_equal(np.asarray(st_m.key), np.asarray(st_c.key))
+
+
+@pytest.mark.slow
 def test_pt_sharded_matches_stacked(setup):
     """ppermute mesh path == gather stacked path, bit-for-bit traces."""
     from parasitoids_tpu.bayes.tempering import (PTConfig, geometric_ladder,
@@ -146,10 +235,44 @@ def test_pt_sharded_matches_stacked(setup):
                                   np.asarray(stats_b['swap_attempts']))
     np.testing.assert_array_equal(np.asarray(stats_a['swap_accepts']),
                                   np.asarray(stats_b['swap_accepts']))
+    np.testing.assert_array_equal(np.asarray(stats_a['loglik']),
+                                  np.asarray(stats_b['loglik']))
     for fa, fb in zip(st_a.m, st_b.m):
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
     np.testing.assert_array_equal(np.asarray(st_a.loglik),
                                   np.asarray(st_b.loglik))
+
+
+@pytest.mark.slow
+def test_pt_cli_new_and_resume(tmp_path, capsys):
+    """--sampler pt end to end: new run in checkpointed chunks, saved
+    store with ladder + loglik extras, evidence report, exact resume."""
+    from parasitoids_tpu.bayes import run as brun
+    from parasitoids_tpu.bayes.store import load_extras
+
+    db = str(tmp_path / 'pt_run')
+    ov = ['ndays=3', 'domain_info=(10000.0,50)', 'interp_num=2',
+          'kernel_rad=6', 'kernel_rad_local=3', 'quad_nodes=8']
+    brun.main(['--new', '12', '4', db, '--sampler', 'pt', '--temps', '3',
+               '--swap-every', '3', '--checkpoint-every', '6'] + ov)
+    out = capsys.readouterr().out
+    assert 'log evidence: TI' in out          # power ladder reaches beta=0
+    assert 'swap acceptance by rung' in out
+
+    with np.load(db + '.npz') as d:
+        tr1 = d['traces']
+        assert tr1.shape[0] == 1              # cold chain only
+        assert tr1.shape[1] == 18             # ceil(16/3) = 6 rounds x 3
+    ex = load_extras(db)
+    assert ex['betas'].shape == (3,) and ex['betas'][-1] == 0.0
+    assert ex['loglik'].shape == (3, 18)
+    assert np.isfinite(ex['loglik']).all()
+
+    brun.main(['--resume', db, '6', '--sampler', 'pt'] + ov)
+    with np.load(db + '.npz') as d:
+        assert d['traces'].shape[1] == 24
+        np.testing.assert_array_equal(d['traces'][:, :18], tr1)
+    assert load_extras(db)['loglik'].shape == (3, 24)
 
 
 def test_pt_sharded_rejects_mismatched_ladder(setup):
