@@ -267,7 +267,7 @@ def run_pt_cli(args, setup):
     if resume:
         db, n_more = args.resume[0], int(args.resume[1])
         print('Resuming PT from {}...'.format(db))
-        all_tr, states, meta = load_chain(db, setup)
+        kept, states, meta = load_chain(db, setup)
         if meta.get('sampler') != 'pt':
             raise SystemExit('{} was not written by --sampler pt'.format(db))
         ex = load_extras(db)
@@ -279,11 +279,17 @@ def run_pt_cli(args, setup):
         lls = np.asarray(ex['loglik'])
         att = np.asarray(ex['swap_attempts'])
         acc = np.asarray(ex['swap_accepts'])
+        # 0 extra iterations is the evidence-recompute path: skip straight
+        # to the report from the stored loglik traces
         rounds = -(-n_more // se)
     else:
         n_samples, burn, db = int(args.new[0]), int(args.new[1]), args.new[2]
         se = args.swap_every
         seed = args.seed
+        if args.temps < 2:
+            raise SystemExit('--sampler pt needs --temps >= 2')
+        if not 0.0 <= args.beta_min < 1.0:
+            raise SystemExit('--beta-min must be in [0, 1)')
         if args.beta_min > 0:
             betas = geometric_ladder(args.temps, args.beta_min)
         else:
@@ -293,7 +299,7 @@ def run_pt_cli(args, setup):
         print('Initializing {} replicas (beta {:.3g} .. {:.3g})...'.format(
             args.temps, betas[0], betas[-1]))
         states = init_pt_states(setup, random.PRNGKey(seed), args.temps)
-        all_tr = None
+        kept = None          # post-burn cold-chain traces (AM 'traces' key)
         lls = None
         att = acc = np.zeros(args.temps - 1)
     T = betas.shape[0]
@@ -310,7 +316,7 @@ def run_pt_cli(args, setup):
         T, rounds, se, ' (resuming at round {})'.format(rounds_done)
         if rounds_done else ''))
 
-    chunk = max(1, min(args.checkpoint_every // se, rounds))
+    chunk = max(1, min(args.checkpoint_every // se, rounds)) if rounds else 1
     tic = time.time()
     done = 0
     while done < rounds:
@@ -324,27 +330,34 @@ def run_pt_cli(args, setup):
             states, tr, stats = run_pt(
                 setup, states, betas, swap_key, cfg,
                 round_offset=rounds_done + done)
-        cold = np.asarray(tr[:1])                      # (1, steps, dim)
+        # keep only the post-burn part of the cold chain, so the stored
+        # 'traces' mean the same thing as an AM store (posterior draws);
+        # the full-history loglik lives in the extras with meta['burn']
+        steps_before = (rounds_done + done) * se
+        cut = max(0, min(burn - steps_before, n * se))
+        cold = np.asarray(tr[:1, cut:])
         ll_new = np.asarray(stats['loglik'])
-        all_tr = cold if all_tr is None else append_traces(all_tr, cold)
+        if cold.shape[1]:
+            kept = cold if kept is None else append_traces(kept, cold)
         lls = ll_new if lls is None else np.concatenate([lls, ll_new],
                                                         axis=1)
         att = att + np.asarray(stats['swap_attempts'])
         acc = acc + np.asarray(stats['swap_accepts'])
         done += n
-        save_chain(db, all_tr, states,
+        save_chain(db, kept if kept is not None else np.zeros((1, 0, 1)),
+                   states,
                    meta={'sampler': 'pt', 'swap_every': se, 'burn': burn,
                          'rounds_done': rounds_done + done, 'seed': seed,
-                         'n_samples': max(all_tr.shape[-2] - burn, 0)},
+                         'n_samples': 0 if kept is None else kept.shape[-2]},
                    extra={'betas': betas, 'loglik': lls,
                           'swap_attempts': att, 'swap_accepts': acc})
         if done < rounds:
             print('  checkpoint: {}/{} rounds done'.format(done, rounds))
-    dt = time.time() - tic
-    steps = rounds * se
-    print('PT finished: {:.1f} s ({:.3f} s/step across {} replicas)'.format(
-        dt, dt / steps, T))
-    print('Saved to {}.npz'.format(db.removesuffix('.npz')))
+    if rounds:
+        dt = time.time() - tic
+        print('PT finished: {:.1f} s ({:.3f} s/step across {} replicas)'
+              .format(dt, dt / (rounds * se), T))
+        print('Saved to {}.npz'.format(db.removesuffix('.npz')))
 
     with np.errstate(invalid='ignore'):
         rates = np.where(att > 0, acc / np.maximum(att, 1), np.nan)
@@ -359,7 +372,10 @@ def run_pt_cli(args, setup):
               '{:.2f} (ladder does not reach the prior; use --beta-min 0 '
               'for absolute evidence)'.format(betas.min(), ev['ti'],
                                               ev['ss']))
-    _report(all_tr[:, burn:] if all_tr.shape[1] > burn else all_tr, setup)
+    if kept is not None and kept.shape[1]:
+        _report(kept, setup)
+    else:
+        print('(no post-burn samples yet)')
 
 
 def main(argv=None):
@@ -415,6 +431,10 @@ def main(argv=None):
         db, n_samples = args.resume[0], int(args.resume[1])
         print('Resuming from {}...'.format(db))
         old_traces, states, meta = load_chain(db, setup)
+        if meta.get('sampler') not in (None, 'am'):
+            raise SystemExit('{} was written by --sampler {}; pass the same '
+                             '--sampler to resume it'.format(
+                                 db, meta['sampler']))
         chunk = max(1, min(args.checkpoint_every, n_samples))
         print('Sampling {} more steps (chunks of {})...'.format(
             n_samples, chunk))

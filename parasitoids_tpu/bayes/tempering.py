@@ -19,9 +19,10 @@ Two execution paths, numerically identical (tested against each other):
   BVN integrator's rho ``lax.switch`` and pays every branch, see
   parallel/chains.py), swaps as gathers on the stacked axis.
 * ``run_pt_sharded`` — one replica per device over a ``jax.sharding.Mesh``:
-  each device advances its replica locally, and the swap phase exchanges
-  (log-likelihoods, then accepted states) with ladder neighbors via
-  ``lax.ppermute`` — nearest-neighbor ICI traffic only, no gathers.
+  each device advances its replica locally; the swap phase ``ppermute``s
+  log-likelihoods and swap state to both ladder neighbors and selects
+  acceptance with ``jnp.where`` — nearest-neighbor ICI traffic only, no
+  gathers.
 
 Replica adaptation state (Haario moments, proposal scale) is *not*
 swapped: each temperature keeps adapting to its own tempered target, which
@@ -30,7 +31,7 @@ preserves diminishing adaptation across exchanges.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple
 
 import jax
@@ -279,19 +280,39 @@ def run_pt_sharded(setup: BayesSetup, states, betas, swap_key,
                    cfg: PTConfig, mesh, round_offset=0):
     """Parallel tempering with one replica per device over ``mesh``.
 
-    Identical transition/swap randomness to ``run_pt`` (tested equal); the
-    only cross-device traffic is the nearest-neighbor ``ppermute`` exchange
-    of a scalar log-likelihood plus, on accepted swaps, the ~(20 + proj)
-    floats of the replica position — ICI-friendly by construction.
+    Identical transition/swap randomness to ``run_pt`` (tested equal).
+    Cross-device traffic is nearest-neighbor ``ppermute`` only: each swap
+    round every device sends its scalar log-likelihood and its full swap
+    tree (~20 floats of position + the cached projections) to both ladder
+    neighbors unconditionally — under SPMD a collective cannot be made
+    acceptance-conditional, so acceptance selects with ``jnp.where``
+    afterward.  A few KB per round per link, trivially ICI-friendly.
     """
-    from jax import shard_map
-
     betas = jnp.asarray(betas, jnp.float32)
     T = int(betas.shape[0])
     if mesh.devices.size != T:
         raise ValueError('run_pt_sharded wants one temperature per device '
                          '(got {} temps over {} devices)'.format(
                              T, mesh.devices.size))
+    f = _sharded_pt_prog(setup, cfg, mesh, T)
+    sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+    states = jax.tree.map(lambda x: jax.device_put(x, sharding), states)
+    states, traces, lls, att, acc = f(
+        states, betas, swap_key, jnp.asarray(round_offset, jnp.int32))
+    # per-device counters hold the pair whose LEFT member lives there;
+    # device T-1 is never a left, so the first T-1 entries are the ladder
+    return states, traces, {'swap_attempts': att[:T - 1],
+                            'swap_accepts': acc[:T - 1],
+                            'loglik': lls}
+
+
+@lru_cache(maxsize=None)
+def _sharded_pt_prog(setup, cfg: PTConfig, mesh, T):
+    """Build + jit the per-device PT program once per (setup, cfg, mesh, T)
+    — the CLI drives checkpointed chunks through repeated calls, which must
+    hit jit's cache rather than retrace the full forward model each time."""
+    from jax import shard_map
+
     axis = mesh.axis_names[0]
 
     def device_fn(states1, betas_all, key, off):
@@ -316,16 +337,8 @@ def run_pt_sharded(setup: BayesSetup, states, betas, swap_key,
         out = jax.tree.map(lambda x: x[None], s)
         return out, traces[None], lls[None], att[None], acc[None]
 
-    f = shard_map(device_fn, mesh=mesh,
-                  in_specs=(P(axis), P(), P(), P()),
-                  out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
-                  check_vma=False)
-    sharding = NamedSharding(mesh, P(axis))
-    states = jax.tree.map(lambda x: jax.device_put(x, sharding), states)
-    states, traces, lls, att, acc = jax.jit(f)(
-        states, betas, swap_key, jnp.asarray(round_offset, jnp.int32))
-    # per-device counters hold the pair whose LEFT member lives there;
-    # device T-1 is never a left, so the first T-1 entries are the ladder
-    return states, traces, {'swap_attempts': att[:T - 1],
-                            'swap_accepts': acc[:T - 1],
-                            'loglik': lls}
+    return jax.jit(shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(P(axis), P(), P(), P()),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        check_vma=False))

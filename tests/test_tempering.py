@@ -262,17 +262,29 @@ def test_pt_cli_new_and_resume(tmp_path, capsys):
     with np.load(db + '.npz') as d:
         tr1 = d['traces']
         assert tr1.shape[0] == 1              # cold chain only
-        assert tr1.shape[1] == 18             # ceil(16/3) = 6 rounds x 3
+        # ceil(16/3) = 6 rounds x 3 = 18 steps, minus 4 burn: stored
+        # 'traces' are post-burn posterior draws, same semantics as AM
+        assert tr1.shape[1] == 14
     ex = load_extras(db)
     assert ex['betas'].shape == (3,) and ex['betas'][-1] == 0.0
-    assert ex['loglik'].shape == (3, 18)
+    assert ex['loglik'].shape == (3, 18)      # loglik keeps full history
     assert np.isfinite(ex['loglik']).all()
 
     brun.main(['--resume', db, '6', '--sampler', 'pt'] + ov)
     with np.load(db + '.npz') as d:
-        assert d['traces'].shape[1] == 24
-        np.testing.assert_array_equal(d['traces'][:, :18], tr1)
+        assert d['traces'].shape[1] == 20
+        np.testing.assert_array_equal(d['traces'][:, :14], tr1)
     assert load_extras(db)['loglik'].shape == (3, 24)
+
+    # 0-iteration resume = recompute the evidence report from the store
+    capsys.readouterr()
+    brun.main(['--resume', db, '0', '--sampler', 'pt'] + ov)
+    out = capsys.readouterr().out
+    assert 'log evidence: TI' in out
+
+    # resuming a PT store through the AM path is rejected cleanly
+    with pytest.raises(SystemExit, match='--sampler'):
+        brun.main(['--resume', db, '6'] + ov)
 
 
 def test_pt_sharded_rejects_mismatched_ladder(setup):
