@@ -17,7 +17,7 @@ from ..bayes.diagnostics import geweke
 from ..bayes.priors import MODEL_PARAM_NAMES, OBS_PARAM_NAMES
 
 __all__ = ['plot_traces', 'plot_f_g', 'plot_sprd_vars',
-           'plot_sent_obs_probs', 'plot_other', 'main']
+           'plot_sent_obs_probs', 'plot_other', 'plot_pt_ladder', 'main']
 
 
 def _mpl():
@@ -135,6 +135,59 @@ def plot_other(traces, outdir='./diagnostics', start=0):
                        os.path.join(outdir, 'posterior_other.png'), start)
 
 
+def plot_pt_ladder(betas, logliks, swap_attempts, swap_accepts,
+                   burn=0, outdir='./diagnostics'):
+    """Parallel-tempering ladder diagnostics (no reference counterpart —
+    the reference has no tempering).  One figure, three panels:
+
+    * per-rung swap acceptance — healthy ladders sit in ~[0.2, 0.6]
+      everywhere; a 0 rung means the ladder has a gap there,
+    * the thermodynamic-integration integrand, post-burn
+      ``E_beta[loglik]`` vs beta — the shaded area IS the log evidence
+      when the ladder reaches beta = 0,
+    * per-replica log-likelihood traces (equilibration check).
+    """
+    plt = _mpl()
+    os.makedirs(outdir, exist_ok=True)
+    betas = np.asarray(betas, float)
+    ll = np.asarray(logliks, float)
+    T = betas.shape[0]
+    fig, (ax1, ax2, ax3) = plt.subplots(3, 1, figsize=(8, 11))
+
+    rates = np.asarray(swap_accepts, float) / np.maximum(
+        np.asarray(swap_attempts, float), 1.0)
+    ax1.bar(np.arange(T - 1), rates, color='#3b6ea5')
+    ax1.set_xticks(np.arange(T - 1))
+    ax1.set_xticklabels(['{:.2g}↔{:.2g}'.format(betas[i], betas[i + 1])
+                         for i in range(T - 1)], fontsize=8)
+    ax1.set_ylim(0, 1)
+    ax1.axhspan(0.2, 0.6, color='green', alpha=0.12)
+    ax1.set_ylabel('swap acceptance')
+    ax1.set_title('replica-exchange ladder')
+
+    mean_ll = ll[:, burn:].mean(axis=1)
+    order = np.argsort(betas)
+    ax2.plot(betas[order], mean_ll[order], 'o-', color='#a53b3b')
+    ax2.fill_between(betas[order], mean_ll[order], mean_ll[order].min(),
+                     alpha=0.15, color='#a53b3b')
+    ax2.set_xlabel('inverse temperature beta')
+    ax2.set_ylabel('E_beta[log likelihood]')
+    ax2.set_title('thermodynamic-integration integrand')
+
+    for t in range(T):
+        ax3.plot(ll[t], lw=0.6, label='beta={:.2g}'.format(betas[t]))
+    if burn:
+        ax3.axvline(burn, color='k', ls='--', lw=0.8)
+    ax3.set_xlabel('step')
+    ax3.set_ylabel('log likelihood')
+    ax3.legend(fontsize=7, ncol=2)
+    fig.tight_layout()
+    out = os.path.join(outdir, 'pt_ladder.png')
+    fig.savefig(out, dpi=120)
+    plt.close(fig)
+    return out
+
+
 def main(argv=None):
     import sys
     argv = argv if argv is not None else sys.argv[1:]
@@ -142,8 +195,8 @@ def main(argv=None):
         print('usage: python -m parasitoids_tpu.viz.bayes_plot '
               '<trace.npz> [start]')
         return
-    with np.load(argv[0] if argv[0].endswith('.npz') else argv[0] + '.npz') \
-            as npz:
+    path = argv[0] if argv[0].endswith('.npz') else argv[0] + '.npz'
+    with np.load(path) as npz:
         traces = npz['traces']
     start = int(argv[1]) if len(argv) > 1 else 0
     plot_traces(traces, start=start)
@@ -151,6 +204,17 @@ def main(argv=None):
     plot_sprd_vars(traces, start=start)
     plot_sent_obs_probs(traces, start=start)
     plot_other(traces, start=start)
+    from ..bayes.store import load_extras
+    ex = load_extras(path)
+    if 'betas' in ex:            # a --sampler pt store: ladder diagnostics
+        import json
+        meta_path, burn = path[:-4] + '.meta.json', 0
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                burn = int(json.load(fh).get('burn', 0))
+        plot_pt_ladder(ex['betas'], ex['loglik'], ex['swap_attempts'],
+                       ex['swap_accepts'],
+                       burn=min(burn, ex['loglik'].shape[1] - 1))
     print('diagnostics written to ./diagnostics/')
 
 

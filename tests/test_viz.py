@@ -143,6 +143,21 @@ def test_bayes_plot_groups(tmp_path):
     assert all(os.path.exists(w) for w in written)
 
 
+def test_pt_ladder_plot(tmp_path):
+    """PT ladder diagnostics render from synthetic ladder arrays."""
+    from parasitoids_tpu.bayes.tempering import power_ladder
+    T, steps = 5, 80
+    betas = power_ladder(T)
+    rng = np.random.default_rng(1)
+    # hotter replicas sit at lower loglik, like a real tempered ladder
+    lls = rng.normal(size=(T, steps)) - 100 * (1 - betas)[:, None]
+    out = bayes_plot.plot_pt_ladder(
+        betas, lls, swap_attempts=np.full(T - 1, 20.0),
+        swap_accepts=rng.integers(0, 20, T - 1).astype(float),
+        burn=30, outdir=str(tmp_path / 'ptd'))
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
 def test_explore_plots(tmp_path):
     out = explore.plot_g_wind_prob(outfile=str(tmp_path / 'g.png'))
     assert os.path.exists(out) and os.path.getsize(out) > 0
