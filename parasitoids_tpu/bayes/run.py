@@ -66,6 +66,12 @@ parser.add_argument('--ladder-power', type=float, default=5.0,
                     help='PT: exponent of the power ladder')
 parser.add_argument('--swap-every', type=int, default=10,
                     help='PT: AM steps between replica-exchange attempts')
+parser.add_argument('--tune-ladder', action='store_true',
+                    help='PT: adapt interior ladder rungs toward uniform '
+                         'swap acceptance during burn-in (Vousden-style, '
+                         'applied between checkpoints; endpoints pinned, '
+                         'ladder frozen after burn-in so the evidence '
+                         'integrand stays consistent)')
 parser.add_argument('--max-depth', type=int, default=6,
                     help='NUTS maximum tree depth')
 parser.add_argument('--init', default='map',
@@ -261,7 +267,7 @@ def run_pt_cli(args, setup):
     from .store import load_extras
     from .tempering import (PTConfig, geometric_ladder, init_pt_states,
                             log_evidence, power_ladder, run_pt,
-                            run_pt_sharded)
+                            run_pt_sharded, tune_ladder)
 
     resume = args.new is None
     if resume:
@@ -279,6 +285,7 @@ def run_pt_cli(args, setup):
         lls = np.asarray(ex['loglik'])
         att = np.asarray(ex['swap_attempts'])
         acc = np.asarray(ex['swap_accepts'])
+        n_tuned = int(meta.get('tuned', 0))
         # 0 extra iterations is the evidence-recompute path: skip straight
         # to the report from the stored loglik traces
         rounds = -(-n_more // se)
@@ -302,6 +309,7 @@ def run_pt_cli(args, setup):
         kept = None          # post-burn cold-chain traces (AM 'traces' key)
         lls = None
         att = acc = np.zeros(args.temps - 1)
+        n_tuned = 0
     T = betas.shape[0]
     swap_key = random.PRNGKey(seed + 2)
 
@@ -341,13 +349,26 @@ def run_pt_cli(args, setup):
             kept = cold if kept is None else append_traces(kept, cold)
         lls = ll_new if lls is None else np.concatenate([lls, ll_new],
                                                         axis=1)
-        att = att + np.asarray(stats['swap_attempts'])
-        acc = acc + np.asarray(stats['swap_accepts'])
+        c_att = np.asarray(stats['swap_attempts'])
+        c_acc = np.asarray(stats['swap_accepts'])
+        in_burn = steps_before + n * se <= burn
+        if args.tune_ladder and in_burn and (c_att > 0).all() and T > 2:
+            new_betas = tune_ladder(betas, c_acc / c_att,
+                                    kappa=0.6 / (1.0 + 0.5 * n_tuned))
+            n_tuned += 1
+            print('  ladder tuned ({}): beta = [{}]'.format(
+                n_tuned, ' '.join('{:.3g}'.format(b) for b in new_betas)))
+            betas = new_betas
+        else:
+            # reported rates cover only the frozen-ladder phase
+            att = att + c_att
+            acc = acc + c_acc
         done += n
         save_chain(db, kept if kept is not None else np.zeros((1, 0, 1)),
                    states,
                    meta={'sampler': 'pt', 'swap_every': se, 'burn': burn,
                          'rounds_done': rounds_done + done, 'seed': seed,
+                         'tuned': n_tuned,
                          'n_samples': 0 if kept is None else kept.shape[-2]},
                    extra={'betas': betas, 'loglik': lls,
                           'swap_attempts': att, 'swap_accepts': acc})

@@ -44,7 +44,7 @@ from .model import BayesSetup
 from .sampler import ChainState, MCMCConfig, mcmc_step
 
 __all__ = ['PTConfig', 'geometric_ladder', 'power_ladder', 'init_pt_states',
-           'run_pt', 'run_pt_sharded', 'log_evidence']
+           'run_pt', 'run_pt_sharded', 'log_evidence', 'tune_ladder']
 
 # chain-state fields exchanged on an accepted swap (position + everything
 # cached at that position); adaptation fields stay with the temperature
@@ -136,6 +136,48 @@ def log_evidence(betas, logliks, burn=0):
     return {'ti': ti, 'ss': ss,
             'betas': b, 'mean_loglik': mean_ll,
             'complete': bool(b[0] == 0.0)}
+
+
+def tune_ladder(betas, swap_rates, kappa=0.5):
+    """One Vousden-et-al-style ladder adaptation step toward uniform swap
+    acceptance (Vousden, Farr & Mandel 2016, MNRAS 455:1919, eq. 11-12),
+    applied on the host between checkpoint chunks during burn-in.
+
+    ``betas``: (T,) descending; endpoints are pinned (beta_0 = 1 and the
+    final rung, whether 0 or a geometric beta_min).  ``swap_rates``: (T-1,)
+    measured per-adjacent-pair acceptance over the last adaptation window.
+
+    Interior rungs are parameterized by log-beta gaps between *finite*
+    rungs; the gap under pair ``j`` is scaled by
+    ``exp(kappa * (A_j - mean(A)))`` — a pair accepting more than the
+    ladder average gets pulled apart, one accepting less gets pushed
+    together, so the fixed point is uniform acceptance across every pair
+    (a zero-bottom pair owns no finite gap; its rate steers the others
+    through the mean, and at the fixed point it must equal them).  A
+    pinned-finite bottom rung is preserved by rescaling the gaps to their
+    original total.  Returns the new (T,) ladder.
+    """
+    betas = np.asarray(betas, np.float64)
+    rates = np.asarray(swap_rates, np.float64)
+    T = betas.shape[0]
+    if T < 3:
+        return np.asarray(betas, np.float32)   # nothing interior to move
+    if rates.shape[0] != T - 1:
+        raise ValueError('need one swap rate per adjacent pair')
+    zero_bottom = betas[-1] == 0.0
+    fin = betas[:-1] if zero_bottom else betas     # finite rungs
+    logb = np.log(fin)
+    gaps = -np.diff(logb)                          # (n_fin - 1,) positive
+    n_g = gaps.shape[0]
+    d = rates[:n_g] - rates.mean()
+    gaps = gaps * np.exp(np.clip(kappa * d, -1.0, 1.0))
+    if not zero_bottom:
+        gaps *= -np.log(betas[-1]) / gaps.sum()    # keep beta_min pinned
+    new_logb = np.concatenate([[0.0], -np.cumsum(gaps)])
+    new = np.exp(new_logb)
+    if zero_bottom:
+        new = np.concatenate([new, [0.0]])
+    return np.asarray(new, np.float32)
 
 
 def init_pt_states(setup: BayesSetup, key, n_temps, jitter=0.05):

@@ -103,6 +103,51 @@ def test_log_evidence_incomplete_ladder_flagged():
     np.testing.assert_allclose(ev['ss'], 0.0, atol=1e-12)
 
 
+def test_tune_ladder_unit():
+    from parasitoids_tpu.bayes.tempering import (geometric_ladder,
+                                                 power_ladder, tune_ladder)
+    b0 = power_ladder(5)
+    # uniform rates: fixed point, ladder unchanged
+    np.testing.assert_allclose(tune_ladder(b0, np.full(4, 0.4)), b0,
+                               rtol=1e-6)
+    # top pair accepting far above average: its gap must widen
+    b1 = tune_ladder(b0, np.array([0.9, 0.3, 0.3, 0.3]))
+    assert b1[0] == 1.0 and b1[-1] == 0.0          # endpoints pinned
+    assert (np.diff(b1) < 0).all()                 # still a ladder
+    assert b1[1] < b0[1]                           # rung 1 pulled down
+    # pinned geometric bottom is preserved exactly
+    g0 = geometric_ladder(5, beta_min=0.05)
+    g1 = tune_ladder(g0, np.array([0.8, 0.4, 0.2, 0.1]))
+    np.testing.assert_allclose(g1[-1], 0.05, rtol=1e-5)
+    assert g1[0] == 1.0 and (np.diff(g1) < 0).all()
+    # T=2: nothing interior, identity
+    np.testing.assert_array_equal(
+        tune_ladder(np.array([1.0, 0.0]), np.array([0.5])), [1.0, 0.0])
+    with pytest.raises(ValueError):
+        tune_ladder(b0, np.zeros(2))
+
+
+def test_tune_ladder_equalizes_toy_acceptance():
+    """Iterating the tuner against a synthetic acceptance model drives the
+    per-pair rates toward uniformity."""
+    from parasitoids_tpu.bayes.tempering import power_ladder, tune_ladder
+
+    def rates_of(b):
+        # finite pairs: acceptance decays with the log-beta gap;
+        # bottom (finite, 0) pair: improves as the last finite rung cools
+        fin = b[:-1]
+        gap_rates = np.exp(-1.2 * np.abs(np.diff(np.log(fin))))
+        bottom = np.exp(-4.0 * fin[-1])
+        return np.concatenate([gap_rates, [bottom]])
+
+    b = power_ladder(6, power=5.0)
+    spread0 = np.std(rates_of(b))
+    for i in range(60):
+        b = tune_ladder(b, rates_of(b), kappa=0.4 / (1 + 0.05 * i))
+        assert b[0] == 1.0 and b[-1] == 0.0 and (np.diff(b) < 0).all()
+    assert np.std(rates_of(b)) < 0.25 * spread0
+
+
 def test_pairing_even_odd():
     from parasitoids_tpu.bayes.tempering import _pairing
     T = 5
@@ -285,6 +330,29 @@ def test_pt_cli_new_and_resume(tmp_path, capsys):
     # resuming a PT store through the AM path is rejected cleanly
     with pytest.raises(SystemExit, match='--sampler'):
         brun.main(['--resume', db, '6'] + ov)
+
+
+@pytest.mark.slow
+def test_pt_cli_tune_ladder(tmp_path, capsys):
+    """--tune-ladder adapts interior rungs during burn-in chunks and
+    freezes the ladder for the sampling phase."""
+    from parasitoids_tpu.bayes import run as brun
+    from parasitoids_tpu.bayes.store import load_extras
+    from parasitoids_tpu.bayes.tempering import power_ladder
+
+    db = str(tmp_path / 'pt_tuned')
+    ov = ['ndays=3', 'domain_info=(10000.0,50)', 'interp_num=2',
+          'kernel_rad=6', 'kernel_rad_local=3', 'quad_nodes=8']
+    # burn 12 over chunks of 2 rounds (6 steps): two in-burn tuning chunks
+    brun.main(['--new', '6', '12', db, '--sampler', 'pt', '--temps', '4',
+               '--swap-every', '3', '--checkpoint-every', '6',
+               '--tune-ladder'] + ov)
+    out = capsys.readouterr().out
+    assert 'ladder tuned' in out
+    b = load_extras(db)['betas']
+    b0 = power_ladder(4)
+    assert b[0] == 1.0 and b[-1] == 0.0 and (np.diff(b) < 0).all()
+    assert not np.allclose(b, b0)             # interior rungs moved
 
 
 def test_pt_sharded_rejects_mismatched_ladder(setup):
