@@ -23,7 +23,8 @@ from jax.scipy.stats import norm
 
 __all__ = ['ModelParams', 'ObsParams', 'log_prior_model', 'log_prior_obs',
            'MODEL_PARAM_NAMES', 'OBS_PARAM_NAMES', 'initial_model_params',
-           'initial_obs_params', 'STEP_SCALES', 'sent_obs_prior_alpha']
+           'initial_obs_params', 'STEP_SCALES', 'sent_obs_prior_alpha',
+           'sample_prior_model', 'sample_prior_obs']
 
 # sampled model-parameter order = the reference's AM block
 # (Bayes_Run.py:186-187)
@@ -170,6 +171,71 @@ def sent_obs_prior_alpha(A_collected, field_areas, sent_beta=40.0):
     (Bayes_Run.py:155-166)."""
     mean = A_collected / field_areas
     return mean * sent_beta / (1.0 - mean)
+
+
+# ----------------------------------------------------------------------
+# prior samplers (jit-compatible) — the reference never samples its priors
+# (PyMC 2 only evaluates them, Bayes_Run.py:102-196); these exist for the
+# SMC sampler's prior-particle initialization (bayes/smc.py) and for
+# prior-predictive checks.  Each sampler is the exact distribution whose
+# log-density the corresponding ``log_prior_*`` evaluates.
+# ----------------------------------------------------------------------
+
+def _sample_gamma(key, alpha, rate):
+    """PyMC-2 Gamma(alpha, beta=rate)."""
+    from jax import random
+    return random.gamma(key, alpha) / rate
+
+
+def _sample_truncnorm(key, mu, tau, a, b):
+    """PyMC-2 TruncatedNormal(mu, tau=precision, a, b)."""
+    from jax import random
+    sd = 1.0 / jnp.sqrt(jnp.asarray(tau, jnp.float32))
+    lo = (a - mu) / sd
+    hi = (b - mu) / sd
+    return mu + sd * random.truncated_normal(key, lo, hi)
+
+
+def sample_prior_model(key):
+    """One draw of the 15-dim model block from the joint prior
+    (the distributions of Bayes_Run.py:102-131, in MODEL_PARAM_NAMES
+    order).  ``log_prior_model`` is finite at every draw."""
+    from jax import random
+    ks = random.split(key, 15)
+    g_aw = _sample_gamma(ks[0], 2.2, 1.0)
+    g_bw = _sample_gamma(ks[1], 5.0, 1.0)
+    f_a1 = _sample_truncnorm(ks[2], 6.0, 0.3, 0.0, 9.0)
+    f_b1_p = _sample_gamma(ks[3], 2.0, 1.0)
+    f_a2 = _sample_truncnorm(ks[4], 20.0, 0.3, 15.0, 24.0)
+    f_b2_p = _sample_gamma(ks[5], 2.0, 1.0)
+    sig_x = _sample_gamma(ks[6], 26.0, 0.15)
+    sig_y = _sample_gamma(ks[7], 15.0, 0.15)
+    corr_p = random.beta(ks[8], 5.0, 5.0)
+    sig_xl = _sample_gamma(ks[9], 2.0, 0.08)
+    sig_yl = _sample_gamma(ks[10], 2.0, 0.14)
+    corr_l_p = random.beta(ks[11], 5.0, 5.0)
+    lam = random.beta(ks[12], 5.0, 1.0)
+    n_periods = random.poisson(ks[13], 30.0).astype(jnp.float32)
+    mu_r = 1.0 + random.normal(ks[14])
+    return jnp.stack([g_aw, g_bw, f_a1, f_b1_p, f_a2, f_b2_p, sig_x, sig_y,
+                      corr_p, sig_xl, sig_yl, corr_l_p, lam, n_periods,
+                      mu_r])
+
+
+def sample_prior_obs(key, field_areas, min_field_area):
+    """One draw of the observation-parameter vector from its joint prior
+    (Bayes_Run.py:132-166), including the hierarchical sentinel
+    observation probabilities Beta(alpha(A_collected), 40)."""
+    from jax import random
+    k_xi, k_em, k_gr, k_a, k_s = random.split(key, 5)
+    xi = _sample_gamma(k_xi, 1.0, 1.0)
+    em = random.uniform(k_em)
+    gr = random.uniform(k_gr)
+    a_coll = _sample_truncnorm(k_a, 2500.0, 1.0 / 2500.0, 0.0,
+                               min_field_area)
+    alpha = sent_obs_prior_alpha(a_coll, jnp.asarray(field_areas))
+    sent = random.beta(k_s, alpha, 40.0)
+    return jnp.concatenate([jnp.stack([xi, em, gr, a_coll]), sent])
 
 
 def log_prior_obs(o: ObsParams, field_areas, min_field_area):

@@ -47,12 +47,15 @@ group.add_argument('--resume', nargs=2, metavar=('db_name', 'iterations'),
                         'ignored).')
 parser.add_argument('--chains', type=int, default=1,
                     help='number of parallel chains (vmapped/sharded)')
-parser.add_argument('--sampler', choices=['am', 'nuts', 'pt'], default='am',
+parser.add_argument('--sampler', choices=['am', 'nuts', 'pt', 'smc'],
+                    default='am',
                     help='adaptive Metropolis (reference-equivalent), '
                          'gradient-based NUTS (n_periods fixed, as MAP), '
-                         'or replica-exchange parallel tempering (pt: '
+                         'replica-exchange parallel tempering (pt: '
                          'multimodal-robust AM + marginal-likelihood '
-                         'estimates)')
+                         'estimates), or adaptive tempered sequential '
+                         'Monte Carlo (smc: prior-to-posterior particle '
+                         'anneal + a third evidence estimator)')
 parser.add_argument('--temps', type=int, default=8,
                     help='PT: number of temperature rungs (one replica '
                          'each; sharded one-per-device when the device '
@@ -72,6 +75,17 @@ parser.add_argument('--tune-ladder', action='store_true',
                          'applied between checkpoints; endpoints pinned, '
                          'ladder frozen after burn-in so the evidence '
                          'integrand stays consistent)')
+parser.add_argument('--particles', type=int, default=None,
+                    help='SMC: particle count (default: the <iterations> '
+                         'argument, or 64) — these become the posterior '
+                         'draws')
+parser.add_argument('--moves', type=int, default=5,
+                    help='SMC: rejuvenation MCMC steps per anneal stage')
+parser.add_argument('--ess-target', type=float, default=0.5,
+                    help='SMC: each temperature increment keeps '
+                         'ESS >= target * particles')
+parser.add_argument('--max-stages', type=int, default=200,
+                    help='SMC: hard cap on anneal stages')
 parser.add_argument('--max-depth', type=int, default=6,
                     help='NUTS maximum tree depth')
 parser.add_argument('--init', default='map',
@@ -399,6 +413,119 @@ def run_pt_cli(args, setup):
         print('(no post-burn samples yet)')
 
 
+def _smc_posterior_traces(payload, seed):
+    """Unweighted posterior draws from the final weighted particles: one
+    systematic resample (stage-independent stream), stored as (1, N, dim)
+    so diagnostics/reporting treat them like a chain's samples."""
+    from .smc import systematic_resample
+    st = payload['states']
+    logw = np.asarray(payload['logw'], np.float64)
+    w = np.exp(logw - logw.max())
+    idx = systematic_resample(w / w.sum(),
+                             np.random.default_rng([seed, 10 ** 6]))
+    m = np.asarray(st.m)[idx]
+    o = np.asarray(st.o)[idx]
+    lp = (np.asarray(st.prior_m) + np.asarray(st.prior_o)
+          + np.asarray(st.loglik))[idx]
+    return np.concatenate([m, o, lp[:, None]], axis=1)[None]
+
+
+def _save_smc(db, payload, seed, cfg):
+    """Persist the annealer state; posterior traces only once beta = 1."""
+    h = payload['history']
+    traces = (_smc_posterior_traces(payload, seed)
+              if payload['beta'] >= 1.0 else np.zeros((1, 0, 1)))
+    save_chain(db, traces, payload['states'],
+               meta={'sampler': 'smc', 'seed': seed,
+                     'n_moves': cfg.n_moves, 'ess_target': cfg.ess_target,
+                     'obs_scale': cfg.obs_scale,
+                     'beta': payload['beta'], 'logz': payload['logz'],
+                     'log_scale': payload['log_scale'],
+                     'stage': payload['stage'],
+                     'n_samples': traces.shape[1]},
+               extra={'logw': payload['logw'], 'betas': h['betas'],
+                      'ess_path': h['ess'], 'accept_path': h['accept'],
+                      'resampled': h['resampled'], 'logz_path': h['logz']})
+    return traces
+
+
+def run_smc_cli(args, setup):
+    """Adaptive tempered SMC path (``--sampler smc``): a particle
+    population annealed from the exact prior to the posterior along a
+    data-driven temperature schedule, rejuvenated by the same AM kernel as
+    the reference-equivalent sampler; yields unweighted posterior draws
+    plus the SMC marginal-likelihood estimate — the third independent
+    evidence estimator next to PT's TI and stepping-stone
+    (cross-checkable via --sampler pt on the same data)."""
+    from .smc import SMCConfig, run_smc
+    from .store import load_extras
+
+    resume = args.new is None
+    if resume:
+        db = args.resume[0]
+        print('Resuming SMC from {}...'.format(db))
+        _, states, meta = load_chain(db, setup)
+        if meta.get('sampler') != 'smc':
+            raise SystemExit('{} was not written by --sampler smc; pass '
+                             'the matching --sampler'.format(db))
+        ex = load_extras(db)
+        seed = int(meta['seed'])
+        cfg = SMCConfig(n_particles=int(states.m.shape[0]),
+                        n_moves=int(meta['n_moves']),
+                        ess_target=float(meta['ess_target']),
+                        obs_scale=float(meta.get('obs_scale', 0.05)),
+                        max_stages=args.max_stages)
+        payload = {'states': states, 'logw': ex['logw'],
+                   'beta': float(meta['beta']), 'logz': float(meta['logz']),
+                   'log_scale': float(meta['log_scale']),
+                   'stage': int(meta['stage']),
+                   'history': {'betas': ex['betas'], 'ess': ex['ess_path'],
+                               'accept': ex['accept_path'],
+                               'resampled': ex['resampled'],
+                               'logz': ex['logz_path']}}
+    else:
+        n_samples, _burn, db = (int(args.new[0]), int(args.new[1]),
+                                args.new[2])
+        n_part = args.particles or (n_samples if n_samples > 0 else 64)
+        seed = args.seed
+        cfg = SMCConfig(n_particles=n_part, n_moves=args.moves,
+                        ess_target=args.ess_target,
+                        max_stages=args.max_stages)
+        payload = None
+
+    mesh = None
+    n_dev = len(jax.devices())
+    if n_dev > 1 and cfg.n_particles % n_dev == 0:
+        from ..parallel.chains import chain_mesh
+        mesh = chain_mesh()
+        print('  particles sharded over {} devices'.format(n_dev))
+
+    tic = time.time()
+    if payload is None or payload['beta'] < 1.0:
+        if payload is None:
+            print('SMC: {} particles from the prior, {} moves/stage, '
+                  'ESS target {:.0%}...'.format(
+                      cfg.n_particles, cfg.n_moves, cfg.ess_target))
+        else:
+            print('SMC: continuing at beta={:.5f} (stage {})...'.format(
+                payload['beta'], payload['stage']))
+        payload = run_smc(setup, random.PRNGKey(seed), cfg, mesh=mesh,
+                          seed=seed, verbose=True, resume=payload,
+                          checkpoint=lambda p: _save_smc(db, p, seed, cfg))
+        dt = time.time() - tic
+        print('SMC finished: {:.1f} s, {} stages'.format(
+            dt, payload['stage']))
+    traces = _save_smc(db, payload, seed, cfg)
+    print('Saved to {}.npz'.format(db.removesuffix('.npz')))
+    from .smc import ess as _ess
+    print('final ESS {:.1f}/{}; resampled {} of {} stages'.format(
+        _ess(payload['logw']), cfg.n_particles,
+        int(np.sum(payload['history']['resampled'])), payload['stage']))
+    print('log evidence (SMC): {:.2f}  (cross-check: --sampler pt '
+          'TI/stepping-stone)'.format(payload['logz']))
+    _report(traces, setup)
+
+
 def main(argv=None):
     args = parser.parse_args(argv)
     enable_compilation_cache()
@@ -409,6 +536,8 @@ def main(argv=None):
         return run_nuts(args, setup)
     if args.sampler == 'pt':
         return run_pt_cli(args, setup)
+    if args.sampler == 'smc':
+        return run_smc_cli(args, setup)
     from ..parallel.chains import chain_mesh, init_chains, run_chains
 
     n_dev = len(jax.devices())

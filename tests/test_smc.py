@@ -1,0 +1,332 @@
+"""Adaptive tempered SMC sampler tests (bayes/smc.py).
+
+Covers: prior samplers vs their log-densities and analytic moments, the
+host-side annealing machinery (ESS, adaptive next-beta, systematic
+resampling) against exact properties, the full annealed-importance evidence
+identity on a conjugate-normal toy, and (slow tier) the end-to-end sampler
+on a real tiny BayesSetup incl. stacked-vs-sharded identity, checkpoint
+resume, and the CLI.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import random
+
+from parasitoids_tpu.config import Params
+
+
+def _tiny_setup():
+    from parasitoids_tpu.bayes.model import BayesSetup
+    p = Params()
+    p.cmd_line_chg(['--kalbar'])
+    p.PLOT = False
+    p.OUTPUT = False
+    p.PROB_MODEL = False
+    p.ndays = 3
+    p.domain_info = (10000.0, 50)
+    p.interp_num = 2
+    p.kernel_rad = 6
+    p.kernel_rad_local = 3
+    p.quad_nodes = 8
+    return BayesSetup(p)
+
+
+@pytest.fixture(scope='module')
+def setup():
+    return _tiny_setup()
+
+
+# ----------------------------------------------------------------------
+# prior samplers
+# ----------------------------------------------------------------------
+
+def test_sample_prior_model_moments_and_support():
+    """Draws match the analytic prior moments (Bayes_Run.py:102-131) and
+    always have finite joint log-density."""
+    from parasitoids_tpu.bayes.priors import (log_prior_model,
+                                              sample_prior_model)
+    from parasitoids_tpu.bayes.sampler import _as_model
+
+    n = 4000
+    ms = np.asarray(jax.vmap(sample_prior_model)(
+        random.split(random.PRNGKey(0), n)))
+    assert ms.shape == (n, 15)
+    # analytic means: Gamma(a, rate b) -> a/b; Beta(a,b) -> a/(a+b);
+    # Poisson(30) -> 30; Normal(1, tau=1) -> 1; TruncNorm ~ untruncated
+    # mean (bounds are > 3 sd away for f_a1/f_a2)
+    expected = {0: 2.2, 1: 5.0, 2: 6.0, 4: 20.0,
+                6: 26.0 / 0.15, 7: 15.0 / 0.15, 8: 0.5,
+                9: 2.0 / 0.08, 10: 2.0 / 0.14, 11: 0.5,
+                12: 5.0 / 6.0, 13: 30.0, 14: 1.0}
+    for i, mu in expected.items():
+        se = ms[:, i].std() / np.sqrt(n)
+        assert abs(ms[:, i].mean() - mu) < 5 * se + 0.02 * abs(mu), \
+            'param {} mean {} vs {}'.format(i, ms[:, i].mean(), mu)
+    # support: truncations respected, discrete n_periods integral
+    assert (ms[:, 2] >= 0).all() and (ms[:, 2] <= 9).all()
+    assert (ms[:, 4] >= 15).all() and (ms[:, 4] <= 24).all()
+    assert (ms[:, 12] > 0).all() and (ms[:, 12] < 1).all()
+    np.testing.assert_array_equal(ms[:, 13], np.round(ms[:, 13]))
+    lps = jax.vmap(lambda v: log_prior_model(_as_model(jnp.asarray(v))))(
+        jnp.asarray(ms))
+    assert bool(jnp.isfinite(lps).all())
+
+
+def test_sample_prior_obs_support(setup):
+    from parasitoids_tpu.bayes.priors import (log_prior_obs,
+                                              sample_prior_obs)
+    from parasitoids_tpu.bayes.sampler import _as_obs
+
+    n = 500
+    os_ = np.asarray(jax.vmap(lambda k: sample_prior_obs(
+        k, setup.field_areas, setup.min_field_area))(
+            random.split(random.PRNGKey(1), n)))
+    assert os_.shape == (n, 4 + setup.n_sent)
+    assert (os_[:, 0] > 0).all()                       # xi ~ Gamma
+    assert ((os_[:, 1:3] > 0) & (os_[:, 1:3] < 1)).all()
+    assert (os_[:, 3] > 0).all()
+    assert (os_[:, 3] < setup.min_field_area).all()    # truncation
+    assert ((os_[:, 4:] > 0) & (os_[:, 4:] < 1)).all()
+    lps = jax.vmap(lambda v: log_prior_obs(
+        _as_obs(jnp.asarray(v), setup.n_sent), setup.field_areas,
+        setup.min_field_area))(jnp.asarray(os_))
+    assert bool(jnp.isfinite(lps).all())
+
+
+# ----------------------------------------------------------------------
+# host-side annealing machinery
+# ----------------------------------------------------------------------
+
+def test_ess():
+    from parasitoids_tpu.bayes.smc import ess
+    assert ess(np.zeros(10)) == pytest.approx(10.0)
+    # one dominant weight -> ESS ~ 1
+    lw = np.full(10, -100.0)
+    lw[3] = 0.0
+    assert ess(lw) == pytest.approx(1.0, abs=1e-6)
+    # two equal weights
+    lw = np.full(4, -np.inf)
+    lw[0] = lw[1] = 0.0
+    assert ess(lw) == pytest.approx(2.0)
+    # invariance to additive constants
+    assert ess(np.arange(5.0)) == pytest.approx(ess(np.arange(5.0) + 37.0))
+
+
+def test_next_beta_hits_target_and_caps():
+    from parasitoids_tpu.bayes.smc import ess, next_beta
+    rng = np.random.default_rng(0)
+    ll = rng.normal(-50.0, 8.0, size=200)
+    logw = np.zeros(200)
+    d = next_beta(0.0, ll, logw, target_ess=100.0)
+    assert 0 < d < 1
+    assert ess(logw + d * ll) == pytest.approx(100.0, rel=1e-3)
+    # monotone: higher target -> smaller step
+    d2 = next_beta(0.0, ll, logw, target_ess=150.0)
+    assert d2 < d
+    # flat likelihood: full remaining step is taken
+    assert next_beta(0.3, np.zeros(50), np.zeros(50), 25.0) == \
+        pytest.approx(0.7)
+    # cap respected near the end
+    assert next_beta(0.999, ll, logw, 100.0) <= 0.001 + 1e-12
+    # non-finite logliks handled (treated as effectively -inf)
+    ll2 = ll.copy()
+    ll2[0] = -np.inf
+    ll2[1] = np.nan
+    d3 = next_beta(0.0, ll2, logw, target_ess=100.0)
+    assert np.isfinite(d3) and d3 > 0
+    with pytest.raises(ValueError):
+        next_beta(1.0, ll, logw, 100.0)
+
+
+def test_systematic_resample():
+    from parasitoids_tpu.bayes.smc import systematic_resample
+    w = np.array([0.5, 0.25, 0.125, 0.125])
+    idx = systematic_resample(w, np.random.default_rng(0))
+    assert idx.shape == (4,)
+    # deterministic given the rng state
+    idx2 = systematic_resample(w, np.random.default_rng(0))
+    np.testing.assert_array_equal(idx, idx2)
+    # low-variance property: counts within 1 of N*w for every particle
+    n = 1000
+    w = np.random.default_rng(1).random(n)
+    w /= w.sum()
+    idx = systematic_resample(w, np.random.default_rng(2))
+    counts = np.bincount(idx, minlength=n)
+    assert (np.abs(counts - n * w) <= 1.0 + 1e-9).all()
+
+
+def test_annealed_importance_evidence_conjugate_normal():
+    """The stage-product evidence identity, driven by the real next_beta /
+    ESS machinery (no MCMC moves needed for a conjugate toy with many
+    particles): theta ~ N(0,1), y|theta ~ N(theta, s2) gives
+    log Z = log N(y; 0, 1+s2) exactly."""
+    from parasitoids_tpu.bayes.smc import _logsumexp, next_beta
+
+    rng = np.random.default_rng(3)
+    y, s2 = 1.3, 0.4
+    exact = -0.5 * (np.log(2 * np.pi * (1 + s2)) + y ** 2 / (1 + s2))
+    n = 40000
+    th = rng.normal(0.0, 1.0, size=n)
+    ll = -0.5 * (np.log(2 * np.pi * s2) + (y - th) ** 2 / s2)
+    logw = np.zeros(n)
+    beta, logz, stages = 0.0, 0.0, 0
+    while beta < 1.0:
+        from parasitoids_tpu.bayes.smc import ess
+        # the relative target run_smc uses (weights carry, no resampling)
+        d = next_beta(beta, ll, logw, target_ess=0.5 * ess(logw))
+        logz += _logsumexp((logw - _logsumexp(logw)) + d * ll)
+        logw = logw + d * ll
+        beta = 1.0 if d >= 1.0 - beta else beta + d
+        stages += 1
+        assert stages < 50
+    np.testing.assert_allclose(logz, exact, atol=0.02)
+    # the telescoped product equals direct importance sampling exactly
+    # (no resampling happened), a pure algebra check of the accumulation
+    direct = _logsumexp(ll) - np.log(n)
+    np.testing.assert_allclose(logz, direct, atol=1e-8)
+
+
+# ----------------------------------------------------------------------
+# end-to-end on the real (tiny) model
+# ----------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_run_smc_tiny(setup):
+    from parasitoids_tpu.bayes.sampler import _as_model, _as_obs
+    from parasitoids_tpu.bayes.smc import (SMCConfig, init_smc_particles,
+                                           run_smc)
+
+    # prior particles: anneal start is the exact prior (same key as the
+    # run below, so this IS the run's initial population)
+    cfg = SMCConfig(n_particles=16, n_moves=4)
+    parts = init_smc_particles(setup, random.PRNGKey(1), cfg.n_particles)
+    assert parts.m.shape == (16, 15)
+    assert bool(jnp.isfinite(parts.loglik).all())
+    prior_mean_ll = float(np.asarray(parts.loglik).mean())
+
+    out = run_smc(setup, random.PRNGKey(1), cfg, seed=7)
+    assert out['beta'] == 1.0
+    assert np.isfinite(out['logz'])
+    h = out['history']
+    assert (np.diff(h['betas']) >= 0).all()
+    assert h['betas'][-1] == 1.0
+    assert len(h['accept']) == out['stage']
+    ll = np.asarray(out['states'].loglik)
+    assert np.isfinite(ll).all()
+    # likelihood-selection sanity: the annealed population sits far above
+    # its own prior initialization in mean log-likelihood (at tiny particle
+    # counts the population can degenerate, so only this coarse ordering is
+    # asserted; real runs want n_particles >= 128)
+    assert ll.mean() > prior_mean_ll
+    # cached loglik is consistent with the particle's own position
+    i = int(np.argmax(ll))
+    m = _as_model(jnp.asarray(out['states'].m[i]))
+    proj = setup.forward_projections(m)
+    ll_re = setup.log_likelihood(proj, _as_obs(
+        jnp.asarray(out['states'].o[i]), setup.n_sent))
+    np.testing.assert_allclose(float(ll_re), ll[i], rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_smc_checkpoint_resume_bitwise(setup):
+    """A run interrupted at an intermediate stage and resumed from its
+    checkpoint payload reproduces the monolithic run bitwise."""
+    from parasitoids_tpu.bayes.smc import SMCConfig, run_smc
+
+    cfg = SMCConfig(n_particles=8, n_moves=2)
+    mono = run_smc(setup, random.PRNGKey(2), cfg, seed=11)
+
+    saved = {}
+
+    class _Stop(Exception):
+        pass
+
+    def grab(payload):
+        saved.update(payload)
+        if payload['stage'] == 2:
+            raise _Stop
+
+    try:
+        run_smc(setup, random.PRNGKey(2), cfg, seed=11, checkpoint=grab)
+    except _Stop:
+        pass
+    assert saved['stage'] == 2
+    resumed = run_smc(setup, None, cfg, seed=11, resume=saved)
+    assert resumed['stage'] == mono['stage']
+    np.testing.assert_array_equal(np.asarray(mono['states'].m),
+                                  np.asarray(resumed['states'].m))
+    np.testing.assert_array_equal(np.asarray(mono['states'].key),
+                                  np.asarray(resumed['states'].key))
+    assert mono['logz'] == resumed['logz']
+    np.testing.assert_array_equal(mono['history']['betas'],
+                                  resumed['history']['betas'])
+
+
+@pytest.mark.slow
+def test_smc_sharded_matches_stacked(setup):
+    """Particle axis over the 8 virtual devices == single-chip lax.map,
+    bit for bit (the host annealing logic is shared; the move programs run
+    identical per-particle math)."""
+    from parasitoids_tpu.bayes.smc import SMCConfig, run_smc
+    from parasitoids_tpu.parallel.chains import chain_mesh
+
+    assert len(jax.devices()) == 8
+    cfg = SMCConfig(n_particles=8, n_moves=2)
+    a = run_smc(setup, random.PRNGKey(4), cfg, seed=5)
+    b = run_smc(setup, random.PRNGKey(4), cfg, seed=5, mesh=chain_mesh())
+    assert a['stage'] == b['stage']
+    assert a['logz'] == b['logz']
+    np.testing.assert_array_equal(np.asarray(a['states'].m),
+                                  np.asarray(b['states'].m))
+    np.testing.assert_array_equal(np.asarray(a['states'].loglik),
+                                  np.asarray(b['states'].loglik))
+    np.testing.assert_array_equal(a['history']['betas'],
+                                  b['history']['betas'])
+
+
+def test_smc_mesh_divisibility(setup):
+    from parasitoids_tpu.bayes.smc import SMCConfig, run_smc
+    from parasitoids_tpu.parallel.chains import chain_mesh
+    with pytest.raises(ValueError):
+        run_smc(setup, random.PRNGKey(0), SMCConfig(n_particles=9),
+                mesh=chain_mesh())
+
+
+@pytest.mark.slow
+def test_smc_cli_new_and_resume(tmp_path, capsys):
+    """--sampler smc end to end: staged checkpoints, saved store with
+    weights + anneal history, evidence report, resume of a completed run
+    reprints the report without sampling."""
+    from parasitoids_tpu.bayes import run as brun
+    from parasitoids_tpu.bayes.store import load_extras
+
+    db = str(tmp_path / 'smc_run')
+    ov = ['ndays=3', 'domain_info=(10000.0,50)', 'interp_num=2',
+          'kernel_rad=6', 'kernel_rad_local=3', 'quad_nodes=8']
+    brun.main(['--new', '8', '0', db, '--sampler', 'smc', '--moves', '2']
+              + ov)
+    out = capsys.readouterr().out
+    assert 'log evidence (SMC):' in out
+    assert 'posterior means' in out
+
+    with np.load(db + '.npz') as d:
+        tr = d['traces']
+        assert tr.shape[0] == 1 and tr.shape[1] == 8   # resampled draws
+        assert np.isfinite(tr).all()
+    ex = load_extras(db)
+    assert ex['betas'][-1] == 1.0
+    assert ex['logw'].shape == (8,)
+    assert np.isfinite(ex['logz_path']).all()
+
+    # resuming a completed run = report-only, traces unchanged
+    brun.main(['--resume', db, '0', '--sampler', 'smc'] + ov)
+    out = capsys.readouterr().out
+    assert 'log evidence (SMC):' in out
+    with np.load(db + '.npz') as d:
+        np.testing.assert_array_equal(d['traces'], tr)
+
+    # an SMC store is rejected by the AM resume path
+    with pytest.raises(SystemExit, match='--sampler'):
+        brun.main(['--resume', db, '6'] + ov)
