@@ -131,6 +131,35 @@ class BayesSetup:
         self.r_number = float(params.r_number)
 
     # ------------------------------------------------------------------
+    def with_observations(self, obs):
+        """Shallow copy of this setup with the observed data replaced
+        (same shapes/dtypes) — the SBC replicate constructor
+        (bayes/sbc.py): a synthetic dataset from
+        ``predictive.simulate_observations`` becomes a new inference
+        target while every expensive precomputation (forward setup,
+        observation operators, location data) is shared.  The copy is a
+        distinct jit cache key, so its likelihood retraces (identical HLO
+        hits the persistent XLA compilation cache; no recompile)."""
+        import copy
+        dtype = self.obs_grid.dtype
+        new = copy.copy(self)
+        rel = [jnp.asarray(a, dtype) for a in obs['release']]
+        sent = [jnp.asarray(a, dtype) for a in obs['sentinel']]
+        grid = jnp.asarray(obs['grid'], dtype)
+        for got, ref, name in (
+                (rel, self.obs_release, 'release'),
+                (sent, self.obs_sentinel, 'sentinel'),
+                ([grid], [self.obs_grid], 'grid')):
+            if len(got) != len(ref) or any(
+                    g.shape != r.shape for g, r in zip(got, ref)):
+                raise ValueError('observation shapes for {!r} do not match '
+                                 'this setup'.format(name))
+        new.obs_release = rel
+        new.obs_sentinel = sent
+        new.obs_grid = grid
+        return new
+
+    # ------------------------------------------------------------------
     def _pre_spread_kernel(self, m: ModelParams, sprd_factor):
         """Kalbar pre-wind local-spread kernel (Bayes_Run.py:243-267):
         sprd_factor of the population drifts with the flight covariance

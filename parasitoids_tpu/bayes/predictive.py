@@ -1,4 +1,4 @@
-"""Posterior-predictive checks from a saved MCMC trace (L4/L5).
+"""Posterior- and prior-predictive checks (L4/L5).
 
 No reference equivalent: the reference can only re-run ``Run.py`` per
 parameter set by hand.  Here draws from a saved trace run as a sharded
@@ -6,11 +6,16 @@ ensemble of forward simulations (parallel/ensemble.py) and are compared
 to the observed field data on every channel:
 
     python -m parasitoids_tpu.bayes.predictive runs/kalbar --draws 20
+    python -m parasitoids_tpu.bayes.predictive --prior --draws 20
 
-writes ``<trace>_predictive.png`` — observed counts against the
-posterior-predictive distribution (thinned through the same observation
-model as the likelihood) for grid adults, release-field emergence and
-sentinel-field emergence.
+write ``<trace>_predictive.png`` / ``prior_predictive.png`` — observed
+counts against the predictive distribution (thinned through the same
+observation model as the likelihood) for grid adults, release-field
+emergence and sentinel-field emergence.  ``--prior`` draws parameters
+from the exact joint prior (priors.py samplers) instead of a trace — the
+standard before-you-fit check that the priors generate data on the right
+scale.  ``simulate_observations`` is the single-draw synthetic-data
+generator the SBC harness (bayes/sbc.py) is built on.
 """
 
 from __future__ import annotations
@@ -22,7 +27,8 @@ import numpy as np
 from .model import BayesSetup
 from .priors import MODEL_PARAM_NAMES, OBS_PARAM_NAMES
 
-__all__ = ['posterior_predictive', 'plot_predictive', 'main']
+__all__ = ['posterior_predictive', 'prior_predictive',
+           'simulate_observations', 'plot_predictive', 'main']
 
 
 def _mpl():
@@ -88,8 +94,62 @@ def posterior_predictive(setup: BayesSetup, traces, n_draws=20, seed=0,
     return out
 
 
-def plot_predictive(setup: BayesSetup, pred, outfile):
-    """Observed vs posterior-predictive distributions per channel."""
+def prior_predictive(setup: BayesSetup, n_draws=20, seed=0, mesh=None):
+    """Predictive samples under parameters drawn from the exact joint
+    prior (no trace needed) — same output structure as
+    ``posterior_predictive``."""
+    import jax
+    from jax import random
+
+    from .priors import sample_prior_model, sample_prior_obs
+
+    k_m, k_o = random.split(random.PRNGKey(seed))
+    m = np.asarray(jax.vmap(sample_prior_model)(
+        random.split(k_m, n_draws)))
+    o = np.asarray(jax.vmap(lambda k: sample_prior_obs(
+        k, setup.field_areas, setup.min_field_area))(
+            random.split(k_o, n_draws)))
+    rows = np.concatenate([m, o], axis=1)
+    return posterior_predictive(setup, rows[None], n_draws=n_draws,
+                                seed=seed, mesh=mesh)
+
+
+def simulate_observations(setup: BayesSetup, m_vec, o_vec, rng):
+    """One synthetic-data draw ``y ~ p(y | m, o)``: the forward model's
+    projections pushed through the same thinned-Poisson observation model
+    the likelihood evaluates (model.py ``log_likelihood``), sampled.
+
+    Returns ``{'release': [..], 'sentinel': [..], 'grid': arr}`` with
+    exactly the shapes of ``setup.obs_release`` / ``obs_sentinel`` /
+    ``obs_grid`` — ready for ``BayesSetup.with_observations`` (the SBC
+    replicate constructor).
+    """
+    import jax.numpy as jnp
+
+    from .sampler import _as_model, _as_obs
+
+    m = _as_model(jnp.asarray(m_vec, jnp.float32))
+    o = np.asarray(o_vec, np.float32)
+    rel, sent, grid = setup.forward_projections(m)
+    xi, em_p, grid_p = o[0], o[1], o[2]
+    sent_p = o[4:4 + setup.n_sent]
+    eff = [np.asarray(e) for e in setup.release_effort]
+    out = {
+        'release': [rng.poisson(np.maximum(
+            xi * np.asarray(r) * (eff[k] * em_p)[:, None], 0.0))
+            for k, r in enumerate(rel)],
+        'sentinel': [rng.poisson(np.maximum(
+            xi * np.asarray(s) * sent_p[:, None], 0.0))
+            for s in sent],
+        'grid': rng.poisson(np.maximum(
+            grid_p * np.asarray(setup.grid_samples) * np.asarray(grid),
+            0.0)),
+    }
+    return out
+
+
+def plot_predictive(setup: BayesSetup, pred, outfile, label='posterior'):
+    """Observed vs predictive distributions per channel."""
     plt = _mpl()
     fig, axes = plt.subplots(1, 3, figsize=(15, 4))
 
@@ -127,8 +187,8 @@ def plot_predictive(setup: BayesSetup, pred, outfile):
     axes[2].set_xlabel('sentinel field')
     axes[2].legend()
 
-    fig.suptitle('posterior predictive ({} draws) vs observed'.format(
-        pred['grid'].shape[0]))
+    fig.suptitle('{} predictive ({} draws) vs observed'.format(
+        label, pred['grid'].shape[0]))
     fig.tight_layout()
     fig.savefig(outfile, dpi=130)
     plt.close(fig)
@@ -144,12 +204,22 @@ def main(argv=None):
     from ..utils.cache import enable_compilation_cache
 
     ap = argparse.ArgumentParser(prog='parasitoids_tpu.bayes.predictive')
-    ap.add_argument('trace', help='saved MCMC trace (npz path)')
+    ap.add_argument('trace', nargs='?', default=None,
+                    help='saved MCMC trace (npz path); omit with --prior')
+    ap.add_argument('--prior', action='store_true',
+                    help='prior-predictive: draw parameters from the joint '
+                         'prior instead of a trace')
     ap.add_argument('--draws', type=int, default=20)
     ap.add_argument('--seed', type=int, default=0)
     ap.add_argument('overrides', nargs='*',
                     help='key=value Params overrides matching the run')
     args = ap.parse_args(argv)
+    if args.trace is None and not args.prior:
+        ap.error('a trace path is required unless --prior is given')
+    # a bare key=value first positional is a common slip with --prior
+    if args.prior and args.trace and '=' in args.trace:
+        args.overrides = [args.trace] + args.overrides
+        args.trace = None
     enable_compilation_cache()
 
     params = Params()
@@ -164,16 +234,24 @@ def main(argv=None):
             params.chg_param(k, v)
     setup = BayesSetup(params)
 
-    path = args.trace if args.trace.endswith('.npz') else args.trace + '.npz'
-    with np.load(path) as npz:
-        traces = npz['traces']
     mesh = None
     if len(jax.devices()) > 1:
         from ..parallel.chains import chain_mesh
         mesh = chain_mesh()
-    pred = posterior_predictive(setup, traces, n_draws=args.draws,
-                                seed=args.seed, mesh=mesh)
-    out = path[:-4] + '_predictive.png'
+    if args.prior:
+        pred = prior_predictive(setup, n_draws=args.draws, seed=args.seed,
+                                mesh=mesh)
+        print('wrote', plot_predictive(setup, pred, 'prior_predictive.png',
+                                       label='prior'))
+        return
+    else:
+        path = (args.trace if args.trace.endswith('.npz')
+                else args.trace + '.npz')
+        with np.load(path) as npz:
+            traces = npz['traces']
+        pred = posterior_predictive(setup, traces, n_draws=args.draws,
+                                    seed=args.seed, mesh=mesh)
+        out = path[:-4] + '_predictive.png'
     print('wrote', plot_predictive(setup, pred, out))
 
 

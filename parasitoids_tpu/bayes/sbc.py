@@ -1,0 +1,210 @@
+"""Simulation-based calibration of the full inference stack.
+
+Beyond-reference capability: the reference has no way to test that its
+sampler actually samples the posterior it writes down — PyMC 2's machinery
+is trusted blind.  SBC (Talts, Betancourt, Simpson, Vehtari & Gelman 2018,
+arXiv:1804.06788) closes the loop using machinery this rebuild already
+has: the exact prior samplers (priors.py), the synthetic-data generator
+(predictive.simulate_observations — the same thinned-Poisson observation
+model the likelihood evaluates), and cheap replicate construction
+(``BayesSetup.with_observations``).
+
+Per replicate: draw truth ``theta* ~ prior``, simulate a dataset
+``y ~ p(y | theta*)``, run the sampler on ``y``, and record the rank of
+``theta*`` among ``L`` thinned posterior draws, per parameter.  If the
+sampler is exact, ranks are uniform on {0..L} — *any* systematic bias
+(wrong prior, likelihood mismatch, broken adaptation, resume bugs) shows
+up as U-shaped, peaked, or skewed rank histograms.  ``sbc_uniformity``
+reduces each parameter's histogram to a chi-square p-value.
+
+This validates the *whole* chain end to end — priors, forward model,
+observation model, sampler, trace handling — against itself, which is the
+strongest internal check an inference code can run.
+
+CLI::
+
+    python -m parasitoids_tpu.bayes.sbc --replicates 20 --samples 400 \
+        --burn 200 [key=value overrides]
+
+writes ``sbc_ranks.npz`` + ``sbc.png`` and prints per-parameter p-values.
+Replicates run sequentially (each is a fresh dataset); chain-level device
+parallelism inside a replicate follows the normal sampler paths.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .model import BayesSetup
+from .priors import MODEL_PARAM_NAMES, OBS_PARAM_NAMES
+
+__all__ = ['run_sbc', 'sbc_uniformity', 'plot_sbc', 'main']
+
+
+def _param_names(setup):
+    return (list(MODEL_PARAM_NAMES) + list(OBS_PARAM_NAMES)
+            + ['sent_obs_prob_{}'.format(k)
+               for k in setup.locinfo.sent_ids])
+
+
+def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
+            thin=5, seed=0, verbose=False):
+    """SBC rank statistics for the AM sampler.
+
+    Returns ``{'ranks': (R, dim) int array, 'L': draws per replicate,
+    'names': parameter names, 'truths': (R, dim)}``.  Chains are
+    initialized at the replicate's own truth — SBC permits any
+    initialization, and starting in the typical set keeps the required
+    burn-in honest for short validation chains.
+    """
+    import jax
+    from jax import random
+
+    from .predictive import simulate_observations
+    from .priors import sample_prior_model, sample_prior_obs
+    from .sampler import MCMCConfig, init_chain_state, run_mcmc
+
+    dim = 15 + 4 + setup.n_sent
+    ranks = np.zeros((n_replicates, dim), np.int64)
+    truths = np.zeros((n_replicates, dim))
+    L = len(range(burn, burn + n_samples, thin))
+    cfg = MCMCConfig(n_samples=burn + n_samples)
+    for r in range(n_replicates):
+        k_r = random.fold_in(key, r)
+        k_m, k_o, k_chain = random.split(k_r, 3)
+        m_star = np.asarray(sample_prior_model(k_m))
+        o_star = np.asarray(sample_prior_obs(k_o, setup.field_areas,
+                                             setup.min_field_area))
+        rng = np.random.default_rng([seed, r])
+        y = simulate_observations(setup, m_star, o_star, rng)
+        setup_r = setup.with_observations(y)
+        state = init_chain_state(setup_r, k_chain, m0=m_star, o0=o_star)
+        _, trace = jax.block_until_ready(run_mcmc(setup_r, state, cfg))
+        draws = np.asarray(trace)[burn:burn + n_samples:thin, :dim]
+        truth = np.concatenate([m_star, o_star])
+        truths[r] = truth
+        # rank with randomized tie-breaking (exact for the discrete
+        # n_periods component, a no-op for continuous ones)
+        less = (draws < truth).sum(axis=0)
+        ties = (draws == truth).sum(axis=0)
+        ranks[r] = less + rng.integers(0, ties + 1)
+        if verbose:
+            print('  SBC replicate {}/{}: loglik* {:.1f}, ranks '
+                  '[{} .. {}] of {}'.format(
+                      r + 1, n_replicates, float(state.loglik),
+                      ranks[r].min(), ranks[r].max(), L), flush=True)
+    return {'ranks': ranks, 'L': L, 'names': _param_names(setup),
+            'truths': truths}
+
+
+def sbc_uniformity(ranks, L, n_bins=None):
+    """Chi-square uniformity p-value per parameter over binned ranks.
+
+    Under a correct sampler each rank is uniform on {0..L}; small p-values
+    across many parameters indicate mis-calibration.  (With few replicates
+    the test has little power — it is a smoke alarm, not a certificate.)
+    """
+    from scipy import stats
+
+    ranks = np.asarray(ranks)
+    R, dim = ranks.shape
+    if n_bins is None:
+        n_bins = max(2, min(L + 1, R // 5, 20))
+    edges = np.linspace(0, L + 1, n_bins + 1)
+    pvals = np.empty(dim)
+    for j in range(dim):
+        counts, _ = np.histogram(ranks[:, j], bins=edges)
+        pvals[j] = stats.chisquare(counts).pvalue
+    return pvals
+
+
+def plot_sbc(out, outfile, n_bins=None):
+    """Rank-histogram grid with the uniform band."""
+    import os
+
+    import matplotlib
+    if not os.environ.get('DISPLAY'):
+        matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    ranks, L, names = out['ranks'], out['L'], out['names']
+    R, dim = ranks.shape
+    if n_bins is None:
+        n_bins = max(2, min(L + 1, R // 5, 20))
+    ncol = 5
+    nrow = -(-dim // ncol)
+    fig, axes = plt.subplots(nrow, ncol, figsize=(3 * ncol, 2.2 * nrow),
+                             squeeze=False)
+    edges = np.linspace(0, L + 1, n_bins + 1)
+    expect = R / n_bins
+    band = 2 * np.sqrt(expect)
+    for j in range(nrow * ncol):
+        ax = axes[j // ncol][j % ncol]
+        if j >= dim:
+            ax.axis('off')
+            continue
+        ax.hist(ranks[:, j], bins=edges)
+        ax.axhspan(expect - band, expect + band, alpha=0.2, color='gray')
+        ax.axhline(expect, color='gray', lw=1)
+        ax.set_title(names[j], fontsize=9)
+        ax.set_yticks([])
+    fig.suptitle('SBC rank histograms ({} replicates, {} draws each); '
+                 'gray = uniform +/- 2sd'.format(R, L))
+    fig.tight_layout()
+    fig.savefig(outfile, dpi=130)
+    plt.close(fig)
+    return outfile
+
+
+def main(argv=None):
+    import argparse
+    import time
+
+    from jax import random
+
+    from ..config import Params
+    from ..utils.cache import enable_compilation_cache
+
+    ap = argparse.ArgumentParser(prog='parasitoids_tpu.bayes.sbc')
+    ap.add_argument('--replicates', type=int, default=20)
+    ap.add_argument('--samples', type=int, default=400)
+    ap.add_argument('--burn', type=int, default=200)
+    ap.add_argument('--thin', type=int, default=5)
+    ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('-o', '--outname', default='sbc')
+    ap.add_argument('overrides', nargs='*')
+    args = ap.parse_args(argv)
+    enable_compilation_cache()
+
+    params = Params()
+    params.cmd_line_chg(['--kalbar'])
+    params.PLOT = False
+    params.OUTPUT = False
+    params.PROB_MODEL = False
+    params.domain_info = (10000.0, 400)
+    for ov in args.overrides:
+        if '=' in ov:
+            k, _, v = ov.partition('=')
+            params.chg_param(k, v)
+    setup = BayesSetup(params)
+
+    print('SBC: {} replicates x ({} burn + {} samples, thin {})...'.format(
+        args.replicates, args.burn, args.samples, args.thin))
+    tic = time.time()
+    out = run_sbc(setup, args.replicates, random.PRNGKey(args.seed),
+                  n_samples=args.samples, burn=args.burn, thin=args.thin,
+                  seed=args.seed, verbose=True)
+    print('SBC finished: {:.1f} s'.format(time.time() - tic))
+    pvals = sbc_uniformity(out['ranks'], out['L'])
+    for n, p in zip(out['names'], pvals):
+        flag = '  <-- check' if p < 0.01 else ''
+        print('  {:>18s}: p = {:.3f}{}'.format(n, p, flag))
+    np.savez(args.outname + '_ranks',
+             ranks=out['ranks'], L=out['L'], truths=out['truths'],
+             names=np.asarray(out['names']))
+    print('wrote {}_ranks.npz'.format(args.outname))
+    print('wrote', plot_sbc(out, args.outname + '.png'))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,182 @@
+"""Model-validation subsystem tests: synthetic-data generation,
+prior-predictive, replicate construction (with_observations),
+identifiability analysis, and simulation-based calibration.
+
+These are beyond-reference capabilities (PARITY.md) built on the exact
+prior samplers; the SBC harness closes the loop by testing the sampler
+against its own generative model.
+"""
+
+import numpy as np
+import pytest
+from jax import random
+
+from parasitoids_tpu.config import Params
+
+
+def _tiny_setup():
+    from parasitoids_tpu.bayes.model import BayesSetup
+    p = Params()
+    p.cmd_line_chg(['--kalbar'])
+    p.PLOT = False
+    p.OUTPUT = False
+    p.PROB_MODEL = False
+    p.ndays = 3
+    p.domain_info = (10000.0, 50)
+    p.interp_num = 2
+    p.kernel_rad = 6
+    p.kernel_rad_local = 3
+    p.quad_nodes = 8
+    return BayesSetup(p)
+
+
+@pytest.fixture(scope='module')
+def setup():
+    return _tiny_setup()
+
+
+def test_simulate_observations(setup):
+    from parasitoids_tpu.bayes.predictive import simulate_observations
+    from parasitoids_tpu.bayes.priors import (initial_model_params,
+                                              initial_obs_params)
+
+    m0 = initial_model_params()
+    o0 = initial_obs_params(
+        [setup.locinfo.field_sizes[k] for k in setup.locinfo.sent_ids],
+        setup.cell_res ** 2)
+    y = simulate_observations(setup, m0, o0, np.random.default_rng(0))
+    assert len(y['release']) == len(setup.obs_release)
+    assert len(y['sentinel']) == len(setup.obs_sentinel)
+    for a, b in zip(y['release'], setup.obs_release):
+        assert a.shape == np.asarray(b).shape
+    for a, b in zip(y['sentinel'], setup.obs_sentinel):
+        assert a.shape == np.asarray(b).shape
+    assert y['grid'].shape == np.asarray(setup.obs_grid).shape
+    # Poisson draws: nonnegative integers
+    for a in y['release'] + y['sentinel'] + [y['grid']]:
+        assert (a >= 0).all()
+        np.testing.assert_array_equal(a, np.round(a))
+    # deterministic given the rng state
+    y2 = simulate_observations(setup, m0, o0, np.random.default_rng(0))
+    np.testing.assert_array_equal(y['grid'], y2['grid'])
+
+
+def test_with_observations(setup):
+    from parasitoids_tpu.bayes.predictive import simulate_observations
+    from parasitoids_tpu.bayes.priors import (initial_model_params,
+                                              initial_obs_params)
+    from parasitoids_tpu.bayes.sampler import init_chain_state
+
+    m0 = initial_model_params()
+    o0 = initial_obs_params(
+        [setup.locinfo.field_sizes[k] for k in setup.locinfo.sent_ids],
+        setup.cell_res ** 2)
+    y = simulate_observations(setup, m0, o0, np.random.default_rng(1))
+    s2 = setup.with_observations(y)
+    # shares the expensive precomputation, swaps only the data
+    assert s2.setup is setup.setup
+    assert s2.obs_ops is setup.obs_ops
+    # likelihood at the same point differs under different data ...
+    a = init_chain_state(setup, random.PRNGKey(0))
+    b = init_chain_state(s2, random.PRNGKey(0))
+    assert float(a.loglik) != float(b.loglik)
+    # ... and the original setup is untouched
+    a2 = init_chain_state(setup, random.PRNGKey(0))
+    assert float(a.loglik) == float(a2.loglik)
+    # shape validation
+    bad = {k: ([np.zeros((2, 2))] if k != 'grid' else np.zeros((2, 2)))
+           for k in ('release', 'sentinel', 'grid')}
+    with pytest.raises(ValueError):
+        setup.with_observations(bad)
+
+
+@pytest.mark.slow
+def test_prior_predictive(setup):
+    from parasitoids_tpu.bayes.predictive import (plot_predictive,
+                                                  prior_predictive)
+
+    pred = prior_predictive(setup, n_draws=3, seed=0)
+    assert pred['grid'].shape[0] == 3
+    assert pred['grid'].shape[1:] == np.asarray(setup.obs_grid).shape
+    assert np.isfinite(pred['grid_rate']).all()
+    assert (pred['grid'] >= 0).all()
+    assert len(pred['release']) == 3 and len(pred['sentinel']) == 3
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        out = plot_predictive(setup, pred, d + '/pp.png', label='prior')
+        import os
+        assert os.path.getsize(out) > 0
+
+
+@pytest.mark.slow
+def test_identifiability_tiny(setup, tmp_path):
+    from parasitoids_tpu.bayes.identify import (identifiability,
+                                                identify_report)
+    from parasitoids_tpu.bayes.map_fit import (laplace_approximation,
+                                               map_fit)
+
+    fit = map_fit(setup, n_steps=60, chunk_steps=30)
+    lap = laplace_approximation(setup, fit)
+    info = identifiability(setup, fit, lap, n_prior=500)
+    n = len(info['names'])
+    assert info['map'].shape == (n,)
+    assert info['post_sd'].shape == (n,)
+    assert info['prior_sd'].shape == (n,) and (info['prior_sd'] > 0).all()
+    # fixed n_periods slot excluded from contraction and spectrum
+    assert np.isnan(info['contraction'][13])
+    assert not info['valid'][13]
+    # wherever the curvature is positive the numbers are finite; where it
+    # is not (short fits can sit near saddles) they are flagged nan
+    valid = np.flatnonzero(info['valid'])
+    assert valid.size > 0
+    assert np.isfinite(info['post_sd'][valid]).all()
+    assert np.isfinite(info['contraction'][valid]).all()
+    assert np.isnan(info['post_sd'][~info['valid']]).all()
+    # correlation matrix: unit diagonal and symmetry on valid slots
+    corr = info['corr']
+    np.testing.assert_allclose(np.diag(corr)[valid], 1.0, atol=1e-6)
+    np.testing.assert_allclose(corr[np.ix_(valid, valid)],
+                               corr[np.ix_(valid, valid)].T, atol=1e-12)
+    # spectrum ascending, matching the z-name count
+    assert (np.diff(info['eig_sd']) >= -1e-12).all()
+    assert info['eig_vec'].shape[0] == len(info['z_names'])
+    out = str(tmp_path / 'ident.txt')
+    text = identify_report(info, out=out)
+    assert 'contraction' in text and 'posterior spectrum' in text
+    assert (tmp_path / 'ident.txt').exists()
+
+
+@pytest.mark.slow
+def test_sbc_mechanics(setup, tmp_path):
+    from parasitoids_tpu.bayes.sbc import plot_sbc, run_sbc, sbc_uniformity
+
+    out = run_sbc(setup, 2, random.PRNGKey(0), n_samples=20, burn=10,
+                  thin=2, seed=3)
+    dim = 15 + 4 + setup.n_sent
+    assert out['ranks'].shape == (2, dim)
+    assert out['L'] == 10
+    assert (out['ranks'] >= 0).all() and (out['ranks'] <= out['L']).all()
+    assert out['truths'].shape == (2, dim)
+    # determinism
+    out2 = run_sbc(setup, 2, random.PRNGKey(0), n_samples=20, burn=10,
+                   thin=2, seed=3)
+    np.testing.assert_array_equal(out['ranks'], out2['ranks'])
+    p = plot_sbc(out, str(tmp_path / 'sbc.png'))
+    import os
+    assert os.path.getsize(p) > 0
+
+
+def test_sbc_uniformity_statistic():
+    from parasitoids_tpu.bayes.sbc import sbc_uniformity
+    rng = np.random.default_rng(0)
+    L = 20
+    # uniform ranks: p-values should not be systematically tiny
+    ranks = rng.integers(0, L + 1, size=(400, 6))
+    p = sbc_uniformity(ranks, L)
+    assert p.shape == (6,)
+    assert ((p >= 0) & (p <= 1)).all()
+    assert np.median(p) > 0.05
+    # grossly miscalibrated (all ranks piled at 0): p ~ 0
+    bad = np.zeros((400, 2), int)
+    pb = sbc_uniformity(bad, L)
+    assert (pb < 1e-6).all()
