@@ -84,6 +84,11 @@ parser.add_argument('--moves', type=int, default=5,
 parser.add_argument('--ess-target', type=float, default=0.5,
                     help='SMC: each temperature increment keeps '
                          'ESS >= target * particles')
+parser.add_argument('--min-accepts', type=float, default=2.0,
+                    help='SMC: repeat move rounds until the average '
+                         'particle has accepted this many jumps per stage')
+parser.add_argument('--max-move-rounds', type=int, default=10,
+                    help='SMC: cap on adaptive move rounds per stage')
 parser.add_argument('--max-stages', type=int, default=200,
                     help='SMC: hard cap on anneal stages')
 parser.add_argument('--max-depth', type=int, default=6,
@@ -399,6 +404,11 @@ def run_pt_cli(args, setup):
     print('swap acceptance by rung (beta_hi->beta_lo): ' +
           ' '.join('{:.2f}'.format(r) for r in rates))
     ev = log_evidence(betas, lls, burn=min(burn, lls.shape[1] - 1))
+    if not ev['equilibrated']:
+        print('WARNING: TI integrand E_beta[loglik] decreases across rung '
+              'pair(s) {} — some replica has not equilibrated; evidence '
+              'estimates are untrustworthy (run longer / more rungs)'
+              .format(np.asarray(ev['nonmonotone_at']).tolist()))
     if ev['complete']:
         print('log evidence: TI {:.2f}, stepping-stone {:.2f}'.format(
             ev['ti'], ev['ss']))
@@ -439,13 +449,16 @@ def _save_smc(db, payload, seed, cfg):
                meta={'sampler': 'smc', 'seed': seed,
                      'n_moves': cfg.n_moves, 'ess_target': cfg.ess_target,
                      'obs_scale': cfg.obs_scale,
+                     'min_accepts': cfg.min_accepts,
+                     'max_move_rounds': cfg.max_move_rounds,
                      'beta': payload['beta'], 'logz': payload['logz'],
                      'log_scale': payload['log_scale'],
                      'stage': payload['stage'],
                      'n_samples': traces.shape[1]},
                extra={'logw': payload['logw'], 'betas': h['betas'],
                       'ess_path': h['ess'], 'accept_path': h['accept'],
-                      'resampled': h['resampled'], 'logz_path': h['logz']})
+                      'resampled': h['resampled'], 'logz_path': h['logz'],
+                      'rounds_path': h.get('rounds', np.zeros(0))})
     return traces
 
 
@@ -474,7 +487,10 @@ def run_smc_cli(args, setup):
                         n_moves=int(meta['n_moves']),
                         ess_target=float(meta['ess_target']),
                         obs_scale=float(meta.get('obs_scale', 0.05)),
-                        max_stages=args.max_stages)
+                        max_stages=args.max_stages,
+                        min_accepts=float(meta.get('min_accepts', 2.0)),
+                        max_move_rounds=int(meta.get('max_move_rounds',
+                                                     10)))
         payload = {'states': states, 'logw': ex['logw'],
                    'beta': float(meta['beta']), 'logz': float(meta['logz']),
                    'log_scale': float(meta['log_scale']),
@@ -482,7 +498,9 @@ def run_smc_cli(args, setup):
                    'history': {'betas': ex['betas'], 'ess': ex['ess_path'],
                                'accept': ex['accept_path'],
                                'resampled': ex['resampled'],
-                               'logz': ex['logz_path']}}
+                               'logz': ex['logz_path'],
+                               'rounds': ex.get('rounds_path',
+                                                np.zeros(0))}}
     else:
         n_samples, _burn, db = (int(args.new[0]), int(args.new[1]),
                                 args.new[2])
@@ -490,7 +508,9 @@ def run_smc_cli(args, setup):
         seed = args.seed
         cfg = SMCConfig(n_particles=n_part, n_moves=args.moves,
                         ess_target=args.ess_target,
-                        max_stages=args.max_stages)
+                        max_stages=args.max_stages,
+                        min_accepts=args.min_accepts,
+                        max_move_rounds=args.max_move_rounds)
         payload = None
 
     mesh = None

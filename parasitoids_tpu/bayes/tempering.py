@@ -116,6 +116,13 @@ def log_evidence(betas, logliks, burn=0):
     returned dict says whether that holds.  The reference has no evidence
     machinery at all (its only model-comparison number is the MAP AIC,
     Bayes_MAP.py:494-517).
+
+    ``'equilibrated'``: at equilibrium the TI integrand is non-decreasing
+    in beta exactly (d/dbeta E_beta[loglik] = Var_beta[loglik] >= 0), so a
+    decreasing pair of rung means — beyond Monte-Carlo noise, gauged by the
+    rungs' standard errors — is a hard diagnostic that some replica has
+    not equilibrated and the estimates are untrustworthy; the offending
+    rung indices are in ``'nonmonotone_at'``.
     """
     betas = np.asarray(betas, np.float64)
     ll = np.asarray(logliks, np.float64)[:, burn:]
@@ -133,8 +140,14 @@ def log_evidence(betas, logliks, burn=0):
     for k in range(len(b) - 1):
         d = b[k + 1] - b[k]
         ss += float(logsumexp(d * ll[k]) - np.log(n))
+    # crude per-rung standard error (ignores autocorrelation, so this
+    # under-flags rather than over-flags)
+    se = ll.std(axis=1) / np.sqrt(n)
+    drop = mean_ll[1:] + 3.0 * (se[1:] + se[:-1]) < mean_ll[:-1]
     return {'ti': ti, 'ss': ss,
             'betas': b, 'mean_loglik': mean_ll,
+            'equilibrated': bool(not drop.any()),
+            'nonmonotone_at': np.flatnonzero(drop),
             'complete': bool(b[0] == 0.0)}
 
 

@@ -81,6 +81,7 @@ def test_log_evidence_conjugate_normal():
         lls[i] = -0.5 * (np.log(2 * np.pi * s2) + (y - th) ** 2 / s2)
     ev = log_evidence(betas, lls, burn=0)
     assert ev['complete']
+    assert ev['equilibrated']          # exact equilibrium draws
     np.testing.assert_allclose(ev['ss'], exact, atol=0.02)
     np.testing.assert_allclose(ev['ti'], exact, atol=0.05)
     # burn handling + shape checks
@@ -101,6 +102,27 @@ def test_log_evidence_incomplete_ladder_flagged():
     # constant loglik: both estimators give (1 - beta_min) * c exactly
     np.testing.assert_allclose(ev['ti'], 0.0, atol=1e-12)
     np.testing.assert_allclose(ev['ss'], 0.0, atol=1e-12)
+
+
+def test_log_evidence_equilibration_diagnostic():
+    """A rung whose mean loglik drops below its colder neighbor (beyond MC
+    noise) is a hard non-equilibration signal and must be flagged."""
+    from parasitoids_tpu.bayes.tempering import log_evidence
+
+    rng = np.random.default_rng(5)
+    betas = np.array([1.0, 0.5, 0.0], np.float32)
+    n = 2000
+    # healthy: E_beta[ll] increasing in beta (-10 at prior, -2 at posterior)
+    lls = np.stack([rng.normal(-2, 0.3, n), rng.normal(-5, 0.3, n),
+                    rng.normal(-10, 0.3, n)])
+    assert log_evidence(betas, lls)['equilibrated']
+    # stuck cold chain: posterior rung far below an adjacent hotter rung
+    lls_bad = np.stack([rng.normal(-50, 0.3, n), rng.normal(-5, 0.3, n),
+                        rng.normal(-10, 0.3, n)])
+    ev = log_evidence(betas, lls_bad)
+    assert not ev['equilibrated']
+    # offending pair index is in ascending-beta ordering
+    assert 1 in np.asarray(ev['nonmonotone_at'])
 
 
 def test_tune_ladder_unit():
