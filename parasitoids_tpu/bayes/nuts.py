@@ -683,6 +683,10 @@ def make_transformed_logpdf(setup, use_sprd=False):
     def logpdf(z):
         return -neg_logpost(z) + log_jacobian(z)
 
+    # exposed for callers needing the constrained-space log posterior back
+    # out of a transformed value (e.g. bayes/vi.py trace storage)
+    logpdf.log_jacobian = log_jacobian
+
     m0 = initial_model_params()
     o0 = initial_obs_params(
         [setup.locinfo.field_sizes[k] for k in setup.locinfo.sent_ids],

@@ -47,15 +47,18 @@ group.add_argument('--resume', nargs=2, metavar=('db_name', 'iterations'),
                         'ignored).')
 parser.add_argument('--chains', type=int, default=1,
                     help='number of parallel chains (vmapped/sharded)')
-parser.add_argument('--sampler', choices=['am', 'nuts', 'pt', 'smc'],
+parser.add_argument('--sampler', choices=['am', 'nuts', 'pt', 'smc', 'vi'],
                     default='am',
                     help='adaptive Metropolis (reference-equivalent), '
                          'gradient-based NUTS (n_periods fixed, as MAP), '
                          'replica-exchange parallel tempering (pt: '
                          'multimodal-robust AM + marginal-likelihood '
-                         'estimates), or adaptive tempered sequential '
+                         'estimates), adaptive tempered sequential '
                          'Monte Carlo (smc: prior-to-posterior particle '
-                         'anneal + a third evidence estimator)')
+                         'anneal + a third evidence estimator), or ADVI '
+                         'variational inference (vi: seconds-scale '
+                         'Gaussian posterior + ELBO/PSIS-IS evidence '
+                         'estimates, n_periods fixed as MAP)')
 parser.add_argument('--temps', type=int, default=8,
                     help='PT: number of temperature rungs (one replica '
                          'each; sharded one-per-device when the device '
@@ -93,6 +96,16 @@ parser.add_argument('--max-stages', type=int, default=200,
                     help='SMC: hard cap on anneal stages')
 parser.add_argument('--max-depth', type=int, default=6,
                     help='NUTS maximum tree depth')
+parser.add_argument('--vi-mc', type=int, default=4,
+                    help='VI: Monte-Carlo draws per ELBO gradient step')
+parser.add_argument('--vi-lr', type=float, default=0.02,
+                    help='VI: Adam learning rate')
+parser.add_argument('--vi-fullrank', action='store_true',
+                    help='VI: full-rank Gaussian family (default '
+                         'mean-field)')
+parser.add_argument('--vi-is', type=int, default=256,
+                    help='VI: draws for the PSIS importance-sampling '
+                         'evidence check (k-hat + IS logZ)')
 parser.add_argument('--init', default='map',
                     help="NUTS chain initialization: 'map' (default: short "
                          "MAP fit first — the far-from-data prior point "
@@ -546,6 +559,108 @@ def run_smc_cli(args, setup):
     _report(traces, setup)
 
 
+def run_vi_cli(args, setup):
+    """ADVI path (``--sampler vi``): fits a Gaussian q to the
+    transformed-space posterior by stochastic ELBO ascent (bayes/vi.py),
+    stores <iterations> posterior draws from q in the standard trace
+    format, and reports the ELBO, the PSIS k-hat proposal diagnostic, and
+    the importance-sampling logZ — a fourth evidence estimator next to PT
+    TI/stepping-stone and SMC.  The <burn-in> CLI slot is the number of
+    ELBO optimization steps (0 = default 600)."""
+    from .map_fit import _make_objective
+    from .sampler import init_chain_state
+    from .store import load_extras
+    from .vi import fit_advi, q_draws, vi_evidence
+
+    resume = args.new is None
+    if resume:
+        db = args.resume[0]
+        n_draws = int(args.resume[1])
+        print('VI: drawing {} more samples from the stored q in {}...'
+              .format(n_draws, db))
+        old_traces, _states, meta = load_chain(db, setup)
+        if meta.get('sampler') != 'vi':
+            raise SystemExit('{} was not written by --sampler vi; pass '
+                             'the matching --sampler'.format(db))
+        ex = load_extras(db)
+        res = {'mu': ex['mu'], 'log_diag': ex['log_diag'],
+               'idx': ex['idx'], 'z0': ex['z0'],
+               'fullrank': bool(meta.get('fullrank', False)),
+               'elbo_trace': ex['elbo_trace'],
+               'use_sprd': bool(meta.get('use_sprd', False))}
+        if res['fullrank']:
+            res['offdiag'] = ex['offdiag']
+        seed = int(meta['seed']) + int(old_traces.shape[1]) + 1
+        n_steps = int(meta['steps'])
+    else:
+        n_draws, n_steps, db = (int(args.new[0]), int(args.new[1]),
+                                args.new[2])
+        if n_steps <= 0:
+            n_steps = 600
+        seed = args.seed
+        old_traces, meta, res = None, {}, None
+
+    tic = time.time()
+    if res is None:
+        print('VI: {} ELBO steps ({} MC draws/step, {}, lr {})...'.format(
+            n_steps, args.vi_mc,
+            'full-rank' if args.vi_fullrank else 'mean-field', args.vi_lr))
+        res = fit_advi(setup, random.PRNGKey(seed), n_steps=n_steps,
+                       n_mc=args.vi_mc, learning_rate=args.vi_lr,
+                       fullrank=args.vi_fullrank,
+                       init='prior' if args.init == 'prior' else 'map',
+                       init_map_steps=args.init_map_steps, verbose=True)
+        print('VI fit: {:.1f} s'.format(time.time() - tic))
+
+    # evidence diagnostics + posterior draws in one pass (each draw costs
+    # one forward simulation)
+    n_is = max(args.vi_is, n_draws)
+    print('VI: evidence check on {} q-draws...'.format(n_is))
+    ev = vi_evidence(setup, res, random.PRNGKey(seed + 1), n=n_is)
+
+    # traces in the house format: (1, n_draws, m + o + logpost)
+    _, constrain, _ = _make_objective(setup, res.get('use_sprd', False))
+    zs = jnp.asarray(ev['zs'][:n_draws])
+    m_all, o_all, _sprd = jax.vmap(constrain)(zs)   # bijections only
+    traces = np.concatenate([np.asarray(m_all), np.asarray(o_all),
+                             ev['logpost'][:n_draws, None]],
+                            axis=1)[None].astype(np.float32)
+    if old_traces is not None and old_traces.size:
+        traces = append_traces(old_traces, traces)
+
+    # sampler state at the best draw (lets AM/NUTS warm-start from a VI fit
+    # via --init / load_chain)
+    best = int(np.argmax(ev['logpost'][:n_draws]))
+    state = init_chain_state(setup, random.PRNGKey(seed + 2),
+                             m0=np.asarray(m_all)[best],
+                             o0=np.asarray(o_all)[best])
+    extra = {'mu': res['mu'], 'log_diag': res['log_diag'],
+             'idx': res['idx'], 'z0': res['z0'],
+             'elbo_trace': res['elbo_trace'], 'logw': ev['logw']}
+    if res['fullrank']:
+        extra['offdiag'] = res['offdiag']
+    save_chain(db, traces, state,
+               meta={'sampler': 'vi', 'seed': args.seed, 'steps': n_steps,
+                     'fullrank': bool(res['fullrank']),
+                     'use_sprd': bool(res.get('use_sprd', False)),
+                     'n_mc': args.vi_mc, 'elbo': ev['elbo'],
+                     'logz_is': ev['logz_is'], 'khat': ev['khat'],
+                     'n_samples': int(traces.shape[1])},
+               extra=extra)
+    print('Saved to {}.npz ({:.1f} s total)'.format(
+        db.removesuffix('.npz'), time.time() - tic))
+    print('ELBO (evidence lower bound): {:.2f}'.format(ev['elbo']))
+    print('IS log evidence:             {:.2f}'.format(ev['logz_is']))
+    print('PSIS k-hat: {:.3f}  ({})'.format(
+        ev['khat'],
+        'q reliable as IS proposal' if ev['khat'] < 0.7 else
+        'heavy-tailed weights - treat IS logZ as approximate; '
+        'try --vi-fullrank / more steps'))
+    print('note: n_periods fixed at 30 (as MAP/NUTS) - this estimates the '
+          'conditional evidence; PT/SMC marginalize n_periods')
+    _report(traces, setup)
+
+
 def main(argv=None):
     args = parser.parse_args(argv)
     enable_compilation_cache()
@@ -558,6 +673,8 @@ def main(argv=None):
         return run_pt_cli(args, setup)
     if args.sampler == 'smc':
         return run_smc_cli(args, setup)
+    if args.sampler == 'vi':
+        return run_vi_cli(args, setup)
     from ..parallel.chains import chain_mesh, init_chains, run_chains
 
     n_dev = len(jax.devices())
