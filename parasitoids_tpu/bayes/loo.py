@@ -1,0 +1,281 @@
+"""Out-of-sample predictive assessment: WAIC and PSIS-LOO (L4 analysis).
+
+The reference has no cross-validation machinery at all — model adequacy is
+judged by eye from the CompareToData overlays (Plot_SampleLocations.py,
+Bayes_Run.py's saved traces are only ever plotted).  Here the fitted model
+gets the modern information criteria (Vehtari, Gelman & Gabry 2017):
+
+* **WAIC** — the widely applicable information criterion: in-sample lppd
+  minus the pointwise posterior variance penalty,
+* **PSIS-LOO** — leave-one-out expected log predictive density estimated
+  by Pareto-smoothed importance sampling (no refits: the smoothed weights
+  ``w_i^s ∝ 1/p(y_i | θ^s)`` reuse the posterior draws), with the per-point
+  Pareto ``k_hat`` diagnostic flagging observations whose LOO estimate is
+  unreliable,
+* **loo_compare** — paired elpd difference ± SE between two fitted models
+  on the same data (e.g. with/without the Kalbar pre-spread day).
+
+The expensive part — one full forward simulation per posterior draw — runs
+through the sharded ensemble machinery (parallel/ensemble.py), so a
+multi-chip mesh splits the draw axis with zero collectives; the pointwise
+log-pmf decomposition itself (model.py ``pointwise_loglik``) is a cheap
+vmapped pass over the cached projections.  PSIS post-processing is
+host-side NumPy f64 (vi.py ``psis``), sample-size-bounded.
+
+CLI: ``python -m parasitoids_tpu.bayes.loo <trace.npz> [--draws N] [k=v...]``
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .model import BayesSetup
+
+__all__ = ['pointwise_matrix', 'waic', 'psis_loo', 'loo_compare',
+           'point_labels', 'report']
+
+_KHAT_WARN = 0.7      # Vehtari et al. (2017) reliability threshold
+_P_WAIC_WARN = 0.4    # per-point penalty above which WAIC is suspect
+
+
+# ----------------------------------------------------------------------
+# pointwise log-likelihood matrix from a saved trace
+# ----------------------------------------------------------------------
+
+def pointwise_matrix(setup: BayesSetup, traces, n_draws=400, seed=0,
+                     mesh=None):
+    """(S, N) matrix of per-observation log-likelihoods for S posterior
+    draws subsampled from a trace.
+
+    Args:
+        setup: the BayesSetup the trace was sampled against.
+        traces: (n_chains, n_samples, dim) or (n_samples, dim) array in the
+            standard trace layout (model block + obs block + logpost).
+        n_draws: posterior draws to evaluate (each is one forward sim).
+        mesh: optional 1-D device mesh; the draw axis is sharded over it.
+    Returns:
+        (ll, rows): the float64 matrix and the flat trace rows used.
+    """
+    import jax
+    from functools import partial
+
+    from ..parallel.ensemble import ensemble_projections
+    from .priors import MODEL_PARAM_NAMES, OBS_PARAM_NAMES
+    from .sampler import _as_obs
+
+    traces = np.asarray(traces)
+    if traces.ndim == 2:
+        traces = traces[None]
+    flat = traces.reshape(-1, traces.shape[-1])
+    rng = np.random.default_rng(seed)
+    take = rng.choice(flat.shape[0], size=min(n_draws, flat.shape[0]),
+                      replace=False)
+    draws = flat[take]
+
+    n_m = len(MODEL_PARAM_NAMES)
+    n_o = len(OBS_PARAM_NAMES)
+    m_draws = draws[:, :n_m].astype(np.float32)
+    o_draws = draws[:, n_m:n_m + n_o + setup.n_sent].astype(np.float32)
+
+    proj = ensemble_projections(setup, m_draws, mesh=mesh)
+
+    # no forward model inside: the rho lax.switch that forbids vmapping
+    # the simulation (parallel/chains.py) is already behind us
+    @partial(jax.jit, static_argnames=('s',))
+    def batch(s, p, o):
+        return jax.vmap(lambda pb, ob: s.pointwise_loglik(
+            pb, _as_obs(ob, s.n_sent)))(p, o)
+
+    ll = np.asarray(batch(setup, proj, o_draws), np.float64)
+    return ll, take
+
+
+def point_labels(setup: BayesSetup):
+    """Human-readable label per column of the pointwise matrix, in the
+    exact ravel order ``pointwise_loglik`` emits (release blocks, sentinel
+    blocks, grid)."""
+    labels = []
+    for k, data in enumerate(setup.obs_release):
+        n, d = np.asarray(data).shape
+        labels += ['release[{}] row {} date {}'.format(k, i, j)
+                   for i in range(n) for j in range(d)]
+    for k, data in enumerate(setup.obs_sentinel):
+        field_ids = setup.locinfo.sent_ids
+        n, d = np.asarray(data).shape
+        labels += ['sentinel[{}] field {} date {}'.format(k, field_ids[i], j)
+                   for i in range(n) for j in range(d)]
+    n, d = np.asarray(setup.obs_grid).shape
+    labels += ['grid point {} date {}'.format(i, j)
+               for i in range(n) for j in range(d)]
+    return labels
+
+
+# ----------------------------------------------------------------------
+# information criteria (host NumPy f64 post-processing)
+# ----------------------------------------------------------------------
+
+def _logmeanexp(a, axis=0):
+    mx = np.max(a, axis=axis)
+    safe = np.where(np.isfinite(mx), mx, 0.0)
+    out = safe + np.log(np.mean(np.exp(a - np.expand_dims(safe, axis)),
+                                axis=axis))
+    return np.where(np.isfinite(mx), out, mx)
+
+
+def waic(ll):
+    """Widely applicable information criterion from an (S, N) pointwise
+    log-likelihood matrix: ``elpd_waic = lppd - p_waic`` with the variance
+    penalty ``p_waic = sum_i Var_s[log p(y_i | θ^s)]``."""
+    ll = np.asarray(ll, np.float64)
+    n = ll.shape[1]
+    lppd_i = _logmeanexp(ll, axis=0)
+    p_i = ll.var(axis=0, ddof=1)
+    elpd_i = lppd_i - p_i
+    return {
+        'elpd_waic': float(elpd_i.sum()),
+        'p_waic': float(p_i.sum()),
+        'lppd': float(lppd_i.sum()),
+        'se': float(np.sqrt(n * elpd_i.var(ddof=1))),
+        'elpd_pointwise': elpd_i,
+        'p_pointwise': p_i,
+        'n_high_p': int((p_i > _P_WAIC_WARN).sum()),
+    }
+
+
+def psis_loo(ll):
+    """PSIS-LOO elpd from an (S, N) pointwise log-likelihood matrix.
+
+    Per observation the raw importance ratios are ``1/p(y_i | θ^s)``
+    (log-weights ``-ll``); their Pareto-smoothed self-normalized average of
+    ``p(y_i | θ^s)`` estimates the leave-one-out predictive density.
+    ``khat[i] > 0.7`` marks points whose weight tail is too heavy for the
+    estimate to be trusted (Vehtari et al. 2017)."""
+    from scipy.special import logsumexp
+
+    from .vi import psis
+
+    ll = np.asarray(ll, np.float64)
+    s, n = ll.shape
+    elpd_i = np.empty(n)
+    khat = np.empty(n)
+    for i in range(n):
+        logw, k = psis(-ll[:, i])
+        logw = logw - logsumexp(logw)
+        elpd_i[i] = logsumexp(logw + ll[:, i])
+        khat[i] = k
+    lppd = float(_logmeanexp(ll, axis=0).sum())
+    elpd = float(elpd_i.sum())
+    return {
+        'elpd_loo': elpd,
+        'p_loo': lppd - elpd,
+        'se': float(np.sqrt(n * elpd_i.var(ddof=1))),
+        'elpd_pointwise': elpd_i,
+        'khat': khat,
+        'n_bad_khat': int((khat > _KHAT_WARN).sum()),
+        'khat_max': float(np.max(khat)) if n else np.nan,
+    }
+
+
+def loo_compare(res_a, res_b):
+    """Paired elpd difference between two fits evaluated on the SAME
+    observations (same pointwise column order): positive favors ``a``.
+    The paired SE accounts for the correlation between the two models'
+    pointwise scores (Vehtari et al. 2017, sec. 5.2)."""
+    a = np.asarray(res_a['elpd_pointwise'], np.float64)
+    b = np.asarray(res_b['elpd_pointwise'], np.float64)
+    if a.shape != b.shape:
+        raise ValueError('pointwise shapes differ: {} vs {}'.format(
+            a.shape, b.shape))
+    d = a - b
+    return {'elpd_diff': float(d.sum()),
+            'se_diff': float(np.sqrt(d.shape[0] * d.var(ddof=1)))}
+
+
+def report(w, l, labels=None, worst=5):
+    """Formatted summary of a waic() + psis_loo() pair."""
+    lines = [
+        'WAIC:     elpd {:.2f} +/- {:.2f}   p_waic {:.2f}   '
+        '({} points with p_i > {})'.format(
+            w['elpd_waic'], w['se'], w['p_waic'], w['n_high_p'],
+            _P_WAIC_WARN),
+        'PSIS-LOO: elpd {:.2f} +/- {:.2f}   p_loo  {:.2f}   '
+        'khat max {:.2f}   ({} points with khat > {})'.format(
+            l['elpd_loo'], l['se'], l['p_loo'], l['khat_max'],
+            l['n_bad_khat'], _KHAT_WARN),
+    ]
+    if labels is not None and worst:
+        order = np.argsort(l['elpd_pointwise'])[:worst]
+        lines.append('worst-predicted observations:')
+        for i in order:
+            lines.append('  {:<34s} elpd {:+.2f}  khat {:.2f}'.format(
+                labels[i], l['elpd_pointwise'][i], l['khat'][i]))
+    return '\n'.join(lines)
+
+
+# ----------------------------------------------------------------------
+# CLI
+# ----------------------------------------------------------------------
+
+def main(argv=None):
+    import argparse
+    import json
+
+    import jax
+
+    from ..config import Params
+    from ..utils.cache import enable_compilation_cache
+
+    ap = argparse.ArgumentParser(
+        prog='parasitoids_tpu.bayes.loo',
+        description='WAIC / PSIS-LOO predictive assessment of a saved '
+                    'trace')
+    ap.add_argument('trace', help='saved MCMC/SMC/VI trace (npz path)')
+    ap.add_argument('--draws', type=int, default=400,
+                    help='posterior draws to evaluate (forward sims)')
+    ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('overrides', nargs='*',
+                    help='key=value Params overrides matching the run')
+    args = ap.parse_args(argv)
+    enable_compilation_cache()
+
+    params = Params()
+    params.cmd_line_chg(['--kalbar'])
+    params.PLOT = False
+    params.OUTPUT = False
+    params.PROB_MODEL = False
+    params.domain_info = (10000.0, 400)
+    for ov in args.overrides:
+        if '=' in ov:
+            k, _, v = ov.partition('=')
+            params.chg_param(k, v)
+    setup = BayesSetup(params)
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        from ..parallel.chains import chain_mesh
+        mesh = chain_mesh()
+
+    path = args.trace if args.trace.endswith('.npz') else args.trace + '.npz'
+    with np.load(path) as npz:
+        traces = npz['traces']
+    ll, rows = pointwise_matrix(setup, traces, n_draws=args.draws,
+                                seed=args.seed, mesh=mesh)
+    w = waic(ll)
+    l = psis_loo(ll)
+    print(report(w, l, labels=point_labels(setup)))
+
+    out = path[:-4] + '_loo.json'
+    payload = {
+        'n_draws': int(ll.shape[0]), 'n_points': int(ll.shape[1]),
+        'waic': {k: (v.tolist() if isinstance(v, np.ndarray) else v)
+                 for k, v in w.items()},
+        'psis_loo': {k: (v.tolist() if isinstance(v, np.ndarray) else v)
+                     for k, v in l.items()},
+    }
+    with open(out, 'w') as fh:
+        json.dump(payload, fh)
+    print('wrote', out)
+
+
+if __name__ == '__main__':
+    main()

@@ -61,8 +61,8 @@ def prior_coverage_windows(cell_m):
             int(np.ceil(_LOCAL_COVER_M / cell_m)))
 
 
-def poisson_loglik(obs, rate):
-    """Sum of independent Poisson log-pmfs (PyMC flib equivalent).
+def poisson_logpmf(obs, rate):
+    """Elementwise independent Poisson log-pmfs (PyMC flib equivalent).
 
     Rates are floored at 1e-12: thresholded fields produce exact zeros, and
     a zero rate under a positive count is a hard -inf in the reference's
@@ -73,7 +73,12 @@ def poisson_loglik(obs, rate):
     floor = jnp.asarray(1e-12, rate.dtype)
     safe_rate = jnp.maximum(rate, floor)
     ll = jnp.where(obs > 0, xlogy(obs, safe_rate), 0.0)
-    return jnp.sum(ll - rate - gammaln(obs + 1.0))
+    return ll - rate - gammaln(obs + 1.0)
+
+
+def poisson_loglik(obs, rate):
+    """Sum of independent Poisson log-pmfs (see ``poisson_logpmf``)."""
+    return jnp.sum(poisson_logpmf(obs, rate))
 
 
 class BayesSetup:
@@ -240,6 +245,26 @@ class BayesSetup:
         grid_rate = o.grid_obs_prob * self.grid_samples * grid
         lp += poisson_loglik(self.obs_grid, grid_rate)
         return lp
+
+    @partial(jax.jit, static_argnums=(0,))
+    def pointwise_loglik(self, projections, o: ObsParams):
+        """Per-observation Poisson log-pmfs as one flat vector (release
+        blocks row-major, then sentinel blocks, then the grid counts) —
+        the pointwise decomposition WAIC / PSIS-LOO need (bayes/loo.py).
+        ``pointwise_loglik(...).sum() == log_likelihood(...)`` up to float
+        summation order."""
+        rel, sent, grid = projections
+        parts = []
+        for model, data, effort in zip(rel, self.obs_release,
+                                       self.release_effort):
+            rate = o.xi * model * (effort * o.em_obs_prob)[:, None]
+            parts.append(poisson_logpmf(data, rate).ravel())
+        for model, data in zip(sent, self.obs_sentinel):
+            rate = o.xi * model * o.sent_obs_probs[:, None]
+            parts.append(poisson_logpmf(data, rate).ravel())
+        grid_rate = o.grid_obs_prob * self.grid_samples * grid
+        parts.append(poisson_logpmf(self.obs_grid, grid_rate).ravel())
+        return jnp.concatenate(parts)
 
     @partial(jax.jit, static_argnums=(0,))
     def log_posterior(self, m: ModelParams, o: ObsParams, sprd_factor=None):

@@ -220,9 +220,13 @@ def gpd_fit(x):
     w = w / w.sum()
     b_post = np.sum(b * w)
     k_post = np.mean(np.log1p(-b_post * x))
+    # sigma from the RAW shape: k and b always carry opposite signs, so
+    # -k/b > 0; regularizing first can flip k's sign and yield a negative
+    # scale (NaN quantiles downstream in ``psis``)
+    sigma = -k_post / b_post
     # weakly-informative shape regularization (Vehtari et al., PSIS paper)
     k_post = (n * k_post + 5.0) / (n + 10.0)
-    return k_post, -k_post / b_post
+    return k_post, sigma
 
 
 def psis(logw):
@@ -236,17 +240,20 @@ def psis(logw):
     if M < 5 or n < 16:
         return logw.copy(), np.inf
     order = np.argsort(logw)
-    tail_idx = order[-M:]
     shift = logw.max()                     # overflow guard
     w = np.exp(logw - shift)
     cutoff = w[order[-M - 1]]
-    exceed = w[tail_idx] - cutoff
-    if not (exceed > 0).any():
+    # strict exceedances only (arviz semantics): weight ties at the cutoff
+    # — ubiquitous in Metropolis chains with repeated states — would
+    # otherwise enter the GPD fit as ~0 exceedances and skew it
+    tail_idx = order[-M:][w[order[-M:]] > cutoff]
+    m_t = tail_idx.shape[0]
+    if m_t < 5:
         return logw.copy(), np.inf
-    khat, sigma = gpd_fit(np.sort(np.maximum(exceed, 1e-300)))
-    if np.isfinite(khat):
+    khat, sigma = gpd_fit(np.sort(w[tail_idx] - cutoff))
+    if np.isfinite(khat) and sigma > 0:
         # inverse-CDF of the fitted GPD at the expected quantiles
-        p = (np.arange(1, M + 1) - 0.5) / M
+        p = (np.arange(1, m_t + 1) - 0.5) / m_t
         if abs(khat) < 1e-12:
             q = -sigma * np.log1p(-p)
         else:
