@@ -85,7 +85,7 @@ class BayesSetup:
     """Everything needed to evaluate the posterior for one site/domain."""
 
     def __init__(self, params: Params | None = None, sprd_factor=None,
-                 dtype=None):
+                 dtype=None, forward_mesh=None):
         if params is None:
             params = Params()
             params.cmd_line_chg(['--kalbar'])
@@ -95,6 +95,10 @@ class BayesSetup:
             params.domain_info = (10000.0, 400)  # Bayes_Run.py:91
         self.params = params
         self.sprd_factor = sprd_factor  # None, or a fixed/initial value
+        # optional 1-D mesh: shard every forward simulation's flight-minute
+        # axis over it (parallel/domain.py) — latency scaling for
+        # single-chain samplers; leave None for chain-sharded sampling
+        self.forward_mesh = forward_mesh
         cell = params.domain_info[0] / params.domain_info[1]
         K, Kl = prior_coverage_windows(cell)
         if params.kernel_rad is None:
@@ -164,6 +168,16 @@ class BayesSetup:
         new.obs_grid = grid
         return new
 
+    def with_forward_mesh(self, mesh):
+        """Shallow copy routing every forward simulation through the
+        minute-sharded builder (parallel/domain.py) on ``mesh`` — the copy
+        is a distinct jit cache key, so likelihoods retrace with the
+        sharded program."""
+        import copy
+        new = copy.copy(self)
+        new.forward_mesh = mesh
+        return new
+
     # ------------------------------------------------------------------
     def _pre_spread_kernel(self, m: ModelParams, sprd_factor):
         """Kalbar pre-wind local-spread kernel (Bayes_Run.py:243-267):
@@ -201,15 +215,24 @@ class BayesSetup:
         s = self.setup
         n_per = jnp.round(m.n_periods).astype(jnp.int32)
 
+        mesh = getattr(self, 'forward_mesh', None)
+
         @jax.checkpoint
         def day_pmf(d):
             # remat: reverse-mode (MAP gradients, NUTS) recomputes each
             # day's kernel instead of storing the per-minute CDF tensors
             # (~GBs/day at full config)
             start = jnp.where(d == 0, jnp.int32(s.start_idx), 0)
-            pmf, _ = build_daily_kernel(
-                s.wind_flat, s.wind_cumsum, d, m.hparams(), m.Dparams(),
-                m.Dlparams(), m.mu_r, n_per, s.rad_dist, start, s.kcfg)
+            if mesh is not None:
+                from ..parallel.domain import build_daily_kernel_sharded
+                pmf, _ = build_daily_kernel_sharded(
+                    mesh, s.wind_flat, s.wind_cumsum, d, m.hparams(),
+                    m.Dparams(), m.Dlparams(), m.mu_r, n_per, s.rad_dist,
+                    start, s.kcfg)
+            else:
+                pmf, _ = build_daily_kernel(
+                    s.wind_flat, s.wind_cumsum, d, m.hparams(), m.Dparams(),
+                    m.Dlparams(), m.mu_r, n_per, s.rad_dist, start, s.kcfg)
             return pmf
 
         _, kernels = lax.scan(lambda _, d: (None, day_pmf(d)), None,

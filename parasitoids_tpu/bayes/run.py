@@ -122,6 +122,13 @@ parser.add_argument('--checkpoint-every', type=int, default=1000,
                          'an interrupted run resumes exactly from the last '
                          'checkpoint (ref PyMC mcmc.commit/db.close '
                          'behavior, Bayes_Run.py:500-503)')
+parser.add_argument('--shard-forward', action='store_true',
+                    help='shard each forward simulation over all devices '
+                         '(minute-axis partial sums merged by psum, '
+                         'parallel/domain.py) — latency scaling for '
+                         'single-chain samplers; incompatible with the '
+                         'population-sharded pt/smc samplers, and disables '
+                         'chain-over-device sharding')
 parser.add_argument('overrides', nargs='*',
                     help='Params key=value overrides (e.g. interp_num=30)')
 
@@ -258,7 +265,8 @@ def run_nuts(args, setup):
     # every branch (see parallel/chains.py)
     mesh = None
     n_dev = len(jax.devices())
-    if n_dev > 1 and args.chains % n_dev == 0:
+    if (n_dev > 1 and args.chains % n_dev == 0
+            and getattr(setup, 'forward_mesh', None) is None):
         from ..parallel.chains import chain_mesh
         mesh = chain_mesh()
         print('  chains sharded over {} devices'.format(n_dev))
@@ -667,6 +675,16 @@ def main(argv=None):
 
     print('devices: {}'.format(jax.devices()))
     setup = build_setup(args.overrides, need_grad=args.sampler == 'nuts')
+    if args.shard_forward:
+        if args.sampler in ('pt', 'smc'):
+            parser.error('--shard-forward is incompatible with the '
+                         'population-sharded pt/smc samplers')
+        n_dev = len(jax.devices())
+        if n_dev > 1:
+            from ..parallel.domain import minute_mesh
+            setup = setup.with_forward_mesh(minute_mesh())
+            print('forward simulations minute-sharded over {} devices'
+                  .format(n_dev))
     if args.sampler == 'nuts':
         return run_nuts(args, setup)
     if args.sampler == 'pt':
@@ -678,7 +696,9 @@ def main(argv=None):
     from ..parallel.chains import chain_mesh, init_chains, run_chains
 
     n_dev = len(jax.devices())
-    mesh = chain_mesh() if (args.chains > 1 and n_dev > 1) else None
+    mesh = chain_mesh() if (args.chains > 1 and n_dev > 1 and
+                            getattr(setup, 'forward_mesh', None) is None
+                            ) else None
 
     if args.new is not None:
         n_samples, burn, db = int(args.new[0]), int(args.new[1]), args.new[2]

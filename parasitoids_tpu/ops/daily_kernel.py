@@ -38,7 +38,8 @@ from jax import lax
 from .bvn import bvn_cell_masses
 from .flight import h_flight_prob
 
-__all__ = ['KernelConfig', 'build_daily_kernel', 'r_small_vals_dense']
+__all__ = ['KernelConfig', 'build_daily_kernel', 'day_scatter_inputs',
+           'finish_day', 'r_small_vals_dense']
 
 _SECONDS_PER_DAY = 3600 * 24
 _NEGVAL = 1e-8  # sparsity threshold, ref CalcSol.py:112
@@ -139,33 +140,14 @@ def xla_accumulate_day(h_scat, cdf_mu, idx, clipped, Dparams, cell,
     return buf, losses.sum()
 
 
-@partial(jax.jit, static_argnames=('config',))
-def build_daily_kernel(wind_flat, wind_cumsum, day_idx, hparams, Dparams,
-                       Dlparams, mu_r, n_periods, rad_dist, start_idx,
-                       config: KernelConfig):
-    """Build one day's dispersal pmf as a dense ``(2*rad_res+1,)²`` array.
-
-    Args:
-        wind_flat: (ndays*periods, 2) concatenated interpolated wind (m/s).
-        wind_cumsum: (ndays*periods + 1, 2) prefix sum of ``wind_flat``.
-        day_idx: which day to build (traced int).
-        hparams: (lam, aw, bw, a1, b1, a2, b2) take-off parameters.
-        Dparams: (sig_x, sig_y, rho) flight diffusion.
-        Dlparams: (sig_x, sig_y, rho) local diffusion.
-        mu_r: wind-to-flight advection scaling.
-        n_periods: flight duration in wind samples (traced int).
-        rad_dist: meters from release point to domain side.
-        start_idx: first active minute (release-day start), 0 otherwise.
-        config: static shapes/quadrature settings.
-
-    Returns:
-        (pmf, loss): the renormalized daily kernel and the probability mass
-        advected beyond the domain (before renormalization).
-    """
-    T, K, Kl, G = config.periods, config.K, config.K_local, config.G
+def day_scatter_inputs(wind_flat, wind_cumsum, day_idx, hparams, mu_r,
+                       n_periods, start_idx, config: KernelConfig, rad_dist):
+    """Per-minute inputs for the day's accumulate: ``(h_scat, cdf_mu, idx,
+    clip_f, outside_loss)``.  Cheap elementwise work over the minute axis —
+    factored out so the accumulate itself can be minute-sharded over a
+    device mesh (parallel/domain.py) without duplicating the physics."""
+    T, K = config.periods, config.K
     rad_res = config.rad_res
-    D = 2 * rad_res + 1
-    K2 = 2 * K + 1
     cell = rad_dist / rad_res
     dtype = wind_flat.dtype
 
@@ -204,29 +186,31 @@ def build_daily_kernel(wind_flat, wind_cumsum, day_idx, hparams, Dparams,
         [jnp.where(outside, rad_res, rad_res + K + row_off),
          jnp.where(outside, rad_res, rad_res + K + col_off)], axis=1)
 
-    # --- accumulation into the padded domain buffer ---------------------
     h_scat = jnp.where(outside, 0.0, h_eff)   # fully-outside blocks add 0
     clip_f = clipped.astype(dtype)
+    # full take-off probability of blocks entirely off-domain
+    # (ref ParasitoidModel.py:546,558)
+    outside_loss = jnp.sum(jnp.where(outside, h_eff, 0.0))
+    return h_scat, cdf_mu, idx, clip_f, outside_loss
 
-    if config.pallas:
-        # fused on-chip build+accumulate (ops/pallas_kernel.py); its
-        # backward rule recomputes through the XLA path below
-        from .pallas_kernel import pallas_accumulate_day
-        buf, clip_loss = pallas_accumulate_day(
-            h_scat, cdf_mu, idx, clip_f, Dparams, cell,
-            K, G, D + 4 * K, config.interpret)
-    else:
-        buf, clip_loss = xla_accumulate_day(
-            h_scat, cdf_mu, idx, clip_f, Dparams, cell,
-            K, G, D + 4 * K, chunk=min(config.chunk, T))
+
+def finish_day(buf, outside_loss, clip_loss, Dlparams, config: KernelConfig,
+               rad_dist):
+    """Post-accumulate steps shared by the single-device and minute-sharded
+    builders: crop the padded buffer, total the loss accounting, add the
+    "didn't fly" local-diffusion remainder, sparsify + renormalize."""
+    K, Kl, G = config.K, config.K_local, config.G
+    rad_res = config.rad_res
+    D = 2 * rad_res + 1
+    cell = rad_dist / rad_res
+    dtype = buf.dtype
 
     pmf = buf[2 * K:2 * K + D, 2 * K:2 * K + D]
     pad_mass = buf.sum() - pmf.sum()
     # loss = mass scattered beyond the domain, plus window-truncation
     # shortfall of boundary-straddling blocks, plus the full take-off
-    # probability of blocks entirely off-domain (ref ParasitoidModel.py:546,558)
-    loss = (pad_mass + clip_loss +
-            jnp.sum(jnp.where(outside, h_eff, 0.0)))
+    # probability of blocks entirely off-domain
+    loss = pad_mass + clip_loss + outside_loss
 
     # --- "didn't fly" local-diffusion remainder ------------------------
     total_flight_prob = pmf.sum() + loss
@@ -244,3 +228,51 @@ def build_daily_kernel(wind_flat, wind_cumsum, day_idx, hparams, Dparams,
     # --- sparsify + renormalize (ref CalcSol.r_small_vals, prob model) --
     pmf = r_small_vals_dense(pmf, prob_model=True)
     return pmf, loss
+
+
+@partial(jax.jit, static_argnames=('config',))
+def build_daily_kernel(wind_flat, wind_cumsum, day_idx, hparams, Dparams,
+                       Dlparams, mu_r, n_periods, rad_dist, start_idx,
+                       config: KernelConfig):
+    """Build one day's dispersal pmf as a dense ``(2*rad_res+1,)²`` array.
+
+    Args:
+        wind_flat: (ndays*periods, 2) concatenated interpolated wind (m/s).
+        wind_cumsum: (ndays*periods + 1, 2) prefix sum of ``wind_flat``.
+        day_idx: which day to build (traced int).
+        hparams: (lam, aw, bw, a1, b1, a2, b2) take-off parameters.
+        Dparams: (sig_x, sig_y, rho) flight diffusion.
+        Dlparams: (sig_x, sig_y, rho) local diffusion.
+        mu_r: wind-to-flight advection scaling.
+        n_periods: flight duration in wind samples (traced int).
+        rad_dist: meters from release point to domain side.
+        start_idx: first active minute (release-day start), 0 otherwise.
+        config: static shapes/quadrature settings.
+
+    Returns:
+        (pmf, loss): the renormalized daily kernel and the probability mass
+        advected beyond the domain (before renormalization).
+    """
+    T, K, G = config.periods, config.K, config.G
+    rad_res = config.rad_res
+    D = 2 * rad_res + 1
+    cell = rad_dist / rad_res
+
+    h_scat, cdf_mu, idx, clip_f, outside_loss = day_scatter_inputs(
+        wind_flat, wind_cumsum, day_idx, hparams, mu_r, n_periods,
+        start_idx, config, rad_dist)
+
+    if config.pallas:
+        # fused on-chip build+accumulate (ops/pallas_kernel.py); its
+        # backward rule recomputes through the XLA path below
+        from .pallas_kernel import pallas_accumulate_day
+        buf, clip_loss = pallas_accumulate_day(
+            h_scat, cdf_mu, idx, clip_f, Dparams, cell,
+            K, G, D + 4 * K, config.interpret)
+    else:
+        buf, clip_loss = xla_accumulate_day(
+            h_scat, cdf_mu, idx, clip_f, Dparams, cell,
+            K, G, D + 4 * K, chunk=min(config.chunk, T))
+
+    return finish_day(buf, outside_loss, clip_loss, Dlparams, config,
+                      rad_dist)
