@@ -32,7 +32,7 @@ import numpy as np
 from .model import BayesSetup
 
 __all__ = ['pointwise_matrix', 'waic', 'psis_loo', 'loo_compare',
-           'point_labels', 'report']
+           'point_labels', 'point_groups', 'group_loglik', 'report']
 
 _KHAT_WARN = 0.7      # Vehtari et al. (2017) reliability threshold
 _P_WAIC_WARN = 0.4    # per-point penalty above which WAIC is suspect
@@ -108,6 +108,52 @@ def point_labels(setup: BayesSetup):
     labels += ['grid point {} date {}'.format(i, j)
                for i in range(n) for j in range(d)]
     return labels
+
+
+def point_groups(setup: BayesSetup, by='date'):
+    """(group_ids, group_labels) partitioning the pointwise columns for
+    grouped (leave-one-group-out) cross-validation.
+
+    Counts from one field on one date are one sampling event, not
+    independent hold-outs; pointwise LOO over-states the available
+    information when observations within a group are correlated (Vehtari
+    et al.; leave-one-group-out is the honest unit).  ``by='date'`` groups
+    each block's observation column (one collection/sampling occasion);
+    ``by='block'`` groups whole release/sentinel/grid channels."""
+    if by not in ('date', 'block'):
+        raise ValueError(by)
+    ids = []
+    labels = []
+
+    def add(tag, n, d):
+        g0 = len(labels)
+        if by == 'block':
+            labels.append(tag)
+            ids.append(np.full(n * d, g0))
+        else:
+            labels.extend('{} date {}'.format(tag, j) for j in range(d))
+            ids.append(np.tile(np.arange(g0, g0 + d), n))
+
+    for k, data in enumerate(setup.obs_release):
+        n, d = np.asarray(data).shape
+        add('release[{}]'.format(k), n, d)
+    for k, data in enumerate(setup.obs_sentinel):
+        n, d = np.asarray(data).shape
+        add('sentinel[{}]'.format(k), n, d)
+    n, d = np.asarray(setup.obs_grid).shape
+    add('grid', n, d)
+    return np.concatenate(ids), labels
+
+
+def group_loglik(ll, group_ids):
+    """Sum pointwise columns into per-group columns: (S, N) -> (S, G).
+    Feed the result to ``waic``/``psis_loo`` for leave-one-group-out."""
+    ll = np.asarray(ll, np.float64)
+    group_ids = np.asarray(group_ids)
+    n_g = int(group_ids.max()) + 1
+    out = np.zeros((ll.shape[0], n_g))
+    np.add.at(out.T, group_ids, ll.T)
+    return out
 
 
 # ----------------------------------------------------------------------
@@ -232,6 +278,11 @@ def main(argv=None):
     ap.add_argument('trace', help='saved MCMC/SMC/VI trace (npz path)')
     ap.add_argument('--draws', type=int, default=400,
                     help='posterior draws to evaluate (forward sims)')
+    ap.add_argument('--group', choices=['point', 'date', 'block'],
+                    default='point',
+                    help='cross-validation unit: individual counts, one '
+                         'sampling occasion (block x date), or whole '
+                         'channels (leave-one-group-out)')
     ap.add_argument('--seed', type=int, default=0)
     ap.add_argument('overrides', nargs='*',
                     help='key=value Params overrides matching the run')
@@ -260,13 +311,21 @@ def main(argv=None):
         traces = npz['traces']
     ll, rows = pointwise_matrix(setup, traces, n_draws=args.draws,
                                 seed=args.seed, mesh=mesh)
+    if args.group == 'point':
+        labels = point_labels(setup)
+    else:
+        gids, labels = point_groups(setup, by=args.group)
+        ll = group_loglik(ll, gids)
+        print('leave-one-{}-out over {} groups'.format(args.group,
+                                                       len(labels)))
     w = waic(ll)
     l = psis_loo(ll)
-    print(report(w, l, labels=point_labels(setup)))
+    print(report(w, l, labels=labels))
 
     out = path[:-4] + '_loo.json'
     payload = {
         'n_draws': int(ll.shape[0]), 'n_points': int(ll.shape[1]),
+        'group': args.group,
         'waic': {k: (v.tolist() if isinstance(v, np.ndarray) else v)
                  for k, v in w.items()},
         'psis_loo': {k: (v.tolist() if isinstance(v, np.ndarray) else v)

@@ -6,7 +6,8 @@ import pytest
 from scipy import stats
 from scipy.special import logsumexp
 
-from parasitoids_tpu.bayes.loo import (loo_compare, point_labels,
+from parasitoids_tpu.bayes.loo import (group_loglik, loo_compare,
+                                       point_groups, point_labels,
                                        pointwise_matrix, psis_loo, report,
                                        waic)
 
@@ -91,6 +92,49 @@ def test_khat_flags_heavy_tailed_weights():
     res = psis_loo(ll)
     assert res['khat'][-1] > 0.35         # the outlier's tail stands out
     assert res['khat'][:-1].max() < res['khat'][-1]
+
+
+def test_grouped_loo_matches_exact_leave_pair_out():
+    """Summing pointwise columns into pairs and running PSIS-LOO must
+    estimate the exact leave-PAIR-out predictive density (conjugate
+    normal-normal: the held-out pair is bivariate normal with shared
+    posterior-mean uncertainty)."""
+    rng = np.random.default_rng(4)
+    n = 24
+    y = rng.normal(0.1, 1.0, size=n)
+    _, ll = _normal_ll_matrix(rng, y)
+    gids = np.repeat(np.arange(n // 2), 2)        # consecutive pairs
+    gll = group_loglik(ll, gids)
+    assert gll.shape == (ll.shape[0], n // 2)
+    np.testing.assert_allclose(gll.sum(axis=1), ll.sum(axis=1), rtol=1e-12)
+    res = psis_loo(gll)
+
+    exact = np.empty(n // 2)
+    for g in range(n // 2):
+        pair = y[2 * g:2 * g + 2]
+        rest = np.delete(y, [2 * g, 2 * g + 1])
+        v = 1.0 / (1.0 + rest.shape[0])
+        m = v * rest.sum()
+        cov = np.eye(2) + v                       # shared mu uncertainty
+        exact[g] = stats.multivariate_normal.logpdf(pair, mean=[m, m],
+                                                    cov=cov)
+    np.testing.assert_allclose(res['elpd_pointwise'], exact, atol=0.07)
+
+
+def test_point_groups_partition_the_columns():
+    setup = _tiny_setup()
+    n_cols = len(point_labels(setup))
+    for by in ('date', 'block'):
+        gids, labels = point_groups(setup, by=by)
+        assert gids.shape == (n_cols,)
+        assert set(gids) == set(range(len(labels)))
+    g_block, l_block = point_groups(setup, by='block')
+    assert len(l_block) == (len(setup.obs_release)
+                            + len(setup.obs_sentinel) + 1)
+    # grouped sums conserve the total log-likelihood
+    ll = np.arange(2 * n_cols, dtype=np.float64).reshape(2, n_cols)
+    np.testing.assert_allclose(group_loglik(ll, g_block).sum(axis=1),
+                               ll.sum(axis=1))
 
 
 # ----------------------------------------------------------------------
