@@ -99,6 +99,10 @@ class BayesSetup:
         # axis over it (parallel/domain.py) — latency scaling for
         # single-chain samplers; leave None for chain-sharded sampling
         self.forward_mesh = forward_mesh
+        # optional per-observation 0/1 weights (rel, sent, grid block
+        # structure) excluding held-out data from the likelihood — the
+        # exact cross-validation refit target (bayes/cv.py)
+        self.obs_mask = None
         cell = params.domain_info[0] / params.domain_info[1]
         K, Kl = prior_coverage_windows(cell)
         if params.kernel_rad is None:
@@ -166,6 +170,43 @@ class BayesSetup:
         new.obs_release = rel
         new.obs_sentinel = sent
         new.obs_grid = grid
+        return new
+
+    def with_held_out(self, keep_flat):
+        """Shallow copy whose ``log_likelihood`` only scores the
+        observations where ``keep_flat`` is True — the refit target for
+        exact leave-one-group-out cross-validation (bayes/cv.py).
+
+        ``keep_flat`` is a boolean vector over the pointwise columns in
+        ``pointwise_loglik`` order (release blocks row-major, sentinel
+        blocks, grid).  The prior and forward model are untouched; only
+        the masked Poisson terms drop out (data, projections and
+        ``pointwise_loglik`` itself stay complete, so held-out terms can
+        still be evaluated on the refit posterior)."""
+        import copy
+        keep_flat = np.asarray(keep_flat, bool)
+        dtype = self.obs_grid.dtype
+        masks_rel, masks_sent = [], []
+        pos = 0
+        for data in self.obs_release:
+            n = int(np.prod(data.shape))
+            masks_rel.append(jnp.asarray(
+                keep_flat[pos:pos + n].reshape(data.shape), dtype))
+            pos += n
+        for data in self.obs_sentinel:
+            n = int(np.prod(data.shape))
+            masks_sent.append(jnp.asarray(
+                keep_flat[pos:pos + n].reshape(data.shape), dtype))
+            pos += n
+        n = int(np.prod(self.obs_grid.shape))
+        mask_grid = jnp.asarray(
+            keep_flat[pos:pos + n].reshape(self.obs_grid.shape), dtype)
+        pos += n
+        if pos != keep_flat.shape[0]:
+            raise ValueError('keep_flat has {} entries; expected {}'.format(
+                keep_flat.shape[0], pos))
+        new = copy.copy(self)
+        new.obs_mask = (tuple(masks_rel), tuple(masks_sent), mask_grid)
         return new
 
     def with_forward_mesh(self, mesh):
@@ -254,19 +295,25 @@ class BayesSetup:
     # ------------------------------------------------------------------
     @partial(jax.jit, static_argnums=(0,))
     def log_likelihood(self, projections, o: ObsParams):
-        """Thinned-Poisson observation likelihood
-        (Bayes_Run.py:344-433)."""
+        """Thinned-Poisson observation likelihood (Bayes_Run.py:344-433).
+        When ``obs_mask`` is set (``with_held_out``), masked observations
+        contribute nothing."""
         rel, sent, grid = projections
+        m_rel, m_sent, m_grid = (self.obs_mask if self.obs_mask is not None
+                                 else (None, None, None))
         lp = 0.0
-        for model, data, effort in zip(rel, self.obs_release,
-                                       self.release_effort):
+        for k, (model, data, effort) in enumerate(
+                zip(rel, self.obs_release, self.release_effort)):
             rate = o.xi * model * (effort * o.em_obs_prob)[:, None]
-            lp += poisson_loglik(data, rate)
-        for model, data in zip(sent, self.obs_sentinel):
+            ll = poisson_logpmf(data, rate)
+            lp += jnp.sum(ll if m_rel is None else ll * m_rel[k])
+        for k, (model, data) in enumerate(zip(sent, self.obs_sentinel)):
             rate = o.xi * model * o.sent_obs_probs[:, None]
-            lp += poisson_loglik(data, rate)
+            ll = poisson_logpmf(data, rate)
+            lp += jnp.sum(ll if m_sent is None else ll * m_sent[k])
         grid_rate = o.grid_obs_prob * self.grid_samples * grid
-        lp += poisson_loglik(self.obs_grid, grid_rate)
+        ll = poisson_logpmf(self.obs_grid, grid_rate)
+        lp += jnp.sum(ll if m_grid is None else ll * m_grid)
         return lp
 
     @partial(jax.jit, static_argnums=(0,))
