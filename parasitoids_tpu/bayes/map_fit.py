@@ -30,7 +30,8 @@ from .priors import (MODEL_PARAM_NAMES, OBS_PARAM_NAMES,
 from .sampler import _as_model, _as_obs, _N_MODEL
 from .transforms import MODEL_TRANSFORMS, Unit, obs_transforms
 
-__all__ = ['map_fit', 'laplace_approximation', 'map_report']
+__all__ = ['map_fit', 'map_fit_multistart', 'laplace_approximation',
+           'map_report']
 
 _N_PERIODS_FIXED = 30.0
 
@@ -141,6 +142,111 @@ def map_fit(setup: BayesSetup, n_steps=300, learning_rate=0.02,
     }
 
 
+def map_fit_multistart(setup: BayesSetup, n_starts=8, seed=0, n_steps=300,
+                       learning_rate=0.02, use_sprd=None, chunk_steps=25,
+                       mesh=None, verbose=False):
+    """Global MAP search: ``n_starts`` Adam runs from over-dispersed
+    starting points, best mode wins.
+
+    The posterior is multimodal (the motivation for the PT/SMC samplers);
+    the reference's single-start ``pm.MAP.fit`` — and our ``map_fit`` —
+    can land in a side mode.  Start 0 is the deterministic reference
+    initialization; the rest draw from the exact joint prior.  Starts run
+    through ``lax.map`` (NOT ``vmap``: a theta-batched forward pass pays
+    every rho ``lax.switch`` branch, parallel/chains.py) and shard over a
+    mesh like any embarrassingly parallel axis.
+
+    Returns the best start's ``map_fit``-shaped dict plus ``'start_logps'``
+    (per-start final log posterior) and ``'best_start'``.
+    """
+    from jax import random
+
+    from .priors import sample_prior_model, sample_prior_obs
+
+    if use_sprd is None:
+        use_sprd = setup.params.dataset == 'kalbar'
+    neg_logpost, constrain, unconstrain = _make_objective(setup, use_sprd)
+
+    m0 = jnp.asarray(initial_model_params(), jnp.float32)
+    o0 = jnp.asarray(initial_obs_params(
+        [setup.locinfo.field_sizes[k] for k in setup.locinfo.sent_ids],
+        setup.cell_res ** 2), jnp.float32)
+    k_m, k_o = random.split(random.PRNGKey(seed))
+    ms = jnp.concatenate([
+        m0[None], jax.vmap(sample_prior_model)(
+            random.split(k_m, n_starts - 1))]) if n_starts > 1 else m0[None]
+    os_ = jnp.concatenate([
+        o0[None], jax.vmap(lambda k: sample_prior_obs(
+            k, setup.field_areas, setup.min_field_area))(
+                random.split(k_o, n_starts - 1))]) if n_starts > 1 \
+        else o0[None]
+    sprds = jnp.full((n_starts,), 0.3, jnp.float32)
+    z0s = jax.vmap(unconstrain)(ms, os_, sprds)        # (N, dim)
+
+    opt = optax.adam(learning_rate)
+
+    def one_chunk(z, opt_state, length):
+        def step(carry, _):
+            z, opt_state = carry
+            loss, grad = jax.value_and_grad(neg_logpost)(z)
+            grad = jnp.where(jnp.isfinite(grad), grad, 0.0)
+            updates, opt_state = opt.update(grad, opt_state)
+            return (optax.apply_updates(z, updates), opt_state), loss
+
+        (z, opt_state), losses = lax.scan(step, (z, opt_state), None,
+                                          length=length)
+        return z, opt_state, losses[-1]
+
+    @partial(jax.jit, static_argnames='length')
+    def run_chunk_all(zs, opt_states, length):
+        return lax.map(lambda a: one_chunk(a[0], a[1], length),
+                       (zs, opt_states))
+
+    def sharded_chunk(zs, opt_states, length):
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        spec = P(mesh.axis_names[0])
+        f = shard_map(
+            lambda z, s: run_chunk_all(z, s, length), mesh=mesh,
+            in_specs=(spec, spec), out_specs=(spec, spec, spec),
+            check_vma=False)
+        return f(zs, opt_states)
+
+    zs = z0s
+    opt_states = jax.vmap(opt.init)(z0s)
+    done = 0
+    last = None
+    runner = sharded_chunk if mesh is not None else run_chunk_all
+    while done < n_steps:
+        length = min(chunk_steps, n_steps - done)
+        zs, opt_states, last = jax.block_until_ready(
+            runner(zs, opt_states, length))   # block: tunnel queue safety
+        done += length
+        if verbose:
+            print('multistart: {}/{} steps, best -logp {:.2f}'.format(
+                done, n_steps, float(jnp.min(last))), flush=True)
+
+    logps = np.asarray(-last, np.float64)
+    best = int(np.argmax(logps))
+    z_best = zs[best]
+    m_vec, o_vec, sprd = jax.jit(constrain)(z_best)
+    logp = float(jax.jit(lambda z: -neg_logpost(z))(z_best))
+    n_params = _N_MODEL - 1 + len(o_vec) + (1 if use_sprd else 0)
+    return {
+        'z': np.asarray(z_best),
+        'model': np.asarray(m_vec),
+        'obs': np.asarray(o_vec),
+        'sprd_factor': float(sprd) if use_sprd else None,
+        'logp': logp,
+        'AIC': 2 * n_params - 2 * logp,
+        'losses': np.zeros(0),
+        'use_sprd': use_sprd,
+        'start_logps': logps,
+        'best_start': best,
+    }
+
+
 def laplace_approximation(setup: BayesSetup, fit):
     """Normal approximation around the MAP point (ref pm.NormApprox,
     Bayes_MAP.py:521-569): returns means and the full covariance in the
@@ -215,6 +321,11 @@ def main(argv=None):
                    help='MAP + Laplace normal approximation')
     parser.add_argument('-o', '--outname', default='map_fit.txt')
     parser.add_argument('--steps', type=int, default=300)
+    parser.add_argument('--starts', type=int, default=1,
+                        help='multi-start global MAP: N Adam runs from '
+                             'over-dispersed (prior-drawn) starting points '
+                             'sharded over the device mesh; best mode wins')
+    parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('overrides', nargs='*')
     args = parser.parse_args(argv)
     enable_compilation_cache()
@@ -237,7 +348,22 @@ def main(argv=None):
 
     import time
     tic = time.time()
-    fit = map_fit(setup, n_steps=args.steps)
+    if args.starts > 1:
+        import jax
+        mesh = None
+        n_dev = len(jax.devices())
+        if n_dev > 1 and args.starts % n_dev == 0:
+            from ..parallel.chains import chain_mesh
+            mesh = chain_mesh()
+            print('starts sharded over {} devices'.format(n_dev))
+        fit = map_fit_multistart(setup, n_starts=args.starts,
+                                 seed=args.seed, n_steps=args.steps,
+                                 mesh=mesh, verbose=True)
+        print('multistart: best start {} of {}; per-start logp: {}'.format(
+            fit['best_start'], args.starts,
+            np.array2string(fit['start_logps'], precision=1)))
+    else:
+        fit = map_fit(setup, n_steps=args.steps)
     print('optimization: {:.1f} s for {} steps '
           '({:.2f} sec./model eval incl. gradient)'.format(
               time.time() - tic, args.steps, (time.time() - tic) /

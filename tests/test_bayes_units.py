@@ -169,3 +169,48 @@ def test_laplace_through_pallas_setup():
     sd = lap['sd_theta']
     assert np.all(np.isfinite(sd))
     assert np.any(sd > 0)
+
+
+@pytest.mark.slow
+def test_map_multistart_beats_or_matches_single(tmp_path):
+    """Multi-start MAP (over-dispersed prior starts, best mode wins) must
+    do at least as well as the single default-init fit given the same step
+    budget — start 0 IS the default init — and report per-start logps."""
+    from parasitoids_tpu.bayes.map_fit import map_fit, map_fit_multistart
+    from parasitoids_tpu.bayes.model import BayesSetup
+    from parasitoids_tpu.config import Params
+
+    p = Params()
+    p.cmd_line_chg(['--kalbar'])
+    p.PLOT = False
+    p.OUTPUT = False
+    p.PROB_MODEL = False
+    p.ndays = 3
+    p.domain_info = (10000.0, 50)
+    p.interp_num = 2
+    p.kernel_rad = 6
+    p.kernel_rad_local = 3
+    p.quad_nodes = 8
+    setup = BayesSetup(p)
+
+    single = map_fit(setup, n_steps=30, use_sprd=False)
+    multi = map_fit_multistart(setup, n_starts=4, n_steps=30,
+                               use_sprd=False, seed=0)
+    assert multi['start_logps'].shape == (4,)
+    assert 0 <= multi['best_start'] < 4
+    assert np.isfinite(multi['logp'])
+    # start 0 replicates the deterministic init, so best-of-N can only help
+    assert multi['logp'] >= single['logp'] - 0.5
+
+    # sharded over the virtual mesh: same best start, same logp (lax.map
+    # per shard is the same computation)
+    import jax
+    from parasitoids_tpu.parallel.chains import chain_mesh
+    multi_sh = map_fit_multistart(setup, n_starts=8, n_steps=10,
+                                  use_sprd=False, seed=0,
+                                  mesh=chain_mesh())
+    multi_1d = map_fit_multistart(setup, n_starts=8, n_steps=10,
+                                  use_sprd=False, seed=0)
+    assert multi_sh['best_start'] == multi_1d['best_start']
+    np.testing.assert_allclose(multi_sh['start_logps'],
+                               multi_1d['start_logps'], rtol=1e-5)
