@@ -28,7 +28,8 @@ from .model import BayesSetup
 from .priors import MODEL_PARAM_NAMES, OBS_PARAM_NAMES
 
 __all__ = ['posterior_predictive', 'prior_predictive',
-           'simulate_observations', 'plot_predictive', 'main']
+           'simulate_observations', 'plot_predictive',
+           'predictive_pvalues', 'pvalue_report', 'main']
 
 
 def _mpl():
@@ -148,6 +149,64 @@ def simulate_observations(setup: BayesSetup, m_vec, o_vec, rng):
     return out
 
 
+_PPC_STATS = {
+    'total': np.sum,
+    'max': np.max,
+    'zero_frac': lambda a: float(np.mean(np.asarray(a) == 0)),
+}
+
+
+def predictive_pvalues(setup: BayesSetup, pred):
+    """Posterior-predictive p-values per channel and test statistic:
+    ``p = P(T(y_rep) >= T(y_obs))`` with the (1 + k)/(1 + B) finite-draw
+    correction (Gelman et al., BDA ch. 6).  Extreme values (< 0.05 or
+    > 0.95) mark channels where the fitted model cannot reproduce the
+    observed statistic — a quantitative companion to the predictive
+    overlay plots, which the reference only ever eyeballs
+    (CompareToData.py).
+
+    Returns ``{channel: {stat: p}}`` over the grid, each release block,
+    and each sentinel block."""
+    out = {}
+
+    def pvals(obs, rep_list):
+        res = {}
+        b = len(rep_list)
+        for name, T in _PPC_STATS.items():
+            t_obs = float(T(np.asarray(obs)))
+            t_rep = np.array([float(T(np.asarray(r))) for r in rep_list])
+            res[name] = float((1 + np.sum(t_rep >= t_obs)) / (1 + b))
+        return res
+
+    out['grid'] = pvals(setup.obs_grid, list(pred['grid']))
+    for k, data in enumerate(setup.obs_release):
+        out['release[{}]'.format(k)] = pvals(
+            data, [draw[k] for draw in pred['release']])
+    for k, data in enumerate(setup.obs_sentinel):
+        out['sentinel[{}]'.format(k)] = pvals(
+            data, [draw[k] for draw in pred['sentinel']])
+    return out
+
+
+def pvalue_report(pv, lo=0.05, hi=0.95):
+    """Formatted p-value table; extreme entries flagged with '!'."""
+    stats = list(_PPC_STATS)
+    lines = ['{:<14s}'.format('channel')
+             + ''.join('{:>12s}'.format(s) for s in stats)]
+    for ch, d in pv.items():
+        row = '{:<14s}'.format(ch)
+        for s in stats:
+            p = d[s]
+            row += '{:>10.3f}{:2s}'.format(p, ' !' if (p < lo or p > hi)
+                                           else '')
+        lines.append(row)
+    n_bad = sum(1 for d in pv.values() for p in d.values()
+                if p < lo or p > hi)
+    lines.append('{} extreme statistic(s) (p < {} or > {})'.format(
+        n_bad, lo, hi))
+    return '\n'.join(lines)
+
+
 def plot_predictive(setup: BayesSetup, pred, outfile, label='posterior'):
     """Observed vs predictive distributions per channel."""
     plt = _mpl()
@@ -241,6 +300,7 @@ def main(argv=None):
     if args.prior:
         pred = prior_predictive(setup, n_draws=args.draws, seed=args.seed,
                                 mesh=mesh)
+        print(pvalue_report(predictive_pvalues(setup, pred)))
         print('wrote', plot_predictive(setup, pred, 'prior_predictive.png',
                                        label='prior'))
         return
@@ -252,6 +312,7 @@ def main(argv=None):
         pred = posterior_predictive(setup, traces, n_draws=args.draws,
                                     seed=args.seed, mesh=mesh)
         out = path[:-4] + '_predictive.png'
+    print(pvalue_report(predictive_pvalues(setup, pred)))
     print('wrote', plot_predictive(setup, pred, out))
 
 

@@ -107,6 +107,46 @@ def test_prior_predictive(setup):
         import os
         assert os.path.getsize(out) > 0
 
+    # posterior-predictive p-values over the same draws
+    from parasitoids_tpu.bayes.predictive import (predictive_pvalues,
+                                                  pvalue_report)
+    pv = predictive_pvalues(setup, pred)
+    assert set(pv) == ({'grid'}
+                       | {'release[{}]'.format(k)
+                          for k in range(len(setup.obs_release))}
+                       | {'sentinel[{}]'.format(k)
+                          for k in range(len(setup.obs_sentinel))})
+    for d_ in pv.values():
+        for p in d_.values():
+            assert 0.0 < p <= 1.0
+    txt = pvalue_report(pv)
+    assert 'grid' in txt and 'total' in txt and 'extreme' in txt
+
+
+def test_pvalue_calibration_on_replicated_data():
+    """If the observed data IS a draw from the predictive, p-values are
+    uniform-ish — and a shifted observation is flagged extreme."""
+    from parasitoids_tpu.bayes import predictive as P
+
+    class FakeSetup:
+        pass
+
+    rng = np.random.default_rng(0)
+    reps = rng.poisson(5.0, size=(400, 6, 4))
+    fake = FakeSetup()
+    fake.obs_grid = reps[0]
+    fake.obs_release = []
+    fake.obs_sentinel = []
+    pv = P.predictive_pvalues(fake, {'grid': reps[1:], 'release': [],
+                                     'sentinel': []})
+    assert 0.05 < pv['grid']['total'] < 0.95
+
+    fake.obs_grid = reps[0] + 12          # grossly inflated counts
+    pv = P.predictive_pvalues(fake, {'grid': reps[1:], 'release': [],
+                                     'sentinel': []})
+    assert pv['grid']['total'] < 0.05
+    assert pv['grid']['max'] < 0.05
+
 
 @pytest.mark.slow
 def test_identifiability_tiny(setup, tmp_path):
