@@ -32,7 +32,8 @@ import numpy as np
 from .model import BayesSetup
 
 __all__ = ['pointwise_matrix', 'waic', 'psis_loo', 'loo_compare',
-           'point_labels', 'point_groups', 'group_loglik', 'report']
+           'point_labels', 'point_groups', 'group_loglik', 'plot_loo',
+           'report']
 
 _KHAT_WARN = 0.7      # Vehtari et al. (2017) reliability threshold
 _P_WAIC_WARN = 0.4    # per-point penalty above which WAIC is suspect
@@ -237,6 +238,53 @@ def loo_compare(res_a, res_b):
             'se_diff': float(np.sqrt(d.shape[0] * d.var(ddof=1)))}
 
 
+def plot_loo(l, labels, outfile, worst=12):
+    """Two-panel LOO diagnostic figure: sorted Pareto khat per observation
+    against the 0.7 reliability threshold, and the worst-predicted
+    observations by elpd contribution (viz conventions of
+    viz/bayes_plot.py; single-hue marks, direct labels)."""
+    import os
+
+    import matplotlib
+    if not os.environ.get('DISPLAY'):
+        matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    khat = np.asarray(l['khat'], np.float64)
+    elpd = np.asarray(l['elpd_pointwise'], np.float64)
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(12, 4.2))
+
+    finite = np.where(np.isfinite(khat), khat, np.nanmax(
+        np.where(np.isfinite(khat), khat, np.nan)) if np.isfinite(
+            khat).any() else 1.0)
+    order = np.argsort(finite)
+    ax1.plot(np.arange(khat.shape[0]), finite[order], '.', ms=4,
+             color='#31688e')
+    ax1.axhline(_KHAT_WARN, color='#b40426', lw=1, ls='--')
+    ax1.text(0.02, _KHAT_WARN, ' khat = {}'.format(_KHAT_WARN),
+             color='#b40426', va='bottom', transform=ax1.get_yaxis_transform())
+    ax1.set_xlabel('observation (sorted)')
+    ax1.set_ylabel('Pareto khat')
+    ax1.set_title('PSIS reliability ({} of {} above threshold)'.format(
+        l['n_bad_khat'], khat.shape[0]))
+    ax1.grid(alpha=0.25)
+
+    n = min(worst, elpd.shape[0])
+    idx = np.argsort(elpd)[:n][::-1]
+    ax2.barh(np.arange(n), elpd[idx], color='#31688e')
+    ax2.set_yticks(np.arange(n))
+    ax2.set_yticklabels([labels[i] if labels else str(i) for i in idx],
+                        fontsize=8)
+    ax2.set_xlabel('elpd contribution')
+    ax2.set_title('worst-predicted observations')
+    ax2.grid(alpha=0.25, axis='x')
+
+    fig.tight_layout()
+    fig.savefig(outfile, dpi=130)
+    plt.close(fig)
+    return outfile
+
+
 def report(w, l, labels=None, worst=5):
     """Formatted summary of a waic() + psis_loo() pair."""
     lines = [
@@ -321,6 +369,7 @@ def main(argv=None):
     w = waic(ll)
     l = psis_loo(ll)
     print(report(w, l, labels=labels))
+    print('wrote', plot_loo(l, labels, path[:-4] + '_loo.png'))
 
     out = path[:-4] + '_loo.json'
     payload = {

@@ -61,9 +61,17 @@ def test_waic_agrees_with_loo_when_well_behaved():
     assert w['n_high_p'] == 0
     # lppd >= elpd (the penalty is positive)
     assert w['lppd'] > w['elpd_waic']
-    # report renders
+    # report + diagnostic figure render
     txt = report(w, l, labels=['y[{}]'.format(i) for i in range(30)])
     assert 'WAIC' in txt and 'PSIS-LOO' in txt and 'y[' in txt
+    import os
+    import tempfile
+
+    from parasitoids_tpu.bayes.loo import plot_loo
+    with tempfile.TemporaryDirectory() as d:
+        out = plot_loo(l, ['y[{}]'.format(i) for i in range(30)],
+                       d + '/loo.png')
+        assert os.path.getsize(out) > 0
 
 
 def test_loo_compare_prefers_true_model():
