@@ -45,6 +45,11 @@ group.add_argument('--resume', nargs=2, metavar=('db_name', 'iterations'),
                         '<db>.ckpt.npz transition checkpoint to the '
                         'originally requested totals (<iterations> '
                         'ignored).')
+group.add_argument('--analyze', metavar='db_name',
+                   help='Interactive analysis menu over a saved run '
+                        '(the reference Bayes_Run menus, '
+                        'Bayes_Run.py:540-702): posterior summary, '
+                        'R-hat/ESS diagnostics, plot generation.')
 parser.add_argument('--chains', type=int, default=1,
                     help='number of parallel chains (vmapped/sharded)')
 parser.add_argument('--sampler', choices=['am', 'nuts', 'pt', 'smc', 'vi'],
@@ -669,9 +674,57 @@ def run_vi_cli(args, setup):
     _report(traces, setup)
 
 
+def run_analyze(args):
+    """Interactive analysis menu over a saved trace store — the
+    reference's post-sampling menus (Bayes_Run.py:540-702: summary
+    statistics, Gelman–Rubin written to diagnostics/, trace plots), minus
+    'continue sampling' which is the ``--resume`` flag.  Needs no forward
+    model: everything reads the stored arrays."""
+    import json
+    import os
+
+    path = (args.analyze if args.analyze.endswith('.npz')
+            else args.analyze + '.npz')
+    with np.load(path) as npz:
+        traces = npz['traces']
+    meta = {}
+    meta_path = path[:-4] + '.meta.json'
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+    print('{}: {} chain(s) x {} samples x {} columns'.format(
+        path, traces.shape[0], traces.shape[1], traces.shape[2]))
+    if meta:
+        print('meta: {}'.format(json.dumps(meta)))
+    menu = ('[s] posterior summary + R-hat/ESS   [p] diagnostic plots '
+            '(./diagnostics/)   [r] resume hint   [q] quit')
+    while True:
+        print(menu)
+        try:
+            ans = input('> ').strip().lower()
+        except EOFError:
+            break
+        if ans in ('q', 'quit', ''):
+            break
+        if ans == 's':
+            _report(traces, None)
+        elif ans == 'p':
+            from ..viz.bayes_plot import main as bayes_plot_main
+            bayes_plot_main([path])
+        elif ans == 'r':
+            print('continue this run with:\n  python -m '
+                  'parasitoids_tpu.bayes.run --resume {} <iterations>'
+                  .format(path[:-4]))
+        else:
+            print('unrecognized option {!r}'.format(ans))
+
+
 def main(argv=None):
     args = parser.parse_args(argv)
     enable_compilation_cache()
+
+    if args.analyze is not None:
+        return run_analyze(args)
 
     print('devices: {}'.format(jax.devices()))
     setup = build_setup(args.overrides, need_grad=args.sampler == 'nuts')

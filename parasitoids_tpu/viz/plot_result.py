@@ -194,7 +194,7 @@ def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     if not argv:
         print('usage: python -m parasitoids_tpu.viz.plot_result '
-              '<saved_run> [all|vid|<day>]')
+              '<saved_run> [all|vid|menu|<day>]')
         return
     path = argv[0]
     mode = argv[1] if len(argv) > 1 else 'all'
@@ -202,20 +202,39 @@ def main(argv=None):
     params.file_read_chg(path)
     dom_len = int(params.domain_info[1]) * 2 + 1
     fields, days = load_run(path, dom_len)
-    if mode == 'all':
-        plot_all(fields, days, params)
-    elif mode == 'vid':
-        create_animation(fields, days, params)
-    else:
-        day = int(mode)
-        if day not in days:
-            print('day {} not in this run; available days: {}'.format(
-                day, list(days)))
-            return
-        idx = days.index(day)
-        out = plot(fields[idx], day, params,
-                   outfile='{}_day{}.png'.format(path, day))
-        print('wrote', out)
+    def run_mode(mode):
+        if mode == 'all':
+            plot_all(fields, days, params)
+        elif mode == 'vid':
+            create_animation(fields, days, params)
+        else:
+            day = int(mode)
+            if day not in days:
+                print('day {} not in this run; available days: {}'.format(
+                    day, list(days)))
+                return
+            idx = days.index(day)
+            out = plot(fields[idx], day, params,
+                       outfile='{}_day{}.png'.format(path, day))
+            print('wrote', out)
+
+    if mode != 'menu':
+        run_mode(mode)
+        return
+    # interactive loader (ref Plot_Result.py:491-595): prompt for days
+    # until quit
+    print('days in this run: {}'.format(list(days)))
+    while True:
+        try:
+            ans = input('day number, "all", "vid", or "q" to quit: ').strip()
+        except EOFError:
+            break
+        if ans in ('q', 'quit', ''):
+            break
+        try:
+            run_mode(ans)
+        except ValueError:
+            print('unrecognized input {!r}'.format(ans))
 
 
 if __name__ == '__main__':

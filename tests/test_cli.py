@@ -70,3 +70,52 @@ def test_cli_pop_model_end_to_end(tmp_path):
     totals = dense.sum(axis=(1, 2))
     assert np.all(totals <= p.r_number * 1.01)
     assert totals[0] > 0.5 * p.r_number
+
+
+def test_analyze_menu(tmp_path, monkeypatch, capsys):
+    """--analyze drives the reference-style post-sampling menu
+    (Bayes_Run.py:540-702) from a saved store, no forward model needed."""
+    from parasitoids_tpu.bayes.priors import (MODEL_PARAM_NAMES,
+                                              OBS_PARAM_NAMES)
+    from parasitoids_tpu.bayes import run as bayes_run
+
+    n_sent = 4
+    dim = len(MODEL_PARAM_NAMES) + len(OBS_PARAM_NAMES) + n_sent + 1
+    rng = np.random.default_rng(0)
+    db = str(tmp_path / 'an_store')
+    np.savez(db, traces=rng.normal(size=(2, 50, dim)))
+    with open(db + '.meta.json', 'w') as fh:
+        json.dump({'sampler': 'am'}, fh)
+
+    answers = iter(['s', 'r', 'x', 'q'])
+    monkeypatch.setattr('builtins.input', lambda *_: next(answers))
+    monkeypatch.chdir(tmp_path)          # diagnostics/ lands in tmp
+    bayes_run.main(['--analyze', db])
+    out = capsys.readouterr().out
+    assert '2 chain(s) x 50 samples' in out
+    assert 'posterior means' in out
+    assert 'Gelman-Rubin' in out
+    assert '--resume' in out
+    assert 'unrecognized option' in out
+    assert (tmp_path / 'diagnostics' / 'gelman-rubin.txt').exists()
+
+
+def test_plot_result_menu(tmp_path, monkeypatch, capsys):
+    """The interactive loader (ref Plot_Result.py:491-595): prompts for
+    day numbers until quit."""
+    import shutil
+
+    from parasitoids_tpu.viz import plot_result
+
+    src = os.path.join('tests', 'golden', 'kalbar_prob_tiny')
+    run = str(tmp_path / 'menurun')
+    shutil.copy(src + '.npz', run + '.npz')
+    shutil.copy(src + '.json', run + '.json')
+
+    answers = iter(['not-a-day', '13', 'q'])
+    monkeypatch.setattr('builtins.input', lambda *_: next(answers))
+    plot_result.main([run, 'menu'])
+    out = capsys.readouterr().out
+    assert 'days in this run' in out
+    assert 'unrecognized input' in out
+    assert os.path.exists(run + '_day13.png')
