@@ -8,13 +8,15 @@ is to actually refit without the group and score it directly:
 
     elpd_g = log E_{theta ~ p(theta | y_{-g})} [ p(y_g | theta) ]
 
-Each fold's refit target is ``BayesSetup.with_held_out`` (the masked
-likelihood; priors and forward model untouched), sampled with adaptive
-tempered SMC (bayes/smc.py) — the right tool here because every fold is an
-independent prior-to-posterior anneal with device-sharded particles and no
-warmup tuning to hand-hold.  The held-out density is then a weighted
-average over the final particle population, whose cached forward
-projections make the extra evaluation free of any new simulation.
+Each fold's refit target is the masked likelihood
+(``BayesSetup.split_point_mask`` passed as ``run_smc``'s traced
+``obs_mask`` operand, so every fold shares ONE compiled program; priors
+and forward model untouched), sampled with adaptive tempered SMC
+(bayes/smc.py) — the right tool here because every fold is an independent
+prior-to-posterior anneal with device-sharded particles and no warmup
+tuning to hand-hold.  The held-out density is then a weighted average
+over the final particle population, whose cached forward projections make
+the extra evaluation free of any new simulation.
 
 The reference has no cross-validation machinery of any kind.
 
@@ -71,7 +73,6 @@ def exact_logo_cv(setup: BayesSetup, by='block', folds=None, seed=0,
     """
     from jax import random
 
-    from .loo import group_loglik  # noqa: F401  (re-export convenience)
     from .smc import SMCConfig, run_smc
 
     gids, labels = point_groups(setup, by=by)
@@ -89,13 +90,17 @@ def exact_logo_cv(setup: BayesSetup, by='block', folds=None, seed=0,
            'elpd': [], 'logz': []}
     for i, g in enumerate(folds):
         keep = gids != g
-        held = setup.with_held_out(keep)
+        # traced mask on the SHARED setup: every fold reuses one compiled
+        # SMC program (a with_held_out copy per fold would recompile the
+        # whole forward model each time — minutes per fold at full scale)
+        mask = setup.split_point_mask(keep)
         if verbose:
             print('fold {}/{}: hold out {} ({} obs)...'.format(
                 i + 1, len(folds), labels[g], int((~keep).sum())),
                 flush=True)
-        payload = run_smc(held, random.PRNGKey(seed + 1000 * g), cfg,
-                          mesh=mesh, seed=seed + g, verbose=verbose)
+        payload = run_smc(setup, random.PRNGKey(seed + 1000 * g), cfg,
+                          mesh=mesh, seed=seed + g, verbose=verbose,
+                          obs_mask=mask)
         elpd_g, _ = held_out_elpd(setup, payload, np.where(~keep)[0])
         out['elpd'].append(elpd_g)
         out['logz'].append(float(payload['logz']))
@@ -112,8 +117,8 @@ def main(argv=None):
 
     import jax
 
-    from ..config import Params
     from ..utils.cache import enable_compilation_cache
+    from .run import build_setup
     from .smc import SMCConfig
 
     ap = argparse.ArgumentParser(
@@ -130,18 +135,7 @@ def main(argv=None):
                     help='key=value Params overrides matching the run')
     args = ap.parse_args(argv)
     enable_compilation_cache()
-
-    params = Params()
-    params.cmd_line_chg(['--kalbar'])
-    params.PLOT = False
-    params.OUTPUT = False
-    params.PROB_MODEL = False
-    params.domain_info = (10000.0, 400)
-    for ov in args.overrides:
-        if '=' in ov:
-            k, _, v = ov.partition('=')
-            params.chg_param(k, v)
-    setup = BayesSetup(params)
+    setup = build_setup(args.overrides)
 
     mesh = None
     n_dev = len(jax.devices())

@@ -69,8 +69,16 @@ def pointwise_matrix(setup: BayesSetup, traces, n_draws=400, seed=0,
         traces = traces[None]
     flat = traces.reshape(-1, traces.shape[-1])
     rng = np.random.default_rng(seed)
-    take = rng.choice(flat.shape[0], size=min(n_draws, flat.shape[0]),
-                      replace=False)
+    size = min(n_draws, flat.shape[0])
+    if mesh is not None:
+        # the sharded ensemble splits the draw axis evenly over devices;
+        # round down to a multiple (or drop the mesh for tiny subsamples)
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        if size < n_dev:
+            mesh = None
+        else:
+            size -= size % n_dev
+    take = rng.choice(flat.shape[0], size=size, replace=False)
     draws = flat[take]
 
     n_m = len(MODEL_PARAM_NAMES)
@@ -254,12 +262,19 @@ def plot_loo(l, labels, outfile, worst=12):
     elpd = np.asarray(l['elpd_pointwise'], np.float64)
     fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(12, 4.2))
 
-    finite = np.where(np.isfinite(khat), khat, np.nanmax(
-        np.where(np.isfinite(khat), khat, np.nan)) if np.isfinite(
-            khat).any() else 1.0)
-    order = np.argsort(finite)
-    ax1.plot(np.arange(khat.shape[0]), finite[order], '.', ms=4,
-             color='#31688e')
+    # infinite khat (PSIS tail fit failed -> unreliable) must plot ABOVE
+    # the threshold so the figure agrees with the n_bad_khat count
+    fin = khat[np.isfinite(khat)]
+    cap = max(1.0, (fin.max() if fin.size else 0.0) + 0.1, _KHAT_WARN + 0.3)
+    shown = np.where(np.isfinite(khat), khat, cap)
+    order = np.argsort(shown)
+    is_inf = ~np.isfinite(khat[order])
+    xs = np.arange(khat.shape[0])
+    ax1.plot(xs[~is_inf], shown[order][~is_inf], '.', ms=4, color='#31688e')
+    if is_inf.any():
+        ax1.plot(xs[is_inf], shown[order][is_inf], 'x', ms=4,
+                 color='#b40426', label='tail fit failed (khat = inf)')
+        ax1.legend(loc='upper left', fontsize=8)
     ax1.axhline(_KHAT_WARN, color='#b40426', lw=1, ls='--')
     ax1.text(0.02, _KHAT_WARN, ' khat = {}'.format(_KHAT_WARN),
              color='#b40426', va='bottom', transform=ax1.get_yaxis_transform())
@@ -285,13 +300,12 @@ def plot_loo(l, labels, outfile, worst=12):
     return outfile
 
 
-def report(w, l, labels=None, worst=5):
+def report(w, l, labels=None, worst=5, unit='points'):
     """Formatted summary of a waic() + psis_loo() pair."""
     lines = [
         'WAIC:     elpd {:.2f} +/- {:.2f}   p_waic {:.2f}   '
-        '({} points with p_i > {})'.format(
-            w['elpd_waic'], w['se'], w['p_waic'], w['n_high_p'],
-            _P_WAIC_WARN),
+        '({} {} with high p_i)'.format(
+            w['elpd_waic'], w['se'], w['p_waic'], w['n_high_p'], unit),
         'PSIS-LOO: elpd {:.2f} +/- {:.2f}   p_loo  {:.2f}   '
         'khat max {:.2f}   ({} points with khat > {})'.format(
             l['elpd_loo'], l['se'], l['p_loo'], l['khat_max'],
@@ -316,8 +330,8 @@ def main(argv=None):
 
     import jax
 
-    from ..config import Params
     from ..utils.cache import enable_compilation_cache
+    from .run import build_setup
 
     ap = argparse.ArgumentParser(
         prog='parasitoids_tpu.bayes.loo',
@@ -336,18 +350,7 @@ def main(argv=None):
                     help='key=value Params overrides matching the run')
     args = ap.parse_args(argv)
     enable_compilation_cache()
-
-    params = Params()
-    params.cmd_line_chg(['--kalbar'])
-    params.PLOT = False
-    params.OUTPUT = False
-    params.PROB_MODEL = False
-    params.domain_info = (10000.0, 400)
-    for ov in args.overrides:
-        if '=' in ov:
-            k, _, v = ov.partition('=')
-            params.chg_param(k, v)
-    setup = BayesSetup(params)
+    setup = build_setup(args.overrides)
 
     mesh = None
     if len(jax.devices()) > 1:
@@ -359,16 +362,23 @@ def main(argv=None):
         traces = npz['traces']
     ll, rows = pointwise_matrix(setup, traces, n_draws=args.draws,
                                 seed=args.seed, mesh=mesh)
+    unit = 'points'
     if args.group == 'point':
         labels = point_labels(setup)
+        w = waic(ll)
     else:
         gids, labels = point_groups(setup, by=args.group)
         ll = group_loglik(ll, gids)
         print('leave-one-{}-out over {} groups'.format(args.group,
                                                        len(labels)))
-    w = waic(ll)
+        w = waic(ll)
+        # the 0.4 penalty threshold is per OBSERVATION; a group's penalty
+        # is ~the sum of its members', so scale by group size
+        sizes = np.bincount(gids, minlength=len(labels)).astype(np.float64)
+        w['n_high_p'] = int((w['p_pointwise'] > _P_WAIC_WARN * sizes).sum())
+        unit = 'groups (size-scaled threshold)'
     l = psis_loo(ll)
-    print(report(w, l, labels=labels))
+    print(report(w, l, labels=labels, unit=unit))
     print('wrote', plot_loo(l, labels, path[:-4] + '_loo.png'))
 
     out = path[:-4] + '_loo.json'

@@ -171,7 +171,7 @@ def map_fit_multistart(setup: BayesSetup, n_starts=8, seed=0, n_steps=300,
     o0 = jnp.asarray(initial_obs_params(
         [setup.locinfo.field_sizes[k] for k in setup.locinfo.sent_ids],
         setup.cell_res ** 2), jnp.float32)
-    k_m, k_o = random.split(random.PRNGKey(seed))
+    k_m, k_o, k_s = random.split(random.PRNGKey(seed), 3)
     ms = jnp.concatenate([
         m0[None], jax.vmap(sample_prior_model)(
             random.split(k_m, n_starts - 1))]) if n_starts > 1 else m0[None]
@@ -180,7 +180,13 @@ def map_fit_multistart(setup: BayesSetup, n_starts=8, seed=0, n_steps=300,
             k, setup.field_areas, setup.min_field_area))(
                 random.split(k_o, n_starts - 1))]) if n_starts > 1 \
         else o0[None]
-    sprds = jnp.full((n_starts,), 0.3, jnp.float32)
+    # sprd_factor is Uniform(0,1) (Bayes_MAP.py:200-205) — draw it like
+    # every other coordinate so the starts are over-dispersed in that
+    # dimension too; start 0 keeps the deterministic 0.3
+    sprds = jnp.concatenate([
+        jnp.full((1,), 0.3, jnp.float32),
+        random.uniform(k_s, (n_starts - 1,), jnp.float32, 0.02, 0.98)]) \
+        if n_starts > 1 else jnp.full((1,), 0.3, jnp.float32)
     z0s = jax.vmap(unconstrain)(ms, os_, sprds)        # (N, dim)
 
     opt = optax.adam(learning_rate)

@@ -172,18 +172,14 @@ class BayesSetup:
         new.obs_grid = grid
         return new
 
-    def with_held_out(self, keep_flat):
-        """Shallow copy whose ``log_likelihood`` only scores the
-        observations where ``keep_flat`` is True — the refit target for
-        exact leave-one-group-out cross-validation (bayes/cv.py).
-
-        ``keep_flat`` is a boolean vector over the pointwise columns in
-        ``pointwise_loglik`` order (release blocks row-major, sentinel
-        blocks, grid).  The prior and forward model are untouched; only
-        the masked Poisson terms drop out (data, projections and
-        ``pointwise_loglik`` itself stay complete, so held-out terms can
-        still be evaluated on the refit posterior)."""
-        import copy
+    def split_point_mask(self, keep_flat):
+        """Reshape a flat boolean vector over the pointwise columns (in
+        ``pointwise_loglik`` order: release blocks row-major, sentinel
+        blocks, grid) into the ``(rel, sent, grid)`` 0/1-weight structure
+        ``log_likelihood`` consumes.  The result is ordinary device data —
+        pass it as the traced ``obs_mask`` argument (one compiled program
+        serves every mask value, the property bayes/cv.py's per-fold
+        refits rely on) or bake it in via ``with_held_out``."""
         keep_flat = np.asarray(keep_flat, bool)
         dtype = self.obs_grid.dtype
         masks_rel, masks_sent = [], []
@@ -205,8 +201,23 @@ class BayesSetup:
         if pos != keep_flat.shape[0]:
             raise ValueError('keep_flat has {} entries; expected {}'.format(
                 keep_flat.shape[0], pos))
+        return (tuple(masks_rel), tuple(masks_sent), mask_grid)
+
+    def with_held_out(self, keep_flat):
+        """Shallow copy whose ``log_likelihood`` only scores the
+        observations where ``keep_flat`` is True — the refit target for
+        exact leave-one-group-out cross-validation (bayes/cv.py).
+
+        The prior and forward model are untouched; only the masked
+        Poisson terms drop out (data, projections and ``pointwise_loglik``
+        itself stay complete, so held-out terms can still be evaluated on
+        the refit posterior).  NOTE: the copy is a new static jit key and
+        its masks compile in as constants — fine for one-off use; loops
+        over many masks should pass ``split_point_mask(...)`` as the
+        traced ``obs_mask`` argument instead (one compile total)."""
+        import copy
         new = copy.copy(self)
-        new.obs_mask = (tuple(masks_rel), tuple(masks_sent), mask_grid)
+        new.obs_mask = self.split_point_mask(keep_flat)
         return new
 
     def with_forward_mesh(self, mesh):
@@ -294,12 +305,15 @@ class BayesSetup:
 
     # ------------------------------------------------------------------
     @partial(jax.jit, static_argnums=(0,))
-    def log_likelihood(self, projections, o: ObsParams):
+    def log_likelihood(self, projections, o: ObsParams, obs_mask=None):
         """Thinned-Poisson observation likelihood (Bayes_Run.py:344-433).
-        When ``obs_mask`` is set (``with_held_out``), masked observations
-        contribute nothing."""
+        Masked observations contribute nothing: ``obs_mask`` is a traced
+        ``(rel, sent, grid)`` 0/1-weight structure (``split_point_mask``),
+        falling back to the baked-in ``self.obs_mask`` (``with_held_out``)
+        when omitted."""
         rel, sent, grid = projections
-        m_rel, m_sent, m_grid = (self.obs_mask if self.obs_mask is not None
+        mask = obs_mask if obs_mask is not None else self.obs_mask
+        m_rel, m_sent, m_grid = (mask if mask is not None
                                  else (None, None, None))
         lp = 0.0
         for k, (model, data, effort) in enumerate(

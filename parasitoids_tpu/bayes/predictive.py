@@ -259,8 +259,8 @@ def main(argv=None):
 
     import jax
 
-    from ..config import Params
     from ..utils.cache import enable_compilation_cache
+    from .run import build_setup
 
     ap = argparse.ArgumentParser(prog='parasitoids_tpu.bayes.predictive')
     ap.add_argument('trace', nargs='?', default=None,
@@ -280,18 +280,7 @@ def main(argv=None):
         args.overrides = [args.trace] + args.overrides
         args.trace = None
     enable_compilation_cache()
-
-    params = Params()
-    params.cmd_line_chg(['--kalbar'])
-    params.PLOT = False
-    params.OUTPUT = False
-    params.PROB_MODEL = False
-    params.domain_info = (10000.0, 400)
-    for ov in args.overrides:
-        if '=' in ov:
-            k, _, v = ov.partition('=')
-            params.chg_param(k, v)
-    setup = BayesSetup(params)
+    setup = build_setup(args.overrides)
 
     mesh = None
     if len(jax.devices()) > 1:

@@ -85,8 +85,11 @@ def _as_obs(vec, n_sent) -> ObsParams:
     return ObsParams(vec[0], vec[1], vec[2], vec[3], vec[4:4 + n_sent])
 
 
-def init_chain_state(setup: BayesSetup, key, m0=None, o0=None):
-    """Evaluate the model at the initial point and build the chain state."""
+def init_chain_state(setup: BayesSetup, key, m0=None, o0=None,
+                     obs_mask=None):
+    """Evaluate the model at the initial point and build the chain state.
+    ``obs_mask``: optional traced likelihood mask (model.py
+    ``split_point_mask``) — the cross-validation refit path."""
     if m0 is None:
         m0 = initial_model_params()
     if o0 is None:
@@ -99,7 +102,7 @@ def init_chain_state(setup: BayesSetup, key, m0=None, o0=None):
     m = _as_model(m0)
     o = _as_obs(o0, setup.n_sent)
     proj = setup.forward_projections(m)
-    loglik = setup.log_likelihood(proj, o)
+    loglik = setup.log_likelihood(proj, o, obs_mask)
     return ChainState(
         m=m0, o=o0, loglik=loglik,
         prior_m=log_prior_model(m),
@@ -125,7 +128,7 @@ def _proposal_chol(state, adapt_start):
 
 
 def _mcmc_step(setup: BayesSetup, state: ChainState, cfg: MCMCConfig,
-               beta=1.0):
+               beta=1.0, obs_mask=None):
     """One AM transition targeting ``prior + beta * loglik``.
 
     ``beta`` is the inverse temperature: 1.0 is the posterior (the only
@@ -133,6 +136,8 @@ def _mcmc_step(setup: BayesSetup, state: ChainState, cfg: MCMCConfig,
     tempers the *likelihood only* (priors stay exact, so every tempered
     chain still lives on the prior support) — used by the replica-exchange
     sampler in ``tempering.py``.  ``state.loglik`` stays untempered.
+    ``obs_mask``: optional traced likelihood mask (cross-validation
+    refits) — must match the mask the chain state was initialized with.
     """
     n_sent = setup.n_sent
     beta = jnp.asarray(beta, jnp.float32)
@@ -149,7 +154,7 @@ def _mcmc_step(setup: BayesSetup, state: ChainState, cfg: MCMCConfig,
 
     def eval_prop(_):
         proj = setup.forward_projections(m_prop)
-        ll = setup.log_likelihood(proj, _as_obs(state.o, n_sent))
+        ll = setup.log_likelihood(proj, _as_obs(state.o, n_sent), obs_mask)
         return ll, proj
 
     def skip(_):
@@ -195,7 +200,7 @@ def _mcmc_step(setup: BayesSetup, state: ChainState, cfg: MCMCConfig,
 
         ll_p = lax.cond(
             jnp.isfinite(prior_p),
-            lambda _: setup.log_likelihood(proj_new, o_p),
+            lambda _: setup.log_likelihood(proj_new, o_p, obs_mask),
             lambda _: jnp.asarray(-jnp.inf, ll_cur.dtype), operand=None)
         ratio = (prior_p + beta * ll_p) - (prior_o + beta * ll_cur)
         acc = jnp.log(random.uniform(k2)) < ratio

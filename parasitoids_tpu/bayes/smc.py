@@ -146,52 +146,56 @@ def _particle_axis_put(states, mesh):
 @lru_cache(maxsize=None)
 def _init_prog(setup, mesh):
     """Evaluate the forward model at every prior particle — the expensive
-    half of initialization — as one program."""
-    def one(args):
+    half of initialization — as one program.  ``obs_mask`` is a traced
+    operand (replicated): every cross-validation fold reuses one compiled
+    program (model.py ``split_point_mask``)."""
+    def one(args, obs_mask):
         m0, o0, key = args
-        return init_chain_state(setup, key, m0=m0, o0=o0)
+        return init_chain_state(setup, key, m0=m0, o0=o0,
+                                obs_mask=obs_mask)
 
-    def stacked(m0s, o0s, keys):
-        return lax.map(one, (m0s, o0s, keys))
+    def stacked(m0s, o0s, keys, obs_mask):
+        return lax.map(lambda a: one(a, obs_mask), (m0s, o0s, keys))
 
     if mesh is None:
         return jax.jit(stacked)
     from jax import shard_map
     axis = mesh.axis_names[0]
     return jax.jit(shard_map(stacked, mesh=mesh,
-                             in_specs=(P(axis), P(axis), P(axis)),
+                             in_specs=(P(axis), P(axis), P(axis), P()),
                              out_specs=P(axis), check_vma=False))
 
 
 @lru_cache(maxsize=None)
 def _move_prog(setup, n_moves, obs_scale, mesh):
     """``n_moves`` AM transitions at inverse temperature ``beta`` on every
-    particle; ``beta`` is a traced operand so every stage reuses one
-    compiled program."""
+    particle; ``beta`` and ``obs_mask`` are traced operands so every stage
+    (and every cross-validation fold) reuses one compiled program."""
     mcfg = MCMCConfig(n_samples=n_moves, adapt_start=_ADAPT_START,
                       obs_scale=obs_scale)
 
-    def particle_fn(s, beta):
+    def particle_fn(s, beta, obs_mask):
         def step(st, _):
-            st, _ = mcmc_step(setup, st, mcfg, beta=beta)
+            st, _ = mcmc_step(setup, st, mcfg, beta=beta,
+                              obs_mask=obs_mask)
             return st, None
 
         s, _ = lax.scan(step, s, None, length=n_moves)
         return s
 
-    def stacked(states, beta):
-        return lax.map(lambda s: particle_fn(s, beta), states)
+    def stacked(states, beta, obs_mask):
+        return lax.map(lambda s: particle_fn(s, beta, obs_mask), states)
 
     if mesh is None:
         return jax.jit(stacked)
     from jax import shard_map
     axis = mesh.axis_names[0]
     return jax.jit(shard_map(stacked, mesh=mesh,
-                             in_specs=(P(axis), P()),
+                             in_specs=(P(axis), P(), P()),
                              out_specs=P(axis), check_vma=False))
 
 
-def init_smc_particles(setup: BayesSetup, key, n, mesh=None):
+def init_smc_particles(setup: BayesSetup, key, n, mesh=None, obs_mask=None):
     """``n`` particles drawn from the exact joint prior, with the forward
     model evaluated at each (stacked ChainState)."""
     k_m, k_o, k_c = random.split(key, 3)
@@ -202,7 +206,7 @@ def init_smc_particles(setup: BayesSetup, key, n, mesh=None):
     if mesh is not None:
         sh = NamedSharding(mesh, P(mesh.axis_names[0]))
         m0s, o0s, keys = (jax.device_put(x, sh) for x in (m0s, o0s, keys))
-    return _init_prog(setup, mesh)(m0s, o0s, keys)
+    return _init_prog(setup, mesh)(m0s, o0s, keys, obs_mask)
 
 
 def _retune(states, mu, cov, log_scale):
@@ -234,14 +238,17 @@ def _population_cov(m, logw):
 
 
 def run_smc(setup: BayesSetup, key, cfg: SMCConfig, mesh=None, seed=0,
-            verbose=False, checkpoint=None, resume=None):
+            verbose=False, checkpoint=None, resume=None, obs_mask=None):
     """Anneal a prior particle population to the posterior.
 
     ``seed`` drives the host-side resampling stream (stage-keyed, so a
     checkpointed run resumed mid-anneal is bitwise-identical to a
     monolithic one).  ``checkpoint(payload)``, if given, is called after
     every stage with the complete annealer state; ``resume`` is such a
-    payload to continue from (``key`` is then unused).
+    payload to continue from (``key`` is then unused).  ``obs_mask``
+    (model.py ``split_point_mask``) targets a masked likelihood as a
+    traced operand — bayes/cv.py's refit folds all share one compiled
+    program this way.
 
     Returns a payload dict:
 
@@ -270,7 +277,7 @@ def run_smc(setup: BayesSetup, key, cfg: SMCConfig, mesh=None, seed=0,
         hist = {k: list(np.atleast_1d(v))
                 for k, v in resume['history'].items()}
     else:
-        states = init_smc_particles(setup, key, N, mesh)
+        states = init_smc_particles(setup, key, N, mesh, obs_mask=obs_mask)
         logw = np.zeros(N)
         beta = 0.0
         logz = 0.0
@@ -317,7 +324,8 @@ def run_smc(setup: BayesSetup, key, cfg: SMCConfig, mesh=None, seed=0,
         acc0 = float(np.asarray(states.accepts_m, np.float64).sum())
         rounds = 0
         while rounds < max(1, cfg.max_move_rounds):
-            states = jax.block_until_ready(move(states, jnp.float32(beta)))
+            states = jax.block_until_ready(
+                move(states, jnp.float32(beta), obs_mask))
             rounds += 1
             per_particle = (float(np.asarray(
                 states.accepts_m, np.float64).sum()) - acc0) / N

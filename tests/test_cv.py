@@ -69,6 +69,23 @@ def test_masked_likelihood_matches_pointwise_subset(setup, point):
         setup.with_held_out(keep[:-3])
 
 
+def test_traced_mask_equals_baked_mask(setup, point):
+    """log_likelihood(proj, o, mask) — the traced operand every CV fold
+    shares one compiled program through — must equal the with_held_out
+    baked-constant path."""
+    from parasitoids_tpu.bayes.loo import point_groups
+
+    m, o = point
+    proj = setup.forward_projections(m)
+    gids, _ = point_groups(setup, by='block')
+    for g in (0, int(gids.max())):
+        keep = gids != g
+        mask = setup.split_point_mask(keep)
+        lp_traced = float(setup.log_likelihood(proj, o, mask))
+        lp_baked = float(setup.with_held_out(keep).log_likelihood(proj, o))
+        np.testing.assert_allclose(lp_traced, lp_baked, rtol=1e-6)
+
+
 def test_masked_log_posterior_prior_unchanged(setup, point):
     """Masking only removes likelihood terms: the posterior difference
     between full and held-out setups equals the masked pointwise sum."""
@@ -88,12 +105,13 @@ def test_exact_logo_cv_runs(setup):
     from parasitoids_tpu.bayes.cv import exact_logo_cv
     from parasitoids_tpu.bayes.smc import SMCConfig
 
-    res = exact_logo_cv(setup, by='block', folds=[0],
+    # two folds through ONE compiled SMC program (traced mask operand)
+    res = exact_logo_cv(setup, by='block', folds=[0, 1],
                         smc_config=SMCConfig(n_particles=16, n_moves=2,
                                              max_stages=6),
                         seed=0)
-    assert len(res['elpd']) == 1
-    assert np.isfinite(res['elpd'][0])
-    assert np.isfinite(res['logz'][0])
+    assert len(res['elpd']) == 2
+    assert np.isfinite(res['elpd']).all()
+    assert np.isfinite(res['logz']).all()
     assert res['labels'][0].startswith('release')
-    assert res['elpd_total'] == pytest.approx(res['elpd'][0])
+    assert res['elpd_total'] == pytest.approx(float(np.sum(res['elpd'])))
