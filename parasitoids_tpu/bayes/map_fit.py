@@ -30,8 +30,8 @@ from .priors import (MODEL_PARAM_NAMES, OBS_PARAM_NAMES,
 from .sampler import _as_model, _as_obs, _N_MODEL
 from .transforms import MODEL_TRANSFORMS, Unit, obs_transforms
 
-__all__ = ['map_fit', 'map_fit_multistart', 'laplace_approximation',
-           'map_report']
+__all__ = ['map_fit', 'map_fit_multistart', 'lbfgs_polish',
+           'laplace_approximation', 'map_report']
 
 _N_PERIODS_FIXED = 30.0
 
@@ -138,6 +138,60 @@ def map_fit(setup: BayesSetup, n_steps=300, learning_rate=0.02,
         'logp': logp,
         'AIC': 2 * n_params - 2 * logp,    # ref Bayes_MAP.py:494-517
         'losses': np.asarray(losses),
+        'use_sprd': use_sprd,
+    }
+
+
+def lbfgs_polish(setup: BayesSetup, z, n_steps=30, use_sprd=None,
+                 chunk_steps=10):
+    """Quasi-Newton refinement of a MAP point: L-BFGS with zoom linesearch
+    (optax) from an Adam solution ``z``.  Adam's constant-step endgame
+    wanders around the mode; the curvature-aware polish drives the
+    gradient toward machine zero, which sharpens the Laplace covariance
+    and the AIC (both second-order quantities around the mode).  Returns a
+    ``map_fit``-shaped dict."""
+    if use_sprd is None:
+        use_sprd = setup.params.dataset == 'kalbar'
+    neg_logpost, constrain, _ = _make_objective(setup, use_sprd)
+    opt = optax.lbfgs()
+    value_and_grad = optax.value_and_grad_from_state(neg_logpost)
+
+    @partial(jax.jit, static_argnames='length')
+    def run_chunk(z, opt_state, length):
+        def step(carry, _):
+            z, opt_state = carry
+            value, grad = value_and_grad(z, state=opt_state)
+            grad = jnp.where(jnp.isfinite(grad), grad, 0.0)
+            updates, opt_state = opt.update(
+                grad, opt_state, z, value=value, grad=grad,
+                value_fn=neg_logpost)
+            return (optax.apply_updates(z, updates), opt_state), value
+
+        (z, opt_state), vals = lax.scan(step, (z, opt_state), None,
+                                        length=length)
+        return z, opt_state, vals
+
+    z = jnp.asarray(z, jnp.float32)
+    opt_state = opt.init(z)
+    losses = []
+    done = 0
+    while done < n_steps:
+        length = min(chunk_steps, n_steps - done)
+        z, opt_state, vals = jax.block_until_ready(
+            run_chunk(z, opt_state, length))   # block: tunnel queue safety
+        losses.append(np.asarray(vals))
+        done += length
+    m_vec, o_vec, sprd = jax.jit(constrain)(z)
+    logp = float(jax.jit(lambda zz: -neg_logpost(zz))(z))
+    n_params = _N_MODEL - 1 + len(o_vec) + (1 if use_sprd else 0)
+    return {
+        'z': np.asarray(z),
+        'model': np.asarray(m_vec),
+        'obs': np.asarray(o_vec),
+        'sprd_factor': float(sprd) if use_sprd else None,
+        'logp': logp,
+        'AIC': 2 * n_params - 2 * logp,
+        'losses': np.concatenate(losses) if losses else np.zeros(0),
         'use_sprd': use_sprd,
     }
 
@@ -332,6 +386,9 @@ def main(argv=None):
                              'over-dispersed (prior-drawn) starting points '
                              'sharded over the device mesh; best mode wins')
     parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--polish', type=int, default=0, metavar='N',
+                        help='L-BFGS refinement steps after the Adam fit '
+                             '(sharper mode for --norm/AIC)')
     parser.add_argument('overrides', nargs='*')
     args = parser.parse_args(argv)
     enable_compilation_cache()
@@ -370,6 +427,12 @@ def main(argv=None):
             np.array2string(fit['start_logps'], precision=1)))
     else:
         fit = map_fit(setup, n_steps=args.steps)
+    if args.polish:
+        pre = fit['logp']
+        fit = lbfgs_polish(setup, fit['z'], n_steps=args.polish,
+                           use_sprd=fit['use_sprd'])
+        print('L-BFGS polish: logp {:.4f} -> {:.4f} ({} steps)'.format(
+            pre, fit['logp'], args.polish))
     print('optimization: {:.1f} s for {} steps '
           '({:.2f} sec./model eval incl. gradient)'.format(
               time.time() - tic, args.steps, (time.time() - tic) /

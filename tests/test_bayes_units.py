@@ -214,3 +214,40 @@ def test_map_multistart_beats_or_matches_single(tmp_path):
     assert multi_sh['best_start'] == multi_1d['best_start']
     np.testing.assert_allclose(multi_sh['start_logps'],
                                multi_1d['start_logps'], rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_lbfgs_polish_improves_mode():
+    """The L-BFGS polish must not lose log-posterior relative to its Adam
+    starting point, and should shrink the gradient norm."""
+    import jax
+    import jax.numpy as jnp
+
+    from parasitoids_tpu.bayes.map_fit import (_make_objective, lbfgs_polish,
+                                               map_fit)
+    from parasitoids_tpu.bayes.model import BayesSetup
+    from parasitoids_tpu.config import Params
+
+    p = Params()
+    p.cmd_line_chg(['--kalbar'])
+    p.PLOT = False
+    p.OUTPUT = False
+    p.PROB_MODEL = False
+    p.ndays = 3
+    p.domain_info = (10000.0, 50)
+    p.interp_num = 2
+    p.kernel_rad = 6
+    p.kernel_rad_local = 3
+    p.quad_nodes = 8
+    setup = BayesSetup(p)
+
+    fit = map_fit(setup, n_steps=40, use_sprd=False)
+    polished = lbfgs_polish(setup, fit['z'], n_steps=15, use_sprd=False)
+    assert polished['logp'] >= fit['logp'] - 1e-3
+
+    neg, _, _ = _make_objective(setup, False)
+    g0 = np.linalg.norm(np.asarray(
+        jax.grad(neg)(jnp.asarray(fit['z'], jnp.float32))))
+    g1 = np.linalg.norm(np.asarray(
+        jax.grad(neg)(jnp.asarray(polished['z'], jnp.float32))))
+    assert g1 <= g0 * 1.05
