@@ -18,8 +18,11 @@ constrained-space posterior) and holds the discrete ``n_periods`` fixed, as
 the reference's MAP does (Bayes_MAP.py:144-147).
 
 Warmup: dual-averaging step-size adaptation (target accept 0.8) and a
-diagonal mass matrix estimated by Welford accumulation over the middle
-warmup window — the standard Stan-style schedule, simplified to one window.
+mass matrix estimated by Welford accumulation over the middle warmup
+window — the standard Stan-style schedule, simplified to one window.
+The metric is diagonal by default; ``NUTSConfig(dense_mass=True)``
+estimates the full covariance (Stan shrinkage) instead — worthwhile for
+this posterior's correlated sig_x/sig_y block.
 """
 
 from __future__ import annotations
@@ -41,6 +44,12 @@ class NUTSConfig(NamedTuple):
     max_depth: int = 6
     target_accept: float = 0.8
     init_step_size: float = 0.1
+    # estimate a DENSE mass matrix (full warmup-window covariance with
+    # Stan's shrinkage) instead of the diagonal one — pays off when the
+    # posterior has strong correlations (the parasitoid posterior's
+    # sig_x/sig_y pair sits at rho ~ 0.6); all metric operations are
+    # O(d^2) with d = 26, negligible next to one forward-model gradient
+    dense_mass: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -77,14 +86,32 @@ def _popcount(n):
     return c
 
 
+def _mv(inv_mass, p):
+    """Inverse-metric velocity ``M^-1 p`` — diagonal (d,) or dense (d,d);
+    the ndim branch is static under jit."""
+    if inv_mass.ndim == 2:
+        return inv_mass @ p
+    return inv_mass * p
+
+
+def _sample_momentum(inv_mass, key, dim, dtype):
+    """p ~ N(0, M).  Dense: with C = M^-1 = L Lᵀ (Cholesky), L^-T xi has
+    covariance (L Lᵀ)^-1 = M."""
+    xi = random.normal(key, (dim,), dtype)
+    if inv_mass.ndim == 2:
+        L = jnp.linalg.cholesky(inv_mass)
+        return jax.scipy.linalg.solve_triangular(L.T, xi, lower=False)
+    return xi / jnp.sqrt(inv_mass)
+
+
 def _is_turning(inv_mass, p_start, p_end, dz):
-    """Hoffman–Gelman U-turn criterion with a diagonal metric."""
-    return ((jnp.dot(inv_mass * p_start, dz) <= 0) |
-            (jnp.dot(inv_mass * p_end, dz) <= 0))
+    """Hoffman–Gelman U-turn criterion in the metric's geometry."""
+    return ((jnp.dot(_mv(inv_mass, p_start), dz) <= 0) |
+            (jnp.dot(_mv(inv_mass, p_end), dz) <= 0))
 
 
 def _kinetic(inv_mass, p):
-    return 0.5 * jnp.sum(inv_mass * p * p)
+    return 0.5 * jnp.dot(p, _mv(inv_mass, p))
 
 
 def _build_subtree(lpg, inv_mass, step, depth, z0, p0, grad0, energy0, key,
@@ -118,7 +145,7 @@ def _build_subtree(lpg, inv_mass, step, depth, z0, p0, grad0, energy0, key,
 
         # leapfrog
         p_half = p + 0.5 * step * grad
-        z = z + step * inv_mass * p_half
+        z = z + step * _mv(inv_mass, p_half)
         lp, grad = lpg(z)
         p = p_half + 0.5 * step * grad
 
@@ -207,7 +234,7 @@ def _nuts_step(lpg, inv_mass, step_size, max_depth, z, lp, grad, key):
     dim = z.shape[0]
     dtype = z.dtype
     key, k_mom = random.split(key)
-    p0 = random.normal(k_mom, (dim,), dtype) / jnp.sqrt(inv_mass)
+    p0 = _sample_momentum(inv_mass, k_mom, dim, dtype)
     energy0 = -lp + _kinetic(inv_mass, p0)
 
     init = _StepCarry(
@@ -287,12 +314,12 @@ def _find_reasonable_eps(lpg, z, lp, grad, inv_mass, key, eps0,
     then spends most of a short warmup walking there."""
     dtype = z.dtype
     key, kp = random.split(key)
-    p = random.normal(kp, z.shape, dtype) / jnp.sqrt(inv_mass)
+    p = _sample_momentum(inv_mass, kp, z.shape[0], dtype)
     H0 = -lp + _kinetic(inv_mass, p)
 
     def accept_ratio(eps):
         p_half = p + 0.5 * eps * grad
-        z1 = z + eps * inv_mass * p_half
+        z1 = z + eps * _mv(inv_mass, p_half)
         lp1, g1 = lpg(z1)
         p1 = p_half + 0.5 * eps * g1
         H1 = -lp1 + _kinetic(inv_mass, p1)
@@ -321,15 +348,20 @@ def _warmup_init(lpg, z0, key, config: NUTSConfig):
     dtype = z0.dtype
     dim = z0.shape[0]
     lp0, grad0 = lpg(z0)
-    eps0, key = _find_reasonable_eps(lpg, z0, lp0, grad0,
-                                     jnp.ones(dim, dtype), key,
+    if config.dense_mass:
+        inv_mass0 = jnp.eye(dim, dtype=dtype)
+        wf_m2_0 = jnp.zeros((dim, dim), dtype)
+    else:
+        inv_mass0 = jnp.ones(dim, dtype)
+        wf_m2_0 = jnp.zeros(dim, dtype)
+    eps0, key = _find_reasonable_eps(lpg, z0, lp0, grad0, inv_mass0, key,
                                      config.init_step_size)
     key, kw = random.split(key)
     leps = jnp.log(eps0)
     return (z0, lp0, grad0, kw, leps, leps,
-            jnp.asarray(0.0, dtype), jnp.ones(dim, dtype),
+            jnp.asarray(0.0, dtype), inv_mass0,
             jnp.asarray(0.0, dtype), jnp.zeros(dim, dtype),
-            jnp.zeros(dim, dtype),
+            wf_m2_0,
             jnp.log(10.0) + leps,            # dual-averaging anchor mu
             jnp.int32(0))                    # adaptation-clock start
 
@@ -356,21 +388,34 @@ def _warm_step(lpg, config: NUTSConfig, carry, i):
     eta = t ** (-kappa)
     log_eps_bar = eta * log_eps + (1 - eta) * log_eps_bar
 
-    # Welford over the middle window
+    # Welford over the middle window (vector mean; m2 is a vector of
+    # variances or the full scatter matrix per config.dense_mass)
     in_win = jnp.where((i >= w1) & (i < w2), 1.0, 0.0).astype(dtype)
     wf_n2 = wf_n + in_win
     delta = z - wf_mean
     wf_mean = wf_mean + in_win * delta / jnp.maximum(wf_n2, 1.0)
-    wf_m2 = wf_m2 + in_win * delta * (z - wf_mean)
-    # at window close, switch to the estimated diagonal metric and RESTART
+    if config.dense_mass:
+        wf_m2 = wf_m2 + in_win * jnp.outer(delta, z - wf_mean)
+    else:
+        wf_m2 = wf_m2 + in_win * delta * (z - wf_mean)
+    # at window close, switch to the estimated metric and RESTART
     # step-size adaptation around the current step size (Stan does the
     # same after every metric update: the old h_bar history and anchor
     # describe the old metric, and the averaged eps would otherwise be
     # dominated by pre-switch iterates)
     close = (i == w2 - 1) & (wf_n2 > 2)
-    var = wf_m2 / jnp.maximum(wf_n2 - 1.0, 1.0)
-    var = jnp.where(var > 1e-10, var, 1.0)
-    inv_mass = jnp.where(close, var, inv_mass)
+    if config.dense_mass:
+        n = jnp.maximum(wf_n2, 1.0)
+        cov = wf_m2 / jnp.maximum(wf_n2 - 1.0, 1.0)
+        # Stan's shrinkage toward a scaled identity keeps the estimate
+        # well-conditioned from a short window
+        shrunk = (n / (n + 5.0)) * cov + \
+            1e-3 * (5.0 / (n + 5.0)) * jnp.eye(z.shape[0], dtype=dtype)
+        inv_mass = jnp.where(close, shrunk, inv_mass)
+    else:
+        var = wf_m2 / jnp.maximum(wf_n2 - 1.0, 1.0)
+        var = jnp.where(var > 1e-10, var, 1.0)
+        inv_mass = jnp.where(close, var, inv_mass)
     h_bar = jnp.where(close, 0.0, h_bar)
     mu = jnp.where(close, jnp.log(10.0) + log_eps, mu)
     log_eps_bar = jnp.where(close, log_eps, log_eps_bar)
@@ -535,7 +580,8 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
     # at most ``checkpoint_every`` transitions.
     cfg_sig = np.asarray([config.num_warmup, config.num_samples,
                           config.max_depth, np.asarray(z0s).shape[0],
-                          np.asarray(z0s).shape[1]])
+                          np.asarray(z0s).shape[1],
+                          int(bool(config.dense_mass))])
     samples, logps, astats, divs = [], [], [], []
     start_w, start_d = 0, 0
     carries = state = None

@@ -101,6 +101,11 @@ parser.add_argument('--max-stages', type=int, default=200,
                     help='SMC: hard cap on anneal stages')
 parser.add_argument('--max-depth', type=int, default=6,
                     help='NUTS maximum tree depth')
+parser.add_argument('--dense-mass', action='store_true',
+                    help='NUTS: estimate a dense (full-covariance) mass '
+                         'matrix during warmup instead of the diagonal '
+                         'one — better geometry for the correlated '
+                         'sig_x/sig_y block')
 parser.add_argument('--vi-mc', type=int, default=4,
                     help='VI: Monte-Carlo draws per ELBO gradient step')
 parser.add_argument('--vi-lr', type=float, default=0.02,
@@ -234,9 +239,12 @@ def run_nuts(args, setup):
             raise SystemExit('no NUTS checkpoint at {!r} (a completed run '
                              'deletes it; rerun with --new)'.format(ckpt))
         with np.load(ckpt) as d:
-            nw, ns, md, nch, _dim = (int(v) for v in d['cfg_sig'])
+            sig = [int(v) for v in d['cfg_sig']]
+        nw, ns, md, nch, _dim = sig[:5]
+        dense = bool(sig[5]) if len(sig) > 5 else False
         n_samples = ns
-        cfg = NUTSConfig(num_warmup=nw, num_samples=ns, max_depth=md)
+        cfg = NUTSConfig(num_warmup=nw, num_samples=ns, max_depth=md,
+                         dense_mass=dense)
         args.chains = nch
         logpdf, constrain, z0 = make_transformed_logpdf(setup)
     else:
@@ -245,7 +253,8 @@ def run_nuts(args, setup):
         logpdf, constrain, z0 = make_transformed_logpdf(setup)
         z0 = _nuts_init_point(args, setup, z0)
         cfg = NUTSConfig(num_warmup=max(burn, 10), num_samples=n_samples,
-                         max_depth=args.max_depth)
+                         max_depth=args.max_depth,
+                         dense_mass=args.dense_mass)
     keys = random.split(random.PRNGKey(args.seed), args.chains)
     # small per-chain jitter in z-space so chains are distinguishable
     z0s = (jnp.broadcast_to(z0, (args.chains,) + z0.shape) +
