@@ -8,6 +8,8 @@ outputs round-trip (ref Run.py:523-531 driver + Run.py:490-516 save path).
 import json
 import os
 import subprocess
+
+import pytest
 import sys
 
 import numpy as np
@@ -119,3 +121,51 @@ def test_plot_result_menu(tmp_path, monkeypatch, capsys):
     assert 'days in this run' in out
     assert 'unrecognized input' in out
     assert os.path.exists(run + '_day13.png')
+
+
+@pytest.mark.slow
+def test_summary_report(tmp_path, monkeypatch):
+    """bayes.summary builds the one-command markdown report end to end."""
+    import jax.numpy as jnp
+
+    from parasitoids_tpu.bayes.model import BayesSetup
+    from parasitoids_tpu.bayes.priors import (initial_model_params,
+                                              initial_obs_params)
+    from parasitoids_tpu.bayes.summary import build_report
+    from parasitoids_tpu.config import Params
+
+    p = Params()
+    p.cmd_line_chg(['--kalbar'])
+    p.PLOT = False
+    p.OUTPUT = False
+    p.PROB_MODEL = False
+    p.ndays = 3
+    p.domain_info = (10000.0, 50)
+    p.interp_num = 2
+    p.kernel_rad = 6
+    p.kernel_rad_local = 3
+    p.quad_nodes = 8
+    setup = BayesSetup(p)
+
+    m0 = np.asarray(initial_model_params(), np.float32)
+    o0 = np.asarray(initial_obs_params(
+        [setup.locinfo.field_sizes[k] for k in setup.locinfo.sent_ids],
+        setup.cell_res ** 2), np.float32)
+    rng = np.random.default_rng(0)
+    rows = [np.concatenate([
+        m0 * (1 + 0.01 * rng.normal(size=m0.shape)).astype(np.float32),
+        o0, [0.0]]) for _ in range(8)]
+    traces = np.stack(rows)[None].astype(np.float64)
+
+    base = str(tmp_path / 'rep_trace')
+    np.savez(base, traces=traces)
+    monkeypatch.chdir(tmp_path)      # ./diagnostics lands in tmp
+    out = build_report(setup, traces, base + '.npz', draws=4, group='block')
+    text = open(out).read()
+    for section in ('## Posterior', '## Convergence',
+                    '## Posterior-predictive p-values',
+                    '## Predictive assessment'):
+        assert section in text, section
+    assert os.path.exists(base + '_predictive.png')
+    assert os.path.exists(base + '_loo.png')
+    assert (tmp_path / 'diagnostics').exists()
