@@ -48,21 +48,32 @@ def _param_names(setup):
 
 
 def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
-            thin=5, seed=0, verbose=False):
-    """SBC rank statistics for the AM sampler.
+            thin=5, seed=0, verbose=False, sampler='am', max_depth=6):
+    """SBC rank statistics for a sampler (``'am'`` or ``'nuts'``).
 
     Returns ``{'ranks': (R, dim) int array, 'L': draws per replicate,
     'names': parameter names, 'truths': (R, dim)}``.  Chains are
     initialized at the replicate's own truth — SBC permits any
     initialization, and starting in the typical set keeps the required
     burn-in honest for short validation chains.
+
+    ``sampler='nuts'`` validates the gradient path: the NUTS target holds
+    the discrete ``n_periods`` fixed at 30 (like the reference's MAP), so
+    the replicate truths are drawn from the prior CONDITIONED on
+    ``n_periods = 30`` and the ranks test that conditional posterior —
+    a coherent SBC of exactly the model NUTS samples.
     """
     import jax
+    import jax.numpy as jnp
     from jax import random
 
     from .predictive import simulate_observations
     from .priors import sample_prior_model, sample_prior_obs
     from .sampler import MCMCConfig, init_chain_state, run_mcmc
+
+    if sampler == 'nuts':
+        from .map_fit import _make_objective
+        from .nuts import NUTSConfig, make_transformed_logpdf
 
     dim = 15 + 4 + setup.n_sent
     ranks = np.zeros((n_replicates, dim), np.int64)
@@ -72,15 +83,36 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
     for r in range(n_replicates):
         k_r = random.fold_in(key, r)
         k_m, k_o, k_chain = random.split(k_r, 3)
-        m_star = np.asarray(sample_prior_model(k_m))
+        m_star = np.array(sample_prior_model(k_m))   # writable host copy
+        if sampler == 'nuts':
+            m_star[13] = 30.0           # condition on the NUTS target
         o_star = np.asarray(sample_prior_obs(k_o, setup.field_areas,
                                              setup.min_field_area))
         rng = np.random.default_rng([seed, r])
         y = simulate_observations(setup, m_star, o_star, rng)
         setup_r = setup.with_observations(y)
-        state = init_chain_state(setup_r, k_chain, m0=m_star, o0=o_star)
-        _, trace = jax.block_until_ready(run_mcmc(setup_r, state, cfg))
-        draws = np.asarray(trace)[burn:burn + n_samples:thin, :dim]
+        if sampler == 'nuts':
+            logpdf, constrain, _ = make_transformed_logpdf(setup_r)
+            _, _, unconstrain = _make_objective(setup_r, False)
+            z_true = unconstrain(jnp.asarray(m_star, jnp.float32),
+                                 jnp.asarray(o_star, jnp.float32),
+                                 jnp.float32(0.3))
+            from .nuts import nuts_sample
+            out = jax.block_until_ready(nuts_sample(
+                logpdf, z_true, k_chain,
+                NUTSConfig(num_warmup=burn, num_samples=n_samples,
+                           max_depth=max_depth)))
+            theta = jax.vmap(
+                lambda zz: jnp.concatenate(constrain(zz)[:2]))(
+                    out['samples'])
+            draws = np.asarray(theta)[::thin][:L]
+            state_loglik = float(out['logp'][-1])
+        else:
+            state = init_chain_state(setup_r, k_chain, m0=m_star,
+                                     o0=o_star)
+            _, trace = jax.block_until_ready(run_mcmc(setup_r, state, cfg))
+            draws = np.asarray(trace)[burn:burn + n_samples:thin, :dim]
+            state_loglik = float(state.loglik)
         truth = np.concatenate([m_star, o_star])
         truths[r] = truth
         # rank with randomized tie-breaking (exact for the discrete
@@ -91,7 +123,7 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
         if verbose:
             print('  SBC replicate {}/{}: loglik* {:.1f}, ranks '
                   '[{} .. {}] of {}'.format(
-                      r + 1, n_replicates, float(state.loglik),
+                      r + 1, n_replicates, state_loglik,
                       ranks[r].min(), ranks[r].max(), L), flush=True)
     return {'ranks': ranks, 'L': L, 'names': _param_names(setup),
             'truths': truths}
@@ -171,6 +203,11 @@ def main(argv=None):
     ap.add_argument('--burn', type=int, default=200)
     ap.add_argument('--thin', type=int, default=5)
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--sampler', choices=['am', 'nuts'], default='am',
+                    help='which sampler to calibrate; nuts validates the '
+                         'gradient path against the prior conditioned on '
+                         'n_periods = 30 (the NUTS target)')
+    ap.add_argument('--max-depth', type=int, default=6)
     ap.add_argument('-o', '--outname', default='sbc')
     ap.add_argument('overrides', nargs='*')
     args = ap.parse_args(argv)
@@ -193,7 +230,8 @@ def main(argv=None):
     tic = time.time()
     out = run_sbc(setup, args.replicates, random.PRNGKey(args.seed),
                   n_samples=args.samples, burn=args.burn, thin=args.thin,
-                  seed=args.seed, verbose=True)
+                  seed=args.seed, verbose=True, sampler=args.sampler,
+                  max_depth=args.max_depth)
     print('SBC finished: {:.1f} s'.format(time.time() - tic))
     pvals = sbc_uniformity(out['ranks'], out['L'])
     for n, p in zip(out['names'], pvals):

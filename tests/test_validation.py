@@ -206,6 +206,21 @@ def test_sbc_mechanics(setup, tmp_path):
     assert os.path.getsize(p) > 0
 
 
+@pytest.mark.slow
+def test_sbc_nuts_mechanics(setup):
+    """NUTS-mode SBC: truths conditioned on n_periods=30, ranks over the
+    constrained draws from the gradient sampler."""
+    from parasitoids_tpu.bayes.sbc import run_sbc
+
+    out = run_sbc(setup, 2, random.PRNGKey(1), n_samples=16, burn=8,
+                  thin=2, seed=5, sampler='nuts', max_depth=4)
+    dim = 15 + 4 + setup.n_sent
+    assert out['ranks'].shape == (2, dim)
+    assert (out['ranks'] >= 0).all() and (out['ranks'] <= out['L']).all()
+    # truths carry the conditioning
+    assert (out['truths'][:, 13] == 30.0).all()
+
+
 def test_sbc_uniformity_statistic():
     from parasitoids_tpu.bayes.sbc import sbc_uniformity
     rng = np.random.default_rng(0)
