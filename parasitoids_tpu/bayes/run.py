@@ -705,8 +705,14 @@ def run_analyze(args):
         path, traces.shape[0], traces.shape[1], traces.shape[2]))
     if meta:
         print('meta: {}'.format(json.dumps(meta)))
+    from .store import load_extras
+    extras = load_extras(path)
+    has_ev = (('betas' in extras and 'loglik' in extras)
+              or 'logz_path' in extras)
     menu = ('[s] posterior summary + R-hat/ESS   [p] diagnostic plots '
-            '(./diagnostics/)   [r] resume hint   [q] quit')
+            '(./diagnostics/)   '
+            + ('[e] log-evidence   ' if has_ev else '')
+            + '[r] resume hint   [q] quit')
     while True:
         print(menu)
         try:
@@ -720,6 +726,27 @@ def run_analyze(args):
         elif ans == 'p':
             from ..viz.bayes_plot import main as bayes_plot_main
             bayes_plot_main([path])
+        elif ans == 'e' and has_ev:
+            if extras.get('loglik') is not None \
+                    and extras['loglik'].ndim == 2:   # PT store: (T, steps)
+                from .tempering import log_evidence
+                ev = log_evidence(extras['betas'], extras['loglik'],
+                                  burn=int(meta.get('burn', 0)))
+                print('log Z (thermodynamic integration): {:.2f}'.format(
+                    ev['ti']))
+                print('log Z (stepping-stone):            {:.2f}'.format(
+                    ev['ss']))
+                if not ev.get('complete', True):
+                    print('  (ladder does not reach beta=0: values are '
+                          'relative to the hottest rung)')
+                if not ev.get('equilibrated', True):
+                    print('  WARNING: TI integrand not monotone — ladder '
+                          'may not be equilibrated')
+            elif 'logz_path' in extras:        # SMC store
+                print('log Z (SMC): {:.2f}'.format(
+                    float(np.asarray(extras['logz_path'])[-1])))
+            else:
+                print('no evidence data in this store')
         elif ans == 'r':
             print('continue this run with:\n  python -m '
                   'parasitoids_tpu.bayes.run --resume {} <iterations>'
