@@ -157,3 +157,20 @@ def test_forward_mesh_bayes_integration():
     lp_a = float(setup.log_posterior(m, o))
     lp_b = float(sharded.log_posterior(m, o))
     assert np.isfinite(lp_a) and np.isfinite(lp_b)
+
+
+def test_sharded_pallas_interpret_matches(fsetup):
+    """The minute-sharded builder must run the Pallas accumulate per shard
+    (interpret mode off-TPU) and agree with the single-device Pallas path."""
+    p = _small_params()
+    hp, Dp, Dlp, mu_r, n_per = _theta(p)
+    kcfg = fsetup.kcfg._replace(pallas=True, interpret=True)
+    mesh = minute_mesh(n_devices=4)
+
+    ref, _ = build_all_kernels(
+        fsetup.wind_flat, fsetup.wind_cumsum, hp, Dp, Dlp, mu_r, n_per,
+        fsetup.rad_dist, fsetup.start_idx, kcfg, fsetup.ndays)
+    got, _ = build_all_kernels_sharded(
+        mesh, fsetup.wind_flat, fsetup.wind_cumsum, hp, Dp, Dlp, mu_r,
+        n_per, fsetup.rad_dist, fsetup.start_idx, kcfg, fsetup.ndays)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
