@@ -427,16 +427,18 @@ def main(argv=None):
             np.array2string(fit['start_logps'], precision=1)))
     else:
         fit = map_fit(setup, n_steps=args.steps)
-    if args.polish:
-        pre = fit['logp']
-        fit = lbfgs_polish(setup, fit['z'], n_steps=args.polish,
-                           use_sprd=fit['use_sprd'])
-        print('L-BFGS polish: logp {:.4f} -> {:.4f} ({} steps)'.format(
-            pre, fit['logp'], args.polish))
+    adam_dt = time.time() - tic
     print('optimization: {:.1f} s for {} steps '
           '({:.2f} sec./model eval incl. gradient)'.format(
-              time.time() - tic, args.steps, (time.time() - tic) /
-              args.steps))
+              adam_dt, args.steps, adam_dt / args.steps))
+    if args.polish:
+        pre = fit['logp']
+        tic = time.time()
+        fit = lbfgs_polish(setup, fit['z'], n_steps=args.polish,
+                           use_sprd=fit['use_sprd'])
+        print('L-BFGS polish: logp {:.4f} -> {:.4f} ({} steps, {:.1f} s; '
+              'each step may take several linesearch evals)'.format(
+                  pre, fit['logp'], args.polish, time.time() - tic))
     lap = None
     if args.norm:
         tic = time.time()

@@ -590,11 +590,18 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
             raise FileNotFoundError(
                 'no NUTS checkpoint at {!r}'.format(checkpoint_path))
         with np.load(checkpoint_path, allow_pickle=False) as d:
-            if not np.array_equal(d['cfg_sig'], cfg_sig):
+            old_sig = d['cfg_sig']
+            # pre-dense-mass checkpoints carry a 5-field signature; they
+            # are valid continuations of a diagonal-metric run
+            compat = (old_sig.shape[0] == 5
+                      and not config.dense_mass
+                      and np.array_equal(old_sig, cfg_sig[:5]))
+            if not (np.array_equal(old_sig, cfg_sig) or compat):
                 raise ValueError(
                     'checkpoint config {} does not match requested {} '
-                    '(num_warmup num_samples max_depth chains dim)'.format(
-                        d['cfg_sig'].tolist(), cfg_sig.tolist()))
+                    '(num_warmup num_samples max_depth chains dim '
+                    'dense_mass)'.format(
+                        old_sig.tolist(), cfg_sig.tolist()))
             phase = str(d['phase'])
             if phase == 'warmup':
                 start_w = int(d['i'])

@@ -730,12 +730,21 @@ def run_analyze(args):
             if extras.get('loglik') is not None \
                     and extras['loglik'].ndim == 2:   # PT store: (T, steps)
                 from .tempering import log_evidence
+                n_steps = extras['loglik'].shape[1]
+                # a store checkpointed mid-burn-in has fewer steps than
+                # meta['burn']; clamp like the PT CLI reporting path does
+                burn = min(int(meta.get('burn', 0)), n_steps - 1)
                 ev = log_evidence(extras['betas'], extras['loglik'],
-                                  burn=int(meta.get('burn', 0)))
+                                  burn=max(burn, 0))
+                post = n_steps - max(burn, 0)
                 print('log Z (thermodynamic integration): {:.2f}'.format(
                     ev['ti']))
                 print('log Z (stepping-stone):            {:.2f}'.format(
                     ev['ss']))
+                if post < int(meta.get('n_samples', 0)):
+                    print('  ({} post-burn draws so far — run '
+                          'interrupted; estimates are preliminary)'
+                          .format(post))
                 if not ev.get('complete', True):
                     print('  (ladder does not reach beta=0: values are '
                           'relative to the hottest rung)')
@@ -743,8 +752,12 @@ def run_analyze(args):
                     print('  WARNING: TI integrand not monotone — ladder '
                           'may not be equilibrated')
             elif 'logz_path' in extras:        # SMC store
-                print('log Z (SMC): {:.2f}'.format(
-                    float(np.asarray(extras['logz_path'])[-1])))
+                beta = float(meta.get('beta', 1.0))
+                print('log Z (SMC): {:.2f}{}'.format(
+                    float(np.asarray(extras['logz_path'])[-1]),
+                    '' if beta >= 1.0 else
+                    '  (PARTIAL: anneal stopped at beta = {:.3f})'
+                    .format(beta)))
             else:
                 print('no evidence data in this store')
         elif ans == 'r':

@@ -106,13 +106,13 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
                 lambda zz: jnp.concatenate(constrain(zz)[:2]))(
                     out['samples'])
             draws = np.asarray(theta)[::thin][:L]
-            state_loglik = float(out['logp'][-1])
+            metric = 'logp[-1] {:.1f}'.format(float(out['logp'][-1]))
         else:
             state = init_chain_state(setup_r, k_chain, m0=m_star,
                                      o0=o_star)
             _, trace = jax.block_until_ready(run_mcmc(setup_r, state, cfg))
             draws = np.asarray(trace)[burn:burn + n_samples:thin, :dim]
-            state_loglik = float(state.loglik)
+            metric = 'loglik* {:.1f}'.format(float(state.loglik))
         truth = np.concatenate([m_star, o_star])
         truths[r] = truth
         # rank with randomized tie-breaking (exact for the discrete
@@ -121,9 +121,9 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
         ties = (draws == truth).sum(axis=0)
         ranks[r] = less + rng.integers(0, ties + 1)
         if verbose:
-            print('  SBC replicate {}/{}: loglik* {:.1f}, ranks '
+            print('  SBC replicate {}/{}: {}, ranks '
                   '[{} .. {}] of {}'.format(
-                      r + 1, n_replicates, state_loglik,
+                      r + 1, n_replicates, metric,
                       ranks[r].min(), ranks[r].max(), L), flush=True)
     return {'ranks': ranks, 'L': L, 'names': _param_names(setup),
             'truths': truths}

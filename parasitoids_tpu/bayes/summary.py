@@ -60,8 +60,10 @@ def _diagnostics_section(traces, names):
     else:
         out.append('Gelman–Rubin: single chain (run `--chains 2+` for '
                    'R-hat).')
-    ess = [effective_sample_size(flat[:, i]) for i in (0, 1, 8)]
-    out.append('Pooled ESS (g_aw, g_bw, sig_x): '
+    ess_names = ('g_aw', 'sig_x', 'sig_y')
+    ess = [effective_sample_size(flat[:, names.index(n)])
+           for n in ess_names]
+    out.append('Pooled ESS ({}): '.format(', '.join(ess_names))
                + ', '.join('{:.0f}'.format(e) for e in ess))
     gw = np.atleast_2d(geweke(flat[:, 0]))
     if gw.size:
@@ -84,6 +86,11 @@ def build_report(setup, traces, path, draws=100, seed=0, mesh=None,
     from .predictive import (plot_predictive, posterior_predictive,
                              predictive_pvalues, pvalue_report)
 
+    traces = np.asarray(traces)
+    if traces.ndim != 3 or traces.shape[1] == 0:
+        raise SystemExit(
+            'trace store has no posterior draws yet (shape {}) — an '
+            'interrupted run? resume it first'.format(traces.shape))
     base = path[:-4] if path.endswith('.npz') else path
     meta = {}
     if os.path.exists(base + '.meta.json'):
@@ -108,8 +115,8 @@ def build_report(setup, traces, path, draws=100, seed=0, mesh=None,
             '- {} trace/Geweke figures in `./diagnostics/`'.format(
                 len(written))]
 
-    pred = posterior_predictive(setup, traces, n_draws=min(draws, 50),
-                                seed=seed, mesh=mesh)
+    pred = posterior_predictive(setup, traces, n_draws=draws, seed=seed,
+                                mesh=mesh)
     pv = predictive_pvalues(setup, pred)
     ppath = plot_predictive(setup, pred, base + '_predictive.png')
     sec.append('- predictive overlays: `{}`'.format(ppath))
