@@ -346,6 +346,9 @@ def main(argv=None):
                          'sampling occasion (block x date), or whole '
                          'channels (leave-one-group-out)')
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--compare', metavar='trace2',
+                    help='second trace over the SAME data: paired elpd '
+                         'difference (positive favors the first trace)')
     ap.add_argument('overrides', nargs='*',
                     help='key=value Params overrides matching the run')
     args = ap.parse_args(argv)
@@ -380,6 +383,28 @@ def main(argv=None):
     l = psis_loo(ll)
     print(report(w, l, labels=labels, unit=unit))
     print('wrote', plot_loo(l, labels, path[:-4] + '_loo.png'))
+
+    if args.compare:
+        path2 = (args.compare if args.compare.endswith('.npz')
+                 else args.compare + '.npz')
+        with np.load(path2) as npz:
+            traces2 = npz['traces']
+        ll2, _ = pointwise_matrix(setup, traces2, n_draws=args.draws,
+                                  seed=args.seed, mesh=mesh)
+        if args.group != 'point':
+            ll2 = group_loglik(ll2, gids)
+        l2 = psis_loo(ll2)
+        cmp_ = loo_compare(l, l2)
+        print('paired comparison vs {}:'.format(path2))
+        print('  elpd: {:.2f} vs {:.2f}'.format(l['elpd_loo'],
+                                                l2['elpd_loo']))
+        print('  elpd difference: {:+.2f} +/- {:.2f}  ({})'.format(
+            cmp_['elpd_diff'], cmp_['se_diff'],
+            'first trace predicts better'
+            if cmp_['elpd_diff'] > 2 * cmp_['se_diff'] else
+            'second trace predicts better'
+            if cmp_['elpd_diff'] < -2 * cmp_['se_diff'] else
+            'no clear preference at 2 SE'))
 
     out = path[:-4] + '_loo.json'
     payload = {
