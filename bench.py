@@ -132,7 +132,12 @@ def main():
         dt, ndays = res
     else:
         # run (slowly) on host so the driver still gets an honest,
-        # clearly-labeled number instead of a hang
+        # clearly-labeled number instead of a hang.  Set the ENV VAR, not
+        # just jax.config: measure() -> enable_compilation_cache ->
+        # pin_platform_from_env re-applies JAX_PLATFORMS, which in the
+        # driver shell says 'axon' — a config-only override would route
+        # the "fallback" straight back onto the wedged tunnel
+        os.environ['JAX_PLATFORMS'] = 'cpu'
         import jax
         jax.config.update('jax_platforms', 'cpu')
         dt, ndays = measure(5)
