@@ -33,7 +33,8 @@ import numpy as np
 from .model import BayesSetup
 from .priors import MODEL_PARAM_NAMES, OBS_PARAM_NAMES
 
-__all__ = ['prior_sds', 'identifiability', 'identify_report', 'main']
+__all__ = ['prior_sds', 'identifiability', 'identify_report',
+           'plot_identifiability', 'main']
 
 _FIXED_MODEL_SLOTS = (13,)     # n_periods is held fixed in MAP (ref
                                # Bayes_MAP.py:144-147)
@@ -109,6 +110,55 @@ def identifiability(setup: BayesSetup, fit, lap, n_prior=4000, seed=0):
             'eig_sd': np.sqrt(np.clip(evals, 0, None)),
             'n_nonpsd': int(np.sum(evals < 0)),
             'eig_vec': evecs, 'z_names': z_names}
+
+
+def plot_identifiability(info, outfile):
+    """Two-panel figure: the stiff→sloppy eigen-spectrum (log scale, the
+    Gutenkunst sloppy-model signature) and per-parameter prior→posterior
+    contraction bars (viz conventions of viz/bayes_plot.py)."""
+    import os
+
+    import matplotlib
+    if not os.environ.get('DISPLAY'):
+        matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(12, 4.6))
+
+    sd = np.asarray(info['eig_sd'], np.float64)
+    sd = np.where(sd > 0, sd, np.nan)
+    ax1.semilogy(np.arange(sd.shape[0]), sd, 'o-', ms=4, color='#31688e')
+    ax1.set_xlabel('direction (stiff → sloppy)')
+    ax1.set_ylabel('posterior sd along eigendirection')
+    title = 'sloppy-model spectrum'
+    if info.get('n_nonpsd'):
+        title += '  ({} non-PSD direction(s) clipped)'.format(
+            info['n_nonpsd'])
+    ax1.set_title(title)
+    ax1.grid(alpha=0.25)
+
+    c = np.asarray(info['contraction'], np.float64)
+    names = list(info['names'])
+    shown = [(n, v) for n, v, f in zip(names, c, info['fixed']) if not f]
+    ys = np.arange(len(shown))
+    vals = np.array([v for _, v in shown])
+    ax2.barh(ys, np.nan_to_num(vals), color='#31688e')
+    bad = ~np.isfinite(vals)
+    if bad.any():
+        ax2.barh(ys[bad], np.ones(bad.sum()) * 0.02, color='#b40426')
+    ax2.set_yticks(ys)
+    ax2.set_yticklabels([n for n, _ in shown], fontsize=7)
+    ax2.axvline(0.0, color='0.4', lw=0.8)
+    ax2.set_xlim(-0.1, 1.0)
+    ax2.set_xlabel('prior → posterior contraction (1 = fully determined)')
+    ax2.set_title('what the data constrained')
+    ax2.invert_yaxis()
+    ax2.grid(alpha=0.25, axis='x')
+
+    fig.tight_layout()
+    fig.savefig(outfile, dpi=130)
+    plt.close(fig)
+    return outfile
 
 
 def identify_report(info, corr_threshold=0.5, n_loadings=3, out=None):
@@ -200,6 +250,8 @@ def main(argv=None):
     print('Laplace Hessian: {:.1f} s'.format(time.time() - tic))
     info = identifiability(setup, fit, lap, n_prior=args.prior_draws)
     report = identify_report(info, out=args.outname)
+    png = args.outname.rsplit('.', 1)[0] + '.png'
+    print('wrote', plot_identifiability(info, png))
     print(report)
     print('written to', args.outname)
 

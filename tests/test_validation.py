@@ -186,6 +186,24 @@ def test_identifiability_tiny(setup, tmp_path):
     assert (tmp_path / 'ident.txt').exists()
 
 
+def test_plot_identifiability_synthetic(tmp_path):
+    """The figure writer works from a bare info dict (no MAP fit needed),
+    including the nan-contraction and non-PSD annotation paths."""
+    from parasitoids_tpu.bayes.identify import plot_identifiability
+
+    n = 6
+    info = {
+        'eig_sd': np.array([1e-3, 1e-2, 0.0, 0.5, 1.0]),
+        'contraction': np.array([0.9, 0.5, np.nan, 0.1, np.nan, 0.0]),
+        'names': ['p{}'.format(i) for i in range(n)],
+        'fixed': np.array([False, False, False, False, True, False]),
+        'n_nonpsd': 1,
+    }
+    out = str(tmp_path / 'ident.png')
+    assert plot_identifiability(info, out) == out
+    assert (tmp_path / 'ident.png').stat().st_size > 0
+
+
 @pytest.mark.slow
 def test_sbc_mechanics(setup, tmp_path):
     from parasitoids_tpu.bayes.sbc import plot_sbc, run_sbc, sbc_uniformity
