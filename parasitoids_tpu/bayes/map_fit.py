@@ -42,26 +42,40 @@ def _theta_split(setup):
     return n_sent, MODEL_TRANSFORMS, t_obs
 
 
-def _make_objective(setup: BayesSetup, use_sprd):
-    """Negative log posterior over the unconstrained vector z."""
+def _make_objective(setup: BayesSetup, use_sprd, free_n=False):
+    """Negative log posterior over the unconstrained vector z.
+
+    ``free_n=True`` returns two-argument callables ``constrain(z, n)`` /
+    ``neg_logpost(z, n)`` with the discrete ``n_periods`` slot supplied as
+    a traced operand instead of pinned at 30 — the target for
+    Gibbs-within-NUTS (bayes/nuts.py); ``n`` enters ``log_posterior``
+    through the model vector, so its Poisson(30) prior term (priors.py) is
+    included automatically."""
     n_sent, t_m, t_o = _theta_split(setup)
     n_obs = 4 + n_sent
     sprd_t = Unit()
 
-    def constrain(z):
+    def constrain(z, n_periods=jnp.asarray(_N_PERIODS_FIXED)):
         m_vec = jnp.stack([
-            t.inv(z[i]) if i != 13 else jnp.asarray(_N_PERIODS_FIXED)
+            t.inv(z[i]) if i != 13 else
+            jnp.asarray(n_periods, z.dtype)
             for i, t in enumerate(t_m)])
         o_vec = jnp.stack([t_o[j].inv(z[_N_MODEL + j])
                            for j in range(n_obs)])
         sprd = sprd_t.inv(z[-1]) if use_sprd else None
         return m_vec, o_vec, sprd
 
-    def neg_logpost(z):
-        m_vec, o_vec, sprd = constrain(z)
+    def _neg_logpost(z, n_periods):
+        m_vec, o_vec, sprd = constrain(z, n_periods)
         lp = setup.log_posterior(_as_model(m_vec), _as_obs(o_vec, n_sent),
                                  sprd)
         return -lp
+
+    if free_n:
+        neg_logpost = _neg_logpost
+    else:
+        def neg_logpost(z):
+            return _neg_logpost(z, jnp.asarray(_N_PERIODS_FIXED))
 
     def unconstrain(m_vec, o_vec, sprd):
         parts = [jnp.stack([t.fwd(m_vec[i]) if i != 13 else 0.0

@@ -14,8 +14,13 @@ Generic over the target: ``nuts_sample`` takes any ``logpdf(z)``.  For the
 parasitoid model use :func:`make_transformed_logpdf`, which maps the
 unconstrained vector through the parameter bijections *with* the log-Jacobian
 correction (unlike MAP, which by PyMC convention optimizes the
-constrained-space posterior) and holds the discrete ``n_periods`` fixed, as
-the reference's MAP does (Bayes_MAP.py:144-147).
+constrained-space posterior) and by default holds the discrete
+``n_periods`` fixed, as the reference's MAP does (Bayes_MAP.py:144-147).
+With ``free_n=True`` it instead returns the joint target ``logpdf(z, n)``
+for Gibbs-within-NUTS (``nuts_sample_stepwise(gibbs_n=...)``): NUTS moves
+the continuous block at fixed n, then a symmetric-walk Metropolis step
+moves n — the full parameter set of the reference's AdaptiveMetropolis
+(Bayes_Run.py:186-196) under a gradient sampler.
 
 Warmup: dual-averaging step-size adaptation (target accept 0.8) and a
 mass matrix estimated by Welford accumulation over the middle warmup
@@ -50,6 +55,9 @@ class NUTSConfig(NamedTuple):
     # sig_x/sig_y pair sits at rho ~ 0.6); all metric operations are
     # O(d^2) with d = 26, negligible next to one forward-model gradient
     dense_mass: bool = False
+    # Gibbs-within-NUTS discrete move (``gibbs_n=`` in the stepwise
+    # driver): the n_periods proposal is a symmetric +/-U{1..n_step} walk
+    n_step: int = 1
 
 
 # ---------------------------------------------------------------------------
@@ -497,6 +505,47 @@ def _draw_step_mapped(logpdf, config, state):
     return (carries, state[1], state[2]), outs
 
 
+def _gibbs_fixed_n(logpdf_n, n0, z):
+    """1-arg warmup view of a 2-arg Gibbs target at fixed n_periods."""
+    return logpdf_n(z, jnp.asarray(n0, z.dtype))
+
+
+@partial(jax.jit, static_argnames=('logpdf_n', 'config'))
+def _gibbs_draw_step_mapped(logpdf_n, config, state):
+    """One Gibbs sweep per chain over the augmented target
+    ``logpdf_n(z, n)``: a NUTS transition on the continuous block at fixed
+    n, then a Metropolis move on the discrete ``n_periods`` (symmetric
+    +/-U{1..n_step} proposal; the Poisson-prior support bound n >= 1 is
+    enforced by rejection).  The reference's AdaptiveMetropolis updates
+    n_periods inside its joint block (Bayes_Run.py:186-196); here the
+    discrete coordinate gets its own exact conditional move so the
+    gradient sampler needn't hold it fixed."""
+    def one(s):
+        (z, n, lp, grad, key), step_size, inv_mass = s
+
+        def lpg(zz):
+            return jax.value_and_grad(logpdf_n)(zz, n)
+
+        key, k_nuts, k_dir, k_mag, k_acc = random.split(key, 5)
+        z, lp, grad, astat, _, div = _nuts_step(
+            lpg, inv_mass, step_size, config.max_depth, z, lp, grad, k_nuts)
+        mag = random.randint(k_mag, (), 1, config.n_step + 1).astype(z.dtype)
+        n_new = n + jnp.where(random.bernoulli(k_dir), mag, -mag)
+        # evaluate at the clamped point so an out-of-support proposal never
+        # feeds n <= 0 into the forward model; the -inf reject handles it
+        lp_new, grad_new = jax.value_and_grad(logpdf_n)(
+            z, jnp.maximum(n_new, 1.0))
+        lp_new = jnp.where(n_new >= 1.0, lp_new, -jnp.inf)
+        acc = jnp.log(random.uniform(k_acc, dtype=lp.dtype)) < lp_new - lp
+        n = jnp.where(acc, n_new, n)
+        lp = jnp.where(acc, lp_new, lp)
+        grad = jnp.where(acc, grad_new, grad)
+        return (z, n, lp, grad, key), (z, n, lp, astat, div, acc)
+
+    carries, outs = lax.map(one, state)
+    return (carries, state[1], state[2]), outs
+
+
 def _ckpt_save(path, payload):
     """Atomic checkpoint write (tmp + rename)."""
     import os
@@ -509,7 +558,8 @@ def _ckpt_save(path, payload):
 
 def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
                          progress=None, checkpoint_path=None,
-                         checkpoint_every=25, resume=False, mesh=None):
+                         checkpoint_every=25, resume=False, mesh=None,
+                         gibbs_n=None, n0=30.0):
     """Host-dispatched NUTS over stacked chains (leading axis of
     ``z0s``/``keys``): same math as :func:`nuts_sample`, but each transition
     is its own bounded device program.  Long monolithic sampler programs can
@@ -537,10 +587,22 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
     tunnel worker).  The block costs one host round-trip (~tens of ms)
     against transitions that run for seconds, and makes the progress
     callback report real execution, not dispatch.
+
+    ``gibbs_n``: optional two-argument joint target ``logpdf_n(z, n)``
+    (:func:`make_transformed_logpdf` with ``free_n=True``) enabling
+    Gibbs-within-NUTS over the discrete ``n_periods``: warmup adapts at
+    fixed ``n0`` (must match ``logpdf``, or pass ``logpdf=None`` to derive
+    it), and each draw is one NUTS transition on z followed by a
+    Metropolis move on n.  Adds ``n_periods`` (chains, num_samples) and
+    ``n_accept_rate`` to the returned dict.
     """
     import os
 
     import numpy as np
+
+    gibbs = gibbs_n is not None
+    if gibbs and logpdf is None:
+        logpdf = partial(_gibbs_fixed_n, gibbs_n, float(n0))
 
     # canonicalize the static configs per step kind: the warmup transition
     # never reads num_samples and the draw transition reads only max_depth
@@ -558,7 +620,11 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
     if mesh is None:
         warm_init = lambda z, k: _warm_init_mapped(logpdf, warm_cfg, z, k)
         warm_step = lambda c, i: _warm_step_mapped(logpdf, warm_cfg, c, i)
-        draw_step = lambda s: _draw_step_mapped(logpdf, draw_cfg, s)
+        if gibbs:
+            draw_step = lambda s: _gibbs_draw_step_mapped(gibbs_n, draw_cfg,
+                                                          s)
+        else:
+            draw_step = lambda s: _draw_step_mapped(logpdf, draw_cfg, s)
     else:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
@@ -569,9 +635,14 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
         warm_step = jax.jit(shard_map(
             lambda c, i: _warm_step_mapped(logpdf, warm_cfg, c, i),
             mesh=mesh, in_specs=(cs, rep), out_specs=cs, check_vma=False))
-        draw_step = jax.jit(shard_map(
-            lambda s: _draw_step_mapped(logpdf, draw_cfg, s),
-            mesh=mesh, in_specs=(cs,), out_specs=cs, check_vma=False))
+        if gibbs:
+            draw_step = jax.jit(shard_map(
+                lambda s: _gibbs_draw_step_mapped(gibbs_n, draw_cfg, s),
+                mesh=mesh, in_specs=(cs,), out_specs=cs, check_vma=False))
+        else:
+            draw_step = jax.jit(shard_map(
+                lambda s: _draw_step_mapped(logpdf, draw_cfg, s),
+                mesh=mesh, in_specs=(cs,), out_specs=cs, check_vma=False))
 
     # ------------------------------------------------------------------
     # checkpoint/resume: the warmup carry is a flat tuple of arrays and the
@@ -581,8 +652,9 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
     cfg_sig = np.asarray([config.num_warmup, config.num_samples,
                           config.max_depth, np.asarray(z0s).shape[0],
                           np.asarray(z0s).shape[1],
-                          int(bool(config.dense_mass))])
+                          int(bool(config.dense_mass)), int(gibbs)])
     samples, logps, astats, divs = [], [], [], []
+    ns, naccs = [], []
     start_w, start_d = 0, 0
     carries = state = None
     if resume:
@@ -591,16 +663,18 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
                 'no NUTS checkpoint at {!r}'.format(checkpoint_path))
         with np.load(checkpoint_path, allow_pickle=False) as d:
             old_sig = d['cfg_sig']
-            # pre-dense-mass checkpoints carry a 5-field signature; they
-            # are valid continuations of a diagonal-metric run
-            compat = (old_sig.shape[0] == 5
-                      and not config.dense_mass
-                      and np.array_equal(old_sig, cfg_sig[:5]))
+            # checkpoints predate later signature fields (dense_mass,
+            # gibbs); a short signature is a valid continuation iff the
+            # missing trailing flags are all zero here
+            k = old_sig.shape[0]
+            compat = (k < cfg_sig.shape[0]
+                      and np.array_equal(old_sig, cfg_sig[:k])
+                      and not cfg_sig[k:].any())
             if not (np.array_equal(old_sig, cfg_sig) or compat):
                 raise ValueError(
                     'checkpoint config {} does not match requested {} '
                     '(num_warmup num_samples max_depth chains dim '
-                    'dense_mass)'.format(
+                    'dense_mass gibbs)'.format(
                         old_sig.tolist(), cfg_sig.tolist()))
             phase = str(d['phase'])
             if phase == 'warmup':
@@ -611,9 +685,11 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
             else:
                 start_w = config.num_warmup
                 start_d = int(d['i'])
-                state = ((jnp.asarray(d['z']), jnp.asarray(d['lp']),
-                          jnp.asarray(d['grad']), jnp.asarray(d['key'])),
-                         jnp.asarray(d['step_size']),
+                zlgk = (jnp.asarray(d['z']), jnp.asarray(d['lp']),
+                        jnp.asarray(d['grad']), jnp.asarray(d['key']))
+                if gibbs:
+                    zlgk = (zlgk[0], jnp.asarray(d['n'])) + zlgk[1:]
+                state = (zlgk, jnp.asarray(d['step_size']),
                          jnp.asarray(d['inv_mass']))
                 if start_d:
                     samples = [np.asarray(s) for s in
@@ -624,6 +700,11 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
                               d['astat'].swapaxes(0, 1)[:start_d]]
                     divs = [np.asarray(x) for x in
                             d['div'].swapaxes(0, 1)[:start_d]]
+                    if gibbs:
+                        ns = [np.asarray(x) for x in
+                              d['ns'].swapaxes(0, 1)[:start_d]]
+                        naccs = [np.asarray(x) for x in
+                                 d['nacc'].swapaxes(0, 1)[:start_d]]
 
     def _save_warm(i, carries):
         leaves = [np.asarray(c) for c in carries]
@@ -633,7 +714,10 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
         _ckpt_save(checkpoint_path, payload)
 
     def _save_draw(i, state):
-        (z, lp, grad, key), step_size, inv_mass = state
+        if gibbs:
+            (z, n, lp, grad, key), step_size, inv_mass = state
+        else:
+            (z, lp, grad, key), step_size, inv_mass = state
         payload = {'phase': 'draw', 'i': i, 'cfg_sig': cfg_sig,
                    'z': np.asarray(z), 'lp': np.asarray(lp),
                    'grad': np.asarray(grad), 'key': np.asarray(key),
@@ -648,6 +732,12 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
                              np.zeros((cfg_sig[3], 0), np.float32)),
                    'div': (np.stack(divs, axis=1) if divs else
                            np.zeros((cfg_sig[3], 0), bool))}
+        if gibbs:
+            payload['n'] = np.asarray(n)
+            payload['ns'] = (np.stack(ns, axis=1) if ns else
+                             np.zeros((cfg_sig[3], 0), np.float32))
+            payload['nacc'] = (np.stack(naccs, axis=1) if naccs else
+                               np.zeros((cfg_sig[3], 0), bool))
         _ckpt_save(checkpoint_path, payload)
 
     # ------------------------------------------------------------------
@@ -663,11 +753,21 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
     if state is None:
         z, lp, grad, key, step_size, inv_mass = jax.vmap(_warmup_final)(
             carries)
-        state = ((z, lp, grad, key), step_size, inv_mass)
+        if gibbs:
+            n = jnp.full(z.shape[:1], n0, z.dtype)
+            state = ((z, n, lp, grad, key), step_size, inv_mass)
+        else:
+            state = ((z, lp, grad, key), step_size, inv_mass)
 
     for i in range(start_d, config.num_samples):
-        state, (zs, lps, asts, dvs) = jax.block_until_ready(
-            draw_step(state))
+        if gibbs:
+            state, (zs, nss, lps, asts, dvs, nas) = jax.block_until_ready(
+                draw_step(state))
+            ns.append(np.asarray(nss))
+            naccs.append(np.asarray(nas))
+        else:
+            state, (zs, lps, asts, dvs) = jax.block_until_ready(
+                draw_step(state))
         samples.append(np.asarray(zs))
         logps.append(np.asarray(lps))
         astats.append(np.asarray(asts))
@@ -690,18 +790,24 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
         logps = np.zeros((n_chains, 0), np.float32)
         astats = np.zeros((n_chains, 0), np.float32)
         divs = np.zeros((n_chains, 0), bool)
-    return {'samples': samples, 'logp': logps,
-            'step_size': np.asarray(step_size),
-            'inv_mass': np.asarray(inv_mass),
-            'accept_rate': astats.mean() if astats.size else np.float32(0),
-            'n_divergent': divs.astype(np.int32).sum()}
+    out = {'samples': samples, 'logp': logps,
+           'step_size': np.asarray(step_size),
+           'inv_mass': np.asarray(inv_mass),
+           'accept_rate': astats.mean() if astats.size else np.float32(0),
+           'n_divergent': divs.astype(np.int32).sum()}
+    if gibbs:
+        out['n_periods'] = (np.stack(ns, axis=1) if ns else
+                            np.zeros((n_chains, 0), np.float32))
+        out['n_accept_rate'] = (np.stack(naccs, axis=1).mean() if naccs
+                                else np.float32(0))
+    return out
 
 
 # ---------------------------------------------------------------------------
 # parasitoid-model target
 # ---------------------------------------------------------------------------
 
-def make_transformed_logpdf(setup, use_sprd=False):
+def make_transformed_logpdf(setup, use_sprd=False, free_n=False):
     """Unconstrained-space log posterior for NUTS over the parasitoid model.
 
     Continuous parameters only: the model block with ``n_periods`` held
@@ -710,13 +816,20 @@ def make_transformed_logpdf(setup, use_sprd=False):
     observation block.  Includes the bijection log-Jacobians so the sampler
     targets the correct posterior density in z-space.
 
-    Returns (logpdf, constrain, z0) with constrain(z) -> (m_vec, o_vec,
-    sprd).
+    ``free_n=True`` instead returns ``logpdf(z, n_periods)`` with the
+    discrete slot a traced operand (its Poisson(30) prior included via the
+    model block) — the joint target for Gibbs-within-NUTS, where NUTS
+    moves z at fixed n and a Metropolis step moves n
+    (:func:`nuts_sample_stepwise` with ``gibbs_n=``).
+
+    Returns (logpdf, constrain, z0) with constrain(z[, n]) -> (m_vec,
+    o_vec, sprd).
     """
     from .map_fit import _make_objective
     from .priors import initial_model_params, initial_obs_params
 
-    neg_logpost, constrain, unconstrain = _make_objective(setup, use_sprd)
+    neg_logpost, constrain, unconstrain = _make_objective(
+        setup, use_sprd, free_n=free_n)
 
     def theta_flat(zz):
         m_vec, o_vec, sprd = constrain(zz)
@@ -729,12 +842,17 @@ def make_transformed_logpdf(setup, use_sprd=False):
         # every theta_i depends on exactly one z_j (elementwise bijections),
         # so the row-wise max |J| picks out the diagonal regardless of the
         # packing order; the fixed n_periods slot contributes log(1)=0
+        # (and under free_n it is constant in z, likewise 0)
         jac = jax.jacfwd(theta_flat)(z)
         d = jnp.max(jnp.abs(jac), axis=1)
         return jnp.sum(jnp.log(jnp.where(d > 0, d, 1.0)))
 
-    def logpdf(z):
-        return -neg_logpost(z) + log_jacobian(z)
+    if free_n:
+        def logpdf(z, n_periods):
+            return -neg_logpost(z, n_periods) + log_jacobian(z)
+    else:
+        def logpdf(z):
+            return -neg_logpost(z) + log_jacobian(z)
 
     # exposed for callers needing the constrained-space log posterior back
     # out of a transformed value (e.g. bayes/vi.py trace storage)

@@ -106,6 +106,15 @@ parser.add_argument('--dense-mass', action='store_true',
                          'matrix during warmup instead of the diagonal '
                          'one — better geometry for the correlated '
                          'sig_x/sig_y block')
+parser.add_argument('--gibbs-n', action='store_true',
+                    help='NUTS: sample the discrete n_periods by a '
+                         'Metropolis move after each NUTS transition '
+                         '(Gibbs-within-NUTS) instead of holding it fixed '
+                         'at 30 — full parity with the AM sampler\'s '
+                         'parameter set')
+parser.add_argument('--n-step', type=int, default=1,
+                    help='NUTS --gibbs-n: n_periods proposal is a '
+                         'symmetric +/-U{1..n_step} walk')
 parser.add_argument('--vi-mc', type=int, default=4,
                     help='VI: Monte-Carlo draws per ELBO gradient step')
 parser.add_argument('--vi-lr', type=float, default=0.02,
@@ -242,19 +251,23 @@ def run_nuts(args, setup):
             sig = [int(v) for v in d['cfg_sig']]
         nw, ns, md, nch, _dim = sig[:5]
         dense = bool(sig[5]) if len(sig) > 5 else False
+        gibbs = bool(sig[6]) if len(sig) > 6 else False
         n_samples = ns
         cfg = NUTSConfig(num_warmup=nw, num_samples=ns, max_depth=md,
-                         dense_mass=dense)
+                         dense_mass=dense, n_step=args.n_step)
         args.chains = nch
         logpdf, constrain, z0 = make_transformed_logpdf(setup)
     else:
         n_samples, burn, db = int(args.new[0]), int(args.new[1]), args.new[2]
         ckpt = db.removesuffix('.npz') + '.ckpt.npz'
+        gibbs = args.gibbs_n
         logpdf, constrain, z0 = make_transformed_logpdf(setup)
         z0 = _nuts_init_point(args, setup, z0)
         cfg = NUTSConfig(num_warmup=max(burn, 10), num_samples=n_samples,
                          max_depth=args.max_depth,
-                         dense_mass=args.dense_mass)
+                         dense_mass=args.dense_mass, n_step=args.n_step)
+    logpdf_n = (make_transformed_logpdf(setup, free_n=True)[0]
+                if gibbs else None)
     keys = random.split(random.PRNGKey(args.seed), args.chains)
     # small per-chain jitter in z-space so chains are distinguishable
     z0s = (jnp.broadcast_to(z0, (args.chains,) + z0.shape) +
@@ -287,18 +300,26 @@ def run_nuts(args, setup):
     out = nuts_sample_stepwise(
         logpdf, z0s, keys, cfg, progress=progress, checkpoint_path=ckpt,
         checkpoint_every=max(1, min(args.checkpoint_every, 25)),
-        resume=resume, mesh=mesh)
+        resume=resume, mesh=mesh, gibbs_n=logpdf_n)
     samples = np.asarray(out['samples'])     # (chains, n, dim) z-space
     dt = time.time() - tic
     print('NUTS finished: {:.1f} s ({:.3f} s/sample/chain); accept {:.2f}, '
           '{} divergences'.format(
               dt, dt / n_samples, float(np.mean(out['accept_rate'])),
               int(np.sum(out['n_divergent']))))
+    if gibbs:
+        print('  n_periods Gibbs moves: accept {:.2f}'.format(
+            float(out['n_accept_rate'])))
 
-    # constrained-space traces for reporting/diagnostics
-    theta = np.asarray(jax.vmap(jax.vmap(
+    # constrained-space traces for reporting/diagnostics (np.asarray of a
+    # device array is a read-only zero-copy view; copy before writing)
+    theta = np.array(jax.vmap(jax.vmap(
         lambda z: jnp.concatenate([constrain(z)[0], constrain(z)[1]])))(
             out['samples']))
+    if gibbs:
+        # slot 13 of the model block is the Gibbs-sampled n_periods, not
+        # the fixed 30 the 1-arg constrain pins there
+        theta[:, :, 13] = np.asarray(out['n_periods'])
     logp = np.asarray(out['logp'])[..., None]
     traces = np.concatenate([theta, logp], axis=-1)
     np.savez(db if db.endswith('.npz') else db + '.npz',

@@ -311,3 +311,136 @@ def test_stepwise_mesh_sharded_chains():
     out2 = nuts_sample_stepwise(_corr_gauss_logpdf, z0s, keys, cfg,
                                 mesh=mesh)
     np.testing.assert_array_equal(out2['samples'], s_arr)
+
+
+# ---------------------------------------------------------------------------
+# Gibbs-within-NUTS (discrete n_periods)
+# ---------------------------------------------------------------------------
+
+def _gibbs_target(z, n, rate=5.0, slope=0.0):
+    """z0 ~ N(slope*n, 1), z1 ~ N(0, 1), n ~ Poisson(rate) on n >= 1."""
+    from jax.scipy.special import gammaln
+    return (-0.5 * (z[0] - slope * n) ** 2 - 0.5 * z[1] ** 2
+            + n * jnp.log(rate) - rate - gammaln(n + 1.0))
+
+
+def test_gibbs_nuts_discrete_marginal():
+    """With z independent of n, the discrete coordinate's marginal must be
+    the (n>=1)-truncated Poisson(5) prior; the continuous block stays a
+    unit Gaussian."""
+    from parasitoids_tpu.bayes.nuts import nuts_sample_stepwise
+
+    cfg = NUTSConfig(num_warmup=50, num_samples=600, max_depth=5, n_step=2)
+    z0s = jnp.zeros((2, 2))
+    keys = random.split(random.PRNGKey(0), 2)
+    out = nuts_sample_stepwise(None, z0s, keys, cfg,
+                               gibbs_n=_gibbs_target, n0=5.0)
+    ns = np.asarray(out['n_periods'])
+    assert ns.shape == (2, 600)
+    assert (ns >= 1.0).all()
+    assert np.allclose(ns, np.round(ns))     # stays on the integer lattice
+    # truncated Poisson(5): mean 5.034, var 4.86 (1,200 correlated draws)
+    assert abs(ns.mean() - 5.03) < 0.6
+    assert 3.3 < ns.var() < 7.0
+    assert 0.1 < float(out['n_accept_rate']) < 1.0
+    zs = np.asarray(out['samples'])
+    assert abs(zs.mean()) < 0.15 and abs(zs.var() - 1.0) < 0.25
+
+
+def test_gibbs_nuts_coupled_moments():
+    """With z0 | n ~ N(0.2 n, 1) the two kernels must agree on the joint:
+    E[z0] = 0.2 E[n] while n's marginal stays the truncated Poisson."""
+    from functools import partial
+
+    from parasitoids_tpu.bayes.nuts import nuts_sample_stepwise
+
+    target = partial(_gibbs_target, slope=0.2)
+    cfg = NUTSConfig(num_warmup=60, num_samples=600, max_depth=5, n_step=2)
+    z0s = jnp.zeros((2, 2))
+    keys = random.split(random.PRNGKey(1), 2)
+    out = nuts_sample_stepwise(None, z0s, keys, cfg,
+                               gibbs_n=target, n0=5.0)
+    ns = np.asarray(out['n_periods'])
+    zs = np.asarray(out['samples'])
+    assert abs(ns.mean() - 5.03) < 0.6
+    assert abs(zs[..., 0].mean() - 0.2 * ns.mean()) < 0.25
+    assert abs(zs[..., 1].mean()) < 0.2
+
+
+def test_gibbs_nuts_checkpoint_resume_exact(tmp_path):
+    """Gibbs runs checkpoint/resume bitwise like plain NUTS runs, n state
+    included; and a plain-NUTS checkpoint cannot resume as a Gibbs run."""
+    import os
+
+    from parasitoids_tpu.bayes.nuts import nuts_sample_stepwise
+
+    cfg = NUTSConfig(num_warmup=8, num_samples=10, max_depth=4)
+    z0s = jnp.zeros((2, 2))
+    keys = random.split(random.PRNGKey(5), 2)
+    ckpt = str(tmp_path / 'g.ckpt.npz')
+
+    ref = nuts_sample_stepwise(None, z0s, keys, cfg,
+                               gibbs_n=_gibbs_target, n0=5.0)
+
+    class Stop(Exception):
+        pass
+
+    def interrupter(phase, i, total):
+        if (phase, i) == ('sample', 4):
+            raise Stop
+
+    with pytest.raises(Stop):
+        nuts_sample_stepwise(None, z0s, keys, cfg, progress=interrupter,
+                             checkpoint_path=ckpt, checkpoint_every=2,
+                             gibbs_n=_gibbs_target, n0=5.0)
+    assert os.path.exists(ckpt)
+    out = nuts_sample_stepwise(None, z0s, keys, cfg, checkpoint_path=ckpt,
+                               checkpoint_every=2, resume=True,
+                               gibbs_n=_gibbs_target, n0=5.0)
+    np.testing.assert_array_equal(out['samples'], ref['samples'])
+    np.testing.assert_array_equal(out['n_periods'], ref['n_periods'])
+    np.testing.assert_array_equal(out['logp'], ref['logp'])
+    assert not os.path.exists(ckpt)
+
+    # cross-kind resume is rejected by the signature (gibbs flag differs)
+    with pytest.raises(Stop):
+        nuts_sample_stepwise(_corr_gauss_logpdf, z0s, keys, cfg,
+                             progress=interrupter, checkpoint_path=ckpt,
+                             checkpoint_every=2)
+    with pytest.raises(ValueError, match='does not match'):
+        nuts_sample_stepwise(None, z0s, keys, cfg, checkpoint_path=ckpt,
+                             checkpoint_every=2, resume=True,
+                             gibbs_n=_gibbs_target, n0=5.0)
+
+
+@pytest.mark.slow
+def test_gibbs_nuts_on_parasitoid_model():
+    """free_n target: exact agreement with the fixed-n logpdf at n=30,
+    finite gradients at neighboring n, and a short Gibbs run executes."""
+    from parasitoids_tpu.bayes.nuts import (make_transformed_logpdf,
+                                            nuts_sample_stepwise)
+
+    setup = _tiny_setup()
+    logpdf, constrain, z0 = make_transformed_logpdf(setup)
+    logpdf_n, constrain_n, z0_n = make_transformed_logpdf(setup,
+                                                          free_n=True)
+    np.testing.assert_array_equal(np.asarray(z0), np.asarray(z0_n))
+    lp_fixed = float(logpdf(z0))
+    lp_free = float(logpdf_n(z0, jnp.float32(30.0)))
+    np.testing.assert_allclose(lp_free, lp_fixed, rtol=1e-6)
+    # constrain threads the traced n into model slot 13
+    m_vec, _, _ = constrain_n(z0, jnp.float32(29.0))
+    assert float(m_vec[13]) == 29.0
+    for n in (29.0, 31.0):
+        lp, g = jax.value_and_grad(logpdf_n)(z0, jnp.float32(n))
+        assert np.isfinite(float(lp))
+        assert np.isfinite(np.asarray(g)).all()
+
+    cfg = NUTSConfig(num_warmup=2, num_samples=3, max_depth=2,
+                     init_step_size=0.01, n_step=2)
+    keys = random.split(random.PRNGKey(0), 1)
+    out = nuts_sample_stepwise(None, z0[None], keys, cfg,
+                               gibbs_n=logpdf_n, n0=30.0)
+    assert np.isfinite(np.asarray(out['logp'])).all()
+    ns = np.asarray(out['n_periods'])
+    assert ns.shape == (1, 3) and (ns >= 1.0).all()
