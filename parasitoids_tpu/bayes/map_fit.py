@@ -341,17 +341,44 @@ def laplace_approximation(setup: BayesSetup, fit):
     # np.array (copy): np.asarray of a CPU-backend jax array is a read-only
     # zero-copy view, and the regularization below writes in place
     H = np.array(H)
+    # free slots: fixed parameters (n_periods) leave an exactly-zero row
+    free = np.abs(np.diag(H)) >= 1e-12
     # regularize singular directions (e.g. the fixed n_periods slot)
     for i in range(H.shape[0]):
-        if abs(H[i, i]) < 1e-12:
+        if not free[i]:
             H[i, i] = 1e12
     cov_z = np.linalg.inv(H)
     # delta method: sd in constrained space
     jac = np.asarray(jax.jit(jax.jacobian(
         lambda zz: jnp.concatenate([constrain(zz)[0], constrain(zz)[1]])))(z))
     cov_theta = jac @ cov_z @ jac.T
+
+    # Laplace marginal likelihood (conditional on the fixed n_periods, like
+    # the VI ELBO): logZ ~ logp(theta_hat) + log|J(z_hat)| + (d/2)log(2pi)
+    # - (1/2) log det H over the free z block.  Each theta_i is an
+    # elementwise bijection of one z_j, so |J| is the product of the
+    # per-column row-max magnitudes; including sprd_factor when fit.  A
+    # non-PD Hessian (unconverged MAP / saddle) is reported as nan.
+    def theta_full(zz):
+        m, o, sprd = constrain(zz)
+        parts = [m, o]
+        if fit['use_sprd']:
+            parts.append(jnp.reshape(sprd, (1,)))
+        return jnp.concatenate(parts)
+
+    jac_full = np.asarray(jax.jit(jax.jacobian(theta_full))(z))
+    col = np.max(np.abs(jac_full), axis=0)
+    log_jac = float(np.sum(np.log(col[free])))
+    sign, logdet_h = np.linalg.slogdet(H[np.ix_(free, free)])
+    d_free = int(free.sum())
+    log_evidence = (fit['logp'] + log_jac
+                    + 0.5 * d_free * np.log(2.0 * np.pi) - 0.5 * logdet_h
+                    if sign > 0 else float('nan'))
     return {'cov_z': cov_z, 'cov_theta': cov_theta,
-            'sd_theta': np.sqrt(np.clip(np.diag(cov_theta), 0, None))}
+            'sd_theta': np.sqrt(np.clip(np.diag(cov_theta), 0, None)),
+            'free': free, 'log_jac': log_jac, 'logdet_h': float(logdet_h),
+            'hess_pd': bool(sign > 0),
+            'log_evidence': float(log_evidence)}
 
 
 def map_report(setup: BayesSetup, fit, laplace=None, out=None):
@@ -359,6 +386,12 @@ def map_report(setup: BayesSetup, fit, laplace=None, out=None):
     (Bayes_MAP.py:494-517,546-565)."""
     lines = ['MAP fit: logp = {:.4f}, AIC = {:.4f}'.format(
         fit['logp'], fit['AIC'])]
+    if laplace and 'log_evidence' in laplace:
+        lines.append(
+            'Laplace log-evidence (n_periods fixed): {:.4f}{}'.format(
+                laplace['log_evidence'],
+                '' if laplace['hess_pd'] else
+                '  [nan: Hessian not positive definite at the fit]'))
     names = list(MODEL_PARAM_NAMES) + list(OBS_PARAM_NAMES) + \
         ['sent_obs_prob_{}'.format(k) for k in setup.locinfo.sent_ids]
     vals = np.concatenate([fit['model'], fit['obs']])

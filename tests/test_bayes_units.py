@@ -251,3 +251,63 @@ def test_lbfgs_polish_improves_mode():
     g1 = np.linalg.norm(np.asarray(
         jax.grad(neg)(jnp.asarray(polished['z'], jnp.float32))))
     assert g1 <= g0 * 1.05
+
+
+def test_laplace_log_evidence_analytic(monkeypatch):
+    """On an exactly Gaussian objective the Laplace marginal likelihood is
+    exact; pin the whole formula (free-slot masking, bijection Jacobian,
+    normalization constants) against the closed form.
+
+    theta = (2 z0, [fixed], 3 z2) with neg-logpost = 0.5 * sum(a_i z_i^2)
+    over the two free slots: the z-space evidence of exp(logp_max - 0.5
+    z^T A z) is logp_max + (d/2) log(2pi) - 0.5 log det A, and the
+    theta-space evidence adds log|J| = log 2 + log 3."""
+    from parasitoids_tpu.bayes import map_fit as M
+
+    a0, a2 = 4.0, 0.25
+
+    def fake_objective(setup, use_sprd, free_n=False):
+        def neg_logpost(z):
+            return 0.5 * (a0 * z[0] ** 2 + a2 * z[2] ** 2)
+
+        def constrain(z):
+            m = jnp.stack([2.0 * z[0], jnp.asarray(7.0), 3.0 * z[2]])
+            return m, jnp.zeros(0), None
+
+        def unconstrain(m, o, sprd):
+            raise NotImplementedError
+
+        return neg_logpost, constrain, unconstrain
+
+    monkeypatch.setattr(M, '_make_objective', fake_objective)
+
+    class KCfg:
+        pallas = False
+
+    class Setup:
+        setup = type('S', (), {'kcfg': KCfg()})()
+
+    logp_max = -1.75    # value the caller reports at the mode
+    fit = {'z': np.zeros(3, np.float32), 'use_sprd': False,
+           'logp': logp_max}
+    lap = M.laplace_approximation(Setup(), fit)
+
+    assert lap['free'].tolist() == [True, False, True]
+    assert lap['hess_pd']
+    expected = (logp_max + np.log(2.0) + np.log(3.0)
+                + 0.5 * 2 * np.log(2 * np.pi)
+                - 0.5 * np.log(a0 * a2))
+    np.testing.assert_allclose(lap['log_evidence'], expected, rtol=1e-5)
+    # the fixed slot is regularized away, not counted
+    assert lap['cov_z'][1, 1] < 1e-9
+
+    # a saddle (negative curvature) is flagged, not silently reported
+    def saddle_objective(setup, use_sprd, free_n=False):
+        neg_lp, con, unc = fake_objective(setup, use_sprd)
+        return (lambda z: -0.5 * a0 * z[0] ** 2 + 0.5 * a2 * z[2] ** 2,
+                con, unc)
+
+    monkeypatch.setattr(M, '_make_objective', saddle_objective)
+    lap2 = M.laplace_approximation(Setup(), fit)
+    assert not lap2['hess_pd']
+    assert np.isnan(lap2['log_evidence'])
