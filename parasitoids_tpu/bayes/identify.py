@@ -116,12 +116,8 @@ def plot_identifiability(info, outfile):
     """Two-panel figure: the stiff→sloppy eigen-spectrum (log scale, the
     Gutenkunst sloppy-model signature) and per-parameter prior→posterior
     contraction bars (viz conventions of viz/bayes_plot.py)."""
-    import os
-
-    import matplotlib
-    if not os.environ.get('DISPLAY'):
-        matplotlib.use('Agg')
-    import matplotlib.pyplot as plt
+    from ..viz.bayes_plot import _mpl
+    plt = _mpl()
 
     fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(12, 4.6))
 
@@ -250,10 +246,14 @@ def main(argv=None):
     print('Laplace Hessian: {:.1f} s'.format(time.time() - tic))
     info = identifiability(setup, fit, lap, n_prior=args.prior_draws)
     report = identify_report(info, out=args.outname)
-    png = args.outname.rsplit('.', 1)[0] + '.png'
-    print('wrote', plot_identifiability(info, png))
     print(report)
     print('written to', args.outname)
+    try:
+        import os.path
+        png = os.path.splitext(args.outname)[0] + '.png'
+        print('wrote', plot_identifiability(info, png))
+    except ImportError:     # matplotlib is the optional 'viz' extra; the
+        pass                # text report above is the base deliverable
 
 
 if __name__ == '__main__':

@@ -605,26 +605,28 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
         logpdf = partial(_gibbs_fixed_n, gibbs_n, float(n0))
 
     # canonicalize the static configs per step kind: the warmup transition
-    # never reads num_samples and the draw transition reads only max_depth
-    # (+ never the schedule lengths), so zeroing the unused fields makes the
-    # XLA (persistent) cache key independent of run length — changing
-    # ``--new N burn`` must not recompile the multi-minute step programs
-    warm_cfg = config._replace(num_samples=0)
-    draw_cfg = config._replace(num_warmup=0, num_samples=0)
+    # never reads num_samples or n_step, and the draw transition reads only
+    # max_depth (+ n_step when gibbs), so zeroing the unused fields makes
+    # the XLA (persistent) cache key independent of run length — changing
+    # ``--new N burn`` or ``--n-step`` must not recompile the multi-minute
+    # step programs that never read them
+    warm_cfg = config._replace(num_samples=0, n_step=1)
+    draw_cfg = config._replace(num_warmup=0, num_samples=0,
+                               n_step=config.n_step if gibbs else 1)
 
     # ------------------------------------------------------------------
     # chain execution: lax.map per device (never vmap — a chain-batched rho
     # batches the BVN lax.switch, which then executes every branch); with a
     # mesh the chain axis is sharded over devices exactly like
     # parallel/chains.py run_chains (chains % devices == 0 required)
+    if gibbs:
+        draw_inner = lambda s: _gibbs_draw_step_mapped(gibbs_n, draw_cfg, s)
+    else:
+        draw_inner = lambda s: _draw_step_mapped(logpdf, draw_cfg, s)
     if mesh is None:
         warm_init = lambda z, k: _warm_init_mapped(logpdf, warm_cfg, z, k)
         warm_step = lambda c, i: _warm_step_mapped(logpdf, warm_cfg, c, i)
-        if gibbs:
-            draw_step = lambda s: _gibbs_draw_step_mapped(gibbs_n, draw_cfg,
-                                                          s)
-        else:
-            draw_step = lambda s: _draw_step_mapped(logpdf, draw_cfg, s)
+        draw_step = draw_inner
     else:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
@@ -635,14 +637,9 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
         warm_step = jax.jit(shard_map(
             lambda c, i: _warm_step_mapped(logpdf, warm_cfg, c, i),
             mesh=mesh, in_specs=(cs, rep), out_specs=cs, check_vma=False))
-        if gibbs:
-            draw_step = jax.jit(shard_map(
-                lambda s: _gibbs_draw_step_mapped(gibbs_n, draw_cfg, s),
-                mesh=mesh, in_specs=(cs,), out_specs=cs, check_vma=False))
-        else:
-            draw_step = jax.jit(shard_map(
-                lambda s: _draw_step_mapped(logpdf, draw_cfg, s),
-                mesh=mesh, in_specs=(cs,), out_specs=cs, check_vma=False))
+        draw_step = jax.jit(shard_map(
+            draw_inner, mesh=mesh, in_specs=(cs,), out_specs=cs,
+            check_vma=False))
 
     # ------------------------------------------------------------------
     # checkpoint/resume: the warmup carry is a flat tuple of arrays and the
@@ -652,7 +649,12 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
     cfg_sig = np.asarray([config.num_warmup, config.num_samples,
                           config.max_depth, np.asarray(z0s).shape[0],
                           np.asarray(z0s).shape[1],
-                          int(bool(config.dense_mass)), int(gibbs)])
+                          int(bool(config.dense_mass)), int(gibbs),
+                          int(draw_cfg.n_step)])   # canonical: 1 unless gibbs
+    # default value of each optional trailing signature field (appended
+    # over time: dense_mass, gibbs, n_step) — an older, shorter signature
+    # is a valid continuation iff this run uses the defaults for the rest
+    _sig_tail_defaults = {5: 0, 6: 0, 7: 1}
     samples, logps, astats, divs = [], [], [], []
     ns, naccs = [], []
     start_w, start_d = 0, 0
@@ -663,18 +665,19 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
                 'no NUTS checkpoint at {!r}'.format(checkpoint_path))
         with np.load(checkpoint_path, allow_pickle=False) as d:
             old_sig = d['cfg_sig']
-            # checkpoints predate later signature fields (dense_mass,
-            # gibbs); a short signature is a valid continuation iff the
-            # missing trailing flags are all zero here
+            # checkpoints may predate later signature fields; a short
+            # signature is a valid continuation iff this run keeps the
+            # defaults for every missing trailing field
             k = old_sig.shape[0]
             compat = (k < cfg_sig.shape[0]
                       and np.array_equal(old_sig, cfg_sig[:k])
-                      and not cfg_sig[k:].any())
+                      and all(int(cfg_sig[j]) == _sig_tail_defaults[j]
+                              for j in range(k, cfg_sig.shape[0])))
             if not (np.array_equal(old_sig, cfg_sig) or compat):
                 raise ValueError(
                     'checkpoint config {} does not match requested {} '
                     '(num_warmup num_samples max_depth chains dim '
-                    'dense_mass gibbs)'.format(
+                    'dense_mass gibbs n_step)'.format(
                         old_sig.tolist(), cfg_sig.tolist()))
             phase = str(d['phase'])
             if phase == 'warmup':

@@ -252,9 +252,10 @@ def run_nuts(args, setup):
         nw, ns, md, nch, _dim = sig[:5]
         dense = bool(sig[5]) if len(sig) > 5 else False
         gibbs = bool(sig[6]) if len(sig) > 6 else False
+        n_step = sig[7] if len(sig) > 7 else 1
         n_samples = ns
         cfg = NUTSConfig(num_warmup=nw, num_samples=ns, max_depth=md,
-                         dense_mass=dense, n_step=args.n_step)
+                         dense_mass=dense, n_step=n_step)
         args.chains = nch
         logpdf, constrain, z0 = make_transformed_logpdf(setup)
     else:

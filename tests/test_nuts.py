@@ -444,3 +444,53 @@ def test_gibbs_nuts_on_parasitoid_model():
     assert np.isfinite(np.asarray(out['logp'])).all()
     ns = np.asarray(out['n_periods'])
     assert ns.shape == (1, 3) and (ns >= 1.0).all()
+
+
+def test_gibbs_nuts_n_step_in_signature(tmp_path):
+    """Changing the Gibbs n_periods proposal width across a resume is a
+    different transition kernel — the checkpoint signature must reject it.
+    Plain (non-gibbs) runs canonicalize n_step away, so it never forces a
+    mismatch (or a recompile) there."""
+    import os
+
+    from parasitoids_tpu.bayes.nuts import nuts_sample_stepwise
+
+    cfg3 = NUTSConfig(num_warmup=4, num_samples=6, max_depth=3, n_step=3)
+    z0s = jnp.zeros((2, 2))
+    keys = random.split(random.PRNGKey(7), 2)
+    ckpt = str(tmp_path / 'ns.ckpt.npz')
+
+    class Stop(Exception):
+        pass
+
+    def interrupter(phase, i, total):
+        if (phase, i) == ('sample', 2):
+            raise Stop
+
+    with pytest.raises(Stop):
+        nuts_sample_stepwise(None, z0s, keys, cfg3, progress=interrupter,
+                             checkpoint_path=ckpt, checkpoint_every=1,
+                             gibbs_n=_gibbs_target, n0=5.0)
+    with pytest.raises(ValueError, match='does not match'):
+        nuts_sample_stepwise(None, z0s, keys, cfg3._replace(n_step=1),
+                             checkpoint_path=ckpt, checkpoint_every=1,
+                             resume=True, gibbs_n=_gibbs_target, n0=5.0)
+    # same n_step resumes fine
+    out = nuts_sample_stepwise(None, z0s, keys, cfg3, checkpoint_path=ckpt,
+                               checkpoint_every=1, resume=True,
+                               gibbs_n=_gibbs_target, n0=5.0)
+    assert out['n_periods'].shape == (2, 6)
+    assert not os.path.exists(ckpt)
+
+    # a plain run's signature records the canonical n_step=1, so a stale
+    # --n-step on the command line cannot poison non-gibbs resumes
+    cfgp = NUTSConfig(num_warmup=4, num_samples=6, max_depth=3, n_step=5)
+    with pytest.raises(Stop):
+        nuts_sample_stepwise(_corr_gauss_logpdf, z0s, keys, cfgp,
+                             progress=interrupter, checkpoint_path=ckpt,
+                             checkpoint_every=1)
+    out = nuts_sample_stepwise(_corr_gauss_logpdf, z0s, keys,
+                               cfgp._replace(n_step=1),
+                               checkpoint_path=ckpt, checkpoint_every=1,
+                               resume=True)
+    assert out['samples'].shape == (2, 6, 2)
