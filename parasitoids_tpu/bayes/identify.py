@@ -252,8 +252,9 @@ def main(argv=None):
         import os.path
         png = os.path.splitext(args.outname)[0] + '.png'
         print('wrote', plot_identifiability(info, png))
-    except ImportError:     # matplotlib is the optional 'viz' extra; the
-        pass                # text report above is the base deliverable
+    except ImportError as e:    # matplotlib is the optional 'viz' extra;
+        print('figure skipped (install the viz extra for the PNG): '
+              '{}'.format(e))  # the text report above is the deliverable
 
 
 if __name__ == '__main__':

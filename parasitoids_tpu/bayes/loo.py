@@ -395,6 +395,11 @@ def main(argv=None):
             ll2 = group_loglik(ll2, gids)
         l2 = psis_loo(ll2)
         cmp_ = loo_compare(l, l2)
+        compare_payload = {
+            'trace2': path2, 'elpd_loo_2': float(l2['elpd_loo']),
+            'elpd_diff': float(cmp_['elpd_diff']),
+            'se_diff': float(cmp_['se_diff']),
+        }
         print('paired comparison vs {}:'.format(path2))
         print('  elpd: {:.2f} vs {:.2f}'.format(l['elpd_loo'],
                                                 l2['elpd_loo']))
@@ -415,6 +420,8 @@ def main(argv=None):
         'psis_loo': {k: (v.tolist() if isinstance(v, np.ndarray) else v)
                      for k, v in l.items()},
     }
+    if args.compare:
+        payload['compare'] = compare_payload
     with open(out, 'w') as fh:
         json.dump(payload, fh)
     print('wrote', out)

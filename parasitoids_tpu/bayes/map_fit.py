@@ -348,10 +348,6 @@ def laplace_approximation(setup: BayesSetup, fit):
         if not free[i]:
             H[i, i] = 1e12
     cov_z = np.linalg.inv(H)
-    # delta method: sd in constrained space
-    jac = np.asarray(jax.jit(jax.jacobian(
-        lambda zz: jnp.concatenate([constrain(zz)[0], constrain(zz)[1]])))(z))
-    cov_theta = jac @ cov_z @ jac.T
 
     # Laplace marginal likelihood (conditional on the fixed n_periods, like
     # the VI ELBO): logZ ~ logp(theta_hat) + log|J(z_hat)| + (d/2)log(2pi)
@@ -367,6 +363,10 @@ def laplace_approximation(setup: BayesSetup, fit):
         return jnp.concatenate(parts)
 
     jac_full = np.asarray(jax.jit(jax.jacobian(theta_full))(z))
+    # delta method: sd in constrained space (model+obs rows only — the
+    # optional sprd row is the last row of the same Jacobian)
+    jac = jac_full[:-1] if fit['use_sprd'] else jac_full
+    cov_theta = jac @ cov_z @ jac.T
     col = np.max(np.abs(jac_full), axis=0)
     log_jac = float(np.sum(np.log(col[free])))
     sign, logdet_h = np.linalg.slogdet(H[np.ix_(free, free)])

@@ -112,7 +112,14 @@ parser.add_argument('--gibbs-n', action='store_true',
                          '(Gibbs-within-NUTS) instead of holding it fixed '
                          'at 30 — full parity with the AM sampler\'s '
                          'parameter set')
-parser.add_argument('--n-step', type=int, default=1,
+def _positive_int(s):
+    v = int(s)
+    if v < 1:
+        raise argparse.ArgumentTypeError('must be >= 1, got {}'.format(v))
+    return v
+
+
+parser.add_argument('--n-step', type=_positive_int, default=1,
                     help='NUTS --gibbs-n: n_periods proposal is a '
                          'symmetric +/-U{1..n_step} walk')
 parser.add_argument('--vi-mc', type=int, default=4,
