@@ -121,7 +121,25 @@ class Params:
             self.r_start = None       # wind recording began midnight post release
             self.r_number = 130000
         else:
-            print('Unknown dataset in Params.dataset.')
+            # generic site: release/run parameters come from the same
+            # data/<name>site.json spec that supplies the observation
+            # tables (io/site.py) — no reference equivalent (Run.py:96-153
+            # supports exactly two hard-coded presets)
+            from .io.site import load_site_spec
+            spec = load_site_spec('data', self.dataset)
+            if spec is not None:
+                self.site_name = spec.get('site_name',
+                                          'data/' + self.dataset)
+                self.start_time = spec.get('start_time', '00:00')
+                coord = spec.get('coord')
+                self.coord = None if coord is None else tuple(coord)
+                self.r_dur = int(spec.get('r_dur', 1))
+                self.r_dist = spec.get('r_dist', 'uniform')
+                r_start = spec.get('r_start')
+                self.r_start = None if r_start is None else float(r_start)
+                self.r_number = int(spec.get('r_number', 1))
+            else:
+                print('Unknown dataset in Params.dataset.')
 
         if self.dataset is not None:
             stamp = time.strftime('%m%d-%H%M')

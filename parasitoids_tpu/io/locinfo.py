@@ -16,16 +16,21 @@ Differences from the reference, all host-side and deliberate:
   tolerates float rounding instead of exact equality after rotation.
 
 Site-specific parsing is implemented for Kalbar, as in the reference
-(Data_Import.py:491-492 raises NotImplementedError for other sites).
+(Data_Import.py:491-492 raises NotImplementedError for other sites) — but
+unlike the reference, any OTHER site can supply its observations generically:
+a ``<site>site.json`` spec plus plain-CSV tables (see io/site.py for the spec
+format and the ``_generic_*`` methods below for the CSV schemas).
 """
 
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pandas as pd
 
+from .site import load_site_spec, site_spec_path
 from .xlsx import read_sheet
 
 __all__ = ['LocInfo', 'points_in_polygon', 'latlong_to_xy']
@@ -71,6 +76,15 @@ def _rot_mat(theta_deg):
                      [math.sin(th), math.cos(th)]])
 
 
+def _parse_day(value, release_date):
+    """A date in a site spec / observation CSV: either an integer meaning
+    days post-release, or anything ``pd.Timestamp`` parses (ISO dates)."""
+    try:
+        return release_date + pd.Timedelta(days=int(value))
+    except (TypeError, ValueError):
+        return pd.Timestamp(value)
+
+
 class LocInfo:
     """All experimental-location data (ref Data_Import.LocInfo,
     Data_Import.py:12-254).  See the reference docstring for the full
@@ -80,6 +94,10 @@ class LocInfo:
     def __init__(self, location, release_latlong, domain_info,
                  data_dir='./data'):
         self.data_dir = data_dir
+        # generic-site spec (None for kalbar and for spec-less sites; the
+        # kalbar xlsx parsers always win for 'kalbar' to preserve parity)
+        self._spec = (None if location == 'kalbar'
+                      else load_site_spec(data_dir, location))
         res = domain_info[0] / domain_info[1]
         rad_res = int(domain_info[1])
 
@@ -103,8 +121,12 @@ class LocInfo:
                  np.array([xmax * np.ones(50), np.linspace(ymin, ymax)])]
         self.grid_boundary = np.concatenate(edges, axis=1)
 
-        # rotate grid to align with the road (ref Data_Import.py:99-105)
-        rot = _rot_mat(GRID_ROTATION_DEG)
+        # rotate grid to align with the road (ref Data_Import.py:99-105);
+        # generic sites declare their own angle (default: no rotation)
+        self.grid_rotation_deg = (
+            GRID_ROTATION_DEG if self._spec is None
+            else float(self._spec.get('grid_rotation_deg', 0.0)))
+        rot = _rot_mat(self.grid_rotation_deg)
         xy = self.grid_data[['xcoord', 'ycoord']].to_numpy(float) @ rot.T
         self.grid_data[['xcoord', 'ycoord']] = xy
         self.grid_boundary = rot @ self.grid_boundary
@@ -160,7 +182,8 @@ class LocInfo:
                 hit = (np.abs(ox - gx[n]) < 1e-6) & (np.abs(oy - gy[n]) < 1e-6)
                 if hit.any():
                     self.grid_obs[n, nday] = oc[hit].sum()
-        self.grid_samples = self.grid_samples / self.grid_samples.max()
+        if self.grid_samples.size:    # generic sites may have no grid obs
+            self.grid_samples = self.grid_samples / self.grid_samples.max()
 
         ### cardinal-direction observations
         self.get_card_observations(location)
@@ -270,11 +293,21 @@ class LocInfo:
                                            'samples', 'collection'])
 
     # ------------------------------------------------------------------
+    def _no_site(self, location):
+        raise NotImplementedError(
+            'no observation parser for site {0!r}: either add a site-'
+            'specific loader (as for kalbar) or provide a generic spec at '
+            '{1} with CSV observation tables (see parasitoids_tpu/io/'
+            'site.py for the format)'.format(
+                location, site_spec_path(self.data_dir, location)))
+
     def get_sentinel_emergence(self, location):
         """Sentinel-field emergence observations
-        (ref Data_Import.py:417-492, Kalbar only)."""
+        (ref Data_Import.py:417-492, Kalbar only; generic CSV otherwise)."""
         if location != 'kalbar':
-            raise NotImplementedError
+            if self._spec is not None:
+                return self._generic_sentinel()
+            self._no_site(location)
         data_loc = '{}/sampling_details.xlsx'.format(self.data_dir)
         self.release_date = pd.Timestamp('2005-03-13')
         self.collection_datesPR = [pd.Timestamp('2005-03-31') -
@@ -299,7 +332,9 @@ class LocInfo:
         recorded grid, so coordinates are swapped/flipped and the release
         point moved to the origin."""
         if location != 'kalbar':
-            raise NotImplementedError
+            if self._spec is not None:
+                return self._generic_release()
+            self._no_site(location)
         data_loc = '{}/sampling_details.xlsx'.format(self.data_dir)
         self.releasefield_id = 'A'
         df = read_sheet(data_loc, 'Kal-releasefield-raw')
@@ -319,9 +354,11 @@ class LocInfo:
 
     def get_grid_observations(self, location):
         """Release-field grid adult counts
-        (ref Data_Import.py:564-614, Kalbar only)."""
+        (ref Data_Import.py:564-614, Kalbar only; generic CSV otherwise)."""
         if location != 'kalbar':
-            raise NotImplementedError
+            if self._spec is not None:
+                return self._generic_grid()
+            self._no_site(location)
         data_loc = '{}/adult_counts_kalbar.xlsx'.format(self.data_dir)
         df = read_sheet(data_loc, 'adult counts field A')
         df = df.rename(columns={'x coor': 'x', 'y coor': 'y',
@@ -341,9 +378,11 @@ class LocInfo:
 
     def get_card_observations(self, location):
         """Cardinal-direction transect counts
-        (ref Data_Import.py:616-651, Kalbar only)."""
+        (ref Data_Import.py:616-651, Kalbar only; generic CSV otherwise)."""
         if location != 'kalbar':
-            raise NotImplementedError
+            if self._spec is not None:
+                return self._generic_card()
+            self._no_site(location)
         data_loc = '{}/adult_counts_kalbar.xlsx'.format(self.data_dir)
         sheets = ['cardinal 15 mar 05', 'cardinal 21 mar 05']
         self.step_size = [2, 2]
@@ -355,4 +394,116 @@ class LocInfo:
             df = df.drop(columns=['num viewers'])
             df['datePR'] = df['date'] - self.release_date
             self.card_obs_datesPR.append(df['datePR'].iloc[0])
+            self.card_obs_DataFrames.append(df)
+
+    # ------------------------------------------------------------------
+    # generic-site CSV loaders (no reference equivalent: Data_Import.py
+    # raises NotImplementedError for every site but Kalbar)
+    # ------------------------------------------------------------------
+    def _read_obs_csv(self, name):
+        return pd.read_csv(os.path.join(self.data_dir, name),
+                           comment='#', skipinitialspace=True)
+
+    def _generic_sentinel(self):
+        """Sentinel emergence from CSVs with columns ``id,date,count``: one
+        row per (sentinel field id, emergence date, wasps emerged).  Dates
+        are ISO strings or integer days post-release; (id, date) duplicates
+        are summed and missing combinations filled with 0 so every
+        collection covers the same field set."""
+        spec = self._spec
+        rd = pd.Timestamp(spec['release_date'])
+        self.release_date = rd
+        self.collection_datesPR = []
+        raw = []
+        for coll in spec['collections']:
+            df = self._read_obs_csv(coll['sentinel_csv'])
+            df = df.assign(id=df['id'].astype(str),
+                           date=[_parse_day(v, rd) for v in df['date']])
+            raw.append(df)
+            self.collection_datesPR.append(
+                _parse_day(coll['collection_date'], rd) - rd)
+        ids = sorted(set().union(*[set(df['id']) for df in raw]))
+        self.sent_DataFrames = []
+        for df in raw:
+            counts = df.groupby(['id', 'date'])['count'].sum()
+            rows = [(fid, date, float(counts.get((fid, date), 0.0)))
+                    for date in df['date'].drop_duplicates().sort_values()
+                    for fid in ids]
+            frame = pd.DataFrame(rows, columns=['id', 'date', 'E_total'])
+            frame['datePR'] = frame['date'] - rd
+            self.sent_DataFrames.append(frame)
+
+    def _generic_release(self):
+        """Release-field emergence from CSVs with columns ``x,y,date,count``:
+        (x, y) must coincide with a point of ``<site>releasegrid.txt`` (same
+        meter coordinates, pre-rotation); duplicates are summed and every
+        grid point present anywhere in the file is carried on every date
+        (missing counts = 0), matching the complete point-by-date layout the
+        inference arrays require."""
+        spec = self._spec
+        rd = self.release_date
+        self.releasefield_id = spec.get('releasefield_id', 'A')
+        self.release_DataFrames = []
+        for coll in spec['collections']:
+            df = self._read_obs_csv(coll['release_csv'])
+            df = df.assign(x=df['x'].astype(float), y=df['y'].astype(float),
+                           date=[_parse_day(v, rd) for v in df['date']])
+            counts = df.groupby(['x', 'y', 'date'])['count'].sum()
+            pts = sorted(set(zip(df['x'], df['y'])))
+            rows = [(x, y, date, float(counts.get((x, y, date), 0.0)))
+                    for date in df['date'].drop_duplicates().sort_values()
+                    for (x, y) in pts]
+            frame = pd.DataFrame(rows, columns=['xcoord', 'ycoord', 'date',
+                                                'E_total'])
+            frame['datePR'] = frame['date'] - rd
+            self.release_DataFrames.append(frame.drop(columns=['date']))
+
+    def _generic_grid(self):
+        """Adult grid counts from a CSV with columns ``x,y,date,count``
+        ((x, y) as in the release CSV).  Optional: omit ``grid_obs_csv``
+        from the spec for a site without grid sampling."""
+        spec = self._spec
+        rd = self.release_date
+        name = spec.get('grid_obs_csv')
+        if not name:
+            self.grid_obs_datesPR = []
+            self.grid_obs_DataFrame = pd.DataFrame(
+                {'xcoord': pd.Series(dtype=float),
+                 'ycoord': pd.Series(dtype=float),
+                 'obs_count': pd.Series(dtype=float),
+                 'datePR': pd.Series(dtype='timedelta64[ns]')})
+            return
+        df = self._read_obs_csv(name)
+        df = pd.DataFrame({'xcoord': df['x'].astype(float),
+                           'ycoord': df['y'].astype(float),
+                           'obs_count': df['count'].astype(float),
+                           'datePR': [_parse_day(v, rd) - rd
+                                      for v in df['date']]})
+        df = df.sort_values(['datePR', 'xcoord', 'ycoord'])
+        df = df.reset_index(drop=True)
+        self.grid_obs_datesPR = [pd.Timedelta(d)
+                                 for d in df['datePR'].unique()]
+        self.grid_obs_DataFrame = df
+
+    def _generic_card(self):
+        """Cardinal-transect counts: per spec ``cardinal`` entry, a CSV with
+        columns ``direction,distance,count`` (direction in north/south/east/
+        west, distance in meters from the release point used only for
+        ordering; the observation date and transect step size live in the
+        spec entry).  Optional: an absent/empty ``cardinal`` list means no
+        transect observations."""
+        spec = self._spec
+        rd = self.release_date
+        self.step_size = []
+        self.card_obs_DataFrames = []
+        self.card_obs_datesPR = []
+        for entry in spec.get('cardinal', []):
+            df = self._read_obs_csv(entry['csv'])
+            df = pd.DataFrame({'direction': df['direction'].astype(str),
+                               'distance': df['distance'].astype(float),
+                               'obs_count': df['count'].astype(float)})
+            dpr = _parse_day(entry['date'], rd) - rd
+            df['datePR'] = dpr
+            self.step_size.append(int(entry['step_size']))
+            self.card_obs_datesPR.append(dpr)
             self.card_obs_DataFrames.append(df)
