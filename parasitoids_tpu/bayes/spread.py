@@ -1,0 +1,180 @@
+"""Posterior spread maps: per-cell credible intervals of the daily
+population fields over posterior draws.
+
+No reference equivalent: the reference can plot the field of ONE parameter
+set (Plot_Result.py) — quantifying the spatial uncertainty of a fitted
+posterior meant re-running ``Run.py`` by hand per draw and eyeballing.
+Here draws from a saved trace run as a batched/sharded ensemble of forward
+simulations (parallel/ensemble.py) and are reduced to per-cell posterior
+quantiles on device-friendly shapes:
+
+    python -m parasitoids_tpu.bayes.spread runs/kalbar --days 3 18 \
+        --draws 20
+
+writes ``<trace>_spread.npz`` (quantile + mean fields per requested day)
+and one figure per day: the posterior-median density beside the 90%%
+credible-interval width — where the wasps are, and how sure the fit is.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .model import BayesSetup
+from .priors import MODEL_PARAM_NAMES
+
+__all__ = ['posterior_spread', 'plot_spread', 'save_spread', 'main']
+
+
+def _spread_fields(setup: BayesSetup, m_draws, day_idx, mesh=None):
+    """(B, len(day_idx), D, D) population fields for the model-parameter
+    draws, selecting the requested days inside the compiled program so the
+    full (B, ndays, D, D) stack never materializes."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..parallel.ensemble import _fields_one, _shard, _sharded_map
+
+    one_all = _fields_one(setup)
+    idx = jnp.asarray(day_idx, jnp.int32)
+    one = lambda theta: one_all(theta)[idx]
+    thetas = jnp.asarray(m_draws)
+    if mesh is not None:
+        return np.asarray(_sharded_map(one, _shard(thetas, mesh), mesh))
+    fn = jax.jit(lambda t: jax.lax.map(one, t))
+    return np.asarray(fn(thetas))
+
+
+def posterior_spread(setup: BayesSetup, traces, n_draws=20, days=None,
+                     quantiles=(0.05, 0.5, 0.95), seed=0, mesh=None):
+    """Per-cell posterior quantiles of the population fields.
+
+    Args:
+        traces: (n_chains, n_samples, dim) or (n_samples, dim) trace array.
+        days: 1-based simulation days to map (default: the last day).
+        quantiles: cell-wise quantiles to compute over the draws.
+    Returns:
+        dict with 'days', 'quantiles', 'maps' (len(quantiles), len(days),
+        D, D), 'mean' (len(days), D, D), and the sampled 'draw_rows'.
+    """
+    traces = np.asarray(traces)
+    if traces.ndim == 2:
+        traces = traces[None]
+    flat = traces.reshape(-1, traces.shape[-1])
+    rng = np.random.default_rng(seed)
+    take = rng.choice(flat.shape[0], size=min(n_draws, flat.shape[0]),
+                      replace=False)
+    m_draws = flat[take, :len(MODEL_PARAM_NAMES)].astype(np.float32)
+
+    days = [int(d) for d in (days if days else [setup.ndays])]
+    bad = [d for d in days if not 1 <= d <= setup.ndays]
+    if bad:
+        raise ValueError('days {} outside the simulated range 1..{}'.format(
+            bad, setup.ndays))
+    fields = _spread_fields(setup, m_draws, [d - 1 for d in days], mesh)
+    return {
+        'days': np.asarray(days),
+        'quantiles': np.asarray(quantiles, np.float64),
+        'maps': np.quantile(fields, quantiles, axis=0),
+        'mean': fields.mean(axis=0),
+        'draw_rows': take,
+    }
+
+
+def save_spread(spread, path):
+    np.savez_compressed(path, **spread)
+    return path
+
+
+def plot_spread(spread, params, outfile_prefix, locinfo=None):
+    """Per requested day: posterior-median field (left, plot_result
+    conventions) and the credible-interval width between the outer
+    quantiles (right, same window).  Returns the written paths."""
+    from ..viz.plot_result import (_extent_meters, _mpl, alpha_viridis,
+                                   crop_to_support)
+    plt = _mpl()
+
+    q = spread['quantiles']
+    lo_i, hi_i = int(np.argmin(q)), int(np.argmax(q))
+    med_i = int(np.argmin(np.abs(q - 0.5)))
+    rad_res = int(params.domain_info[1])
+    cell = params.domain_info[0] / params.domain_info[1]
+    outs = []
+    for k, day in enumerate(np.asarray(spread['days'])):
+        med = spread['maps'][med_i, k]
+        width = spread['maps'][hi_i, k] - spread['maps'][lo_i, k]
+        cropped, window = crop_to_support(med)
+        r0, r1, c0, c1 = window
+        extent = _extent_meters(window, rad_res, cell)
+
+        fig, axes = plt.subplots(1, 2, figsize=(13, 5.6))
+        panels = [(cropped, 'posterior median density'),
+                  (width[r0:r1, c0:c1],
+                   '{:.0f}% credible-interval width'.format(
+                       100 * (q[hi_i] - q[lo_i])))]
+        for ax, (fld, label) in zip(axes, panels):
+            masked = np.ma.masked_less_equal(fld, max(fld.max(), 1e-30)
+                                             * 1e-3)
+            im = ax.imshow(masked, cmap=alpha_viridis(), extent=extent,
+                           zorder=1)
+            if locinfo is not None:
+                for poly in locinfo.field_polys.values():
+                    ax.plot(*np.vstack([poly, poly[:1]]).T, 'r-', lw=0.8,
+                            zorder=2)
+            ax.set_xlabel('meters east of release')
+            ax.set_title(label)
+            fig.colorbar(im, ax=ax, shrink=0.85)
+        axes[0].set_ylabel('meters north of release')
+        fig.suptitle('Posterior spread, day {} PR'.format(int(day)))
+        out = '{}_d{}.png'.format(outfile_prefix, int(day))
+        fig.savefig(out, dpi=150, bbox_inches='tight')
+        plt.close(fig)
+        outs.append(out)
+    return outs
+
+
+def main(argv=None):
+    import argparse
+
+    import jax
+
+    from ..utils.cache import enable_compilation_cache
+    from .run import build_setup
+
+    ap = argparse.ArgumentParser(prog='parasitoids_tpu.bayes.spread')
+    ap.add_argument('trace', help='saved MCMC trace (npz path)')
+    ap.add_argument('--days', type=int, nargs='+', default=None,
+                    help='1-based simulation days to map (default: last)')
+    ap.add_argument('--draws', type=int, default=20)
+    ap.add_argument('--quantiles', type=float, nargs='+',
+                    default=(0.05, 0.5, 0.95))
+    ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('overrides', nargs='*',
+                    help='key=value Params overrides matching the run')
+    args = ap.parse_args(argv)
+    enable_compilation_cache()
+    setup = build_setup(args.overrides)
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        from ..parallel.chains import chain_mesh
+        mesh = chain_mesh()
+    path = (args.trace if args.trace.endswith('.npz')
+            else args.trace + '.npz')
+    with np.load(path) as npz:
+        traces = npz['traces']
+    spread = posterior_spread(setup, traces, n_draws=args.draws,
+                              days=args.days, quantiles=args.quantiles,
+                              seed=args.seed, mesh=mesh)
+    print('wrote', save_spread(spread, path[:-4] + '_spread.npz'))
+    try:
+        outs = plot_spread(spread, setup.params, path[:-4] + '_spread',
+                           locinfo=setup.locinfo)
+        for o in outs:
+            print('wrote', o)
+    except ImportError as e:    # matplotlib is the optional 'viz' extra
+        print('figures skipped (install the viz extra): {}'.format(e))
+
+
+if __name__ == '__main__':
+    main()
