@@ -157,9 +157,25 @@ class Params:
         return 1. / self.r_dur
 
     def custom(self, day):
-        raise NotImplementedError('custom release distribution not defined')
+        # parity stub (ref Run.py:164-166 expects the user to edit the
+        # source); pass explicit weights instead: r_dist=(w1,...,w_rdur)
+        raise NotImplementedError(
+            'custom release distribution not defined — pass explicit '
+            'daily weights instead, e.g. r_dist="(0.2,0.5,0.3)" on the '
+            'CLI or "r_dist": [0.2, 0.5, 0.3] in a site spec')
 
     def r_mthd(self):
+        if isinstance(self.r_dist, (list, tuple)):
+            w = [float(v) for v in self.r_dist]
+            if len(w) != self.r_dur:
+                raise ValueError(
+                    'r_dist has {} weights but r_dur = {}'.format(
+                        len(w), self.r_dur))
+            if min(w) < 0 or sum(w) <= 0:
+                raise ValueError('r_dist weights must be non-negative '
+                                 'with a positive sum: {}'.format(w))
+            total = sum(w)
+            return lambda day: w[day - 1] / total
         if self.r_dist == 'uniform':
             return self.uniform
         elif self.r_dist == 'custom':
@@ -273,7 +289,13 @@ class Params:
             elif arg == 'r_number':
                 self.r_number = i(val)
             elif arg == 'r_dist':
-                self.r_dist = val
+                # 'uniform' / 'custom', or explicit daily weights
+                # "(0.2,0.5,0.3)" (normalized at use in r_mthd)
+                if '(' in val or ',' in val:
+                    self.r_dist = tuple(
+                        f(v) for v in val.strip(' ()').split(','))
+                else:
+                    self.r_dist = val
             elif arg == 'g_params':
                 self.g_params = self._parse_tuple(val, (f, f))
             elif arg == 'f_params':

@@ -15,7 +15,7 @@ Spec file ``{data_dir}/{name}site.json``::
       "start_time": "00:00",           // first wind reading: 00:00 or 00:30
       "coord": [-27.0, 152.0],         // release point (lat, long)
       "r_dur": 1,                      // release duration, days
-      "r_dist": "uniform",             // release emergence distribution
+      "r_dist": "uniform",             // or explicit weights [0.2, 0.5, 0.3]
       "r_start": null,                 // release time as day fraction
       "r_number": 10000,               // wasps released
       "release_date": "2005-03-13",    // calendar anchor for CSV dates

@@ -88,3 +88,59 @@ def test_model_param_packers():
     assert Dp == p.Dparams and Dlp == p.Dlparams
     assert (rad_dist, rad_res) == p.domain_info
     assert p.get_wind_params() == (p.site_name, p.interp_num, p.start_time)
+
+
+def test_custom_release_weights():
+    """Explicit daily release-emergence weights (the reference's 'custom'
+    hook is an unimplemented stub, Run.py:164-166): CLI tuple syntax,
+    normalization, validation, and the dist_weights the forward setup
+    builds from them."""
+    import numpy as np
+    import pytest
+
+    p = Params()
+    p.cmd_line_chg(['--carnarvon', 'r_dur=3', 'r_dist=(1.0,2.0,1.0)'])
+    assert p.r_dist == (1.0, 2.0, 1.0)
+    dist = p.r_mthd()
+    np.testing.assert_allclose([dist(d) for d in (1, 2, 3)],
+                               [0.25, 0.5, 0.25])
+
+    # wrong length / negative weights are rejected at use
+    p.r_dur = 2
+    with pytest.raises(ValueError, match='r_dur'):
+        p.r_mthd()
+    p.r_dur = 3
+    p.r_dist = (1.0, -1.0, 1.0)
+    with pytest.raises(ValueError, match='non-negative'):
+        p.r_mthd()
+
+    # the 'custom' stub stays reference-faithful but points at the weights
+    p.r_dist = 'custom'
+    with pytest.raises(NotImplementedError, match='explicit'):
+        p.r_mthd()(1)
+
+
+def test_custom_release_weights_in_forward_setup_and_json(tmp_path):
+    import json
+
+    import numpy as np
+
+    from parasitoids_tpu.models.forward import setup_forward
+
+    p = Params()
+    p.cmd_line_chg(['dataset=demo', 'domain_info=(2000.0,25)',
+                    'r_dur=2', 'r_dist=(0.25,0.75)', 'interp_num=2',
+                    'kernel_rad=6', 'kernel_rad_local=3'])
+    p.PLOT = False
+    p.OUTPUT = False
+    p.PROB_MODEL = False
+    s = setup_forward(p)
+    np.testing.assert_allclose(s.dist_weights, [0.25, 0.75])
+
+    # a list r_dist round-trips through the JSON sidecar
+    path = tmp_path / 'run.json'
+    with open(path, 'w') as f:
+        json.dump({'r_dist': [0.25, 0.75], 'r_dur': 2}, f)
+    q = Params()
+    q.file_read_chg(str(path))
+    assert q.r_mthd()(2) == 0.75
