@@ -29,7 +29,24 @@ from .priors import MODEL_PARAM_NAMES, OBS_PARAM_NAMES
 
 __all__ = ['posterior_predictive', 'prior_predictive',
            'simulate_observations', 'plot_predictive',
-           'predictive_pvalues', 'pvalue_report', 'main']
+           'predictive_pvalues', 'pvalue_report', 'subsample_draws',
+           'main']
+
+
+def subsample_draws(traces, n_draws, seed):
+    """Flatten a (n_chains, n_samples, dim) or (n_samples, dim) trace and
+    subsample ``n_draws`` rows without replacement (seeded).  Returns
+    ``(rows, take)`` — the selected rows and their flat indices.  Shared by
+    every draw-consuming tool (predictive, spread) so subsampling behavior
+    cannot drift between CLIs."""
+    traces = np.asarray(traces)
+    if traces.ndim == 2:
+        traces = traces[None]
+    flat = traces.reshape(-1, traces.shape[-1])
+    rng = np.random.default_rng(seed)
+    take = rng.choice(flat.shape[0], size=min(n_draws, flat.shape[0]),
+                      replace=False)
+    return flat[take], take
 
 
 def _mpl():
@@ -55,14 +72,8 @@ def posterior_predictive(setup: BayesSetup, traces, n_draws=20, seed=0,
     """
     from ..parallel.ensemble import ensemble_projections
 
-    traces = np.asarray(traces)
-    if traces.ndim == 2:
-        traces = traces[None]
-    flat = traces.reshape(-1, traces.shape[-1])
+    draws, take = subsample_draws(traces, n_draws, seed)
     rng = np.random.default_rng(seed)
-    take = rng.choice(flat.shape[0], size=min(n_draws, flat.shape[0]),
-                      replace=False)
-    draws = flat[take]
 
     n_m = len(MODEL_PARAM_NAMES)
     n_o = len(OBS_PARAM_NAMES)

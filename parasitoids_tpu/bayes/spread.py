@@ -8,7 +8,7 @@ Here draws from a saved trace run as a batched/sharded ensemble of forward
 simulations (parallel/ensemble.py) and are reduced to per-cell posterior
 quantiles on device-friendly shapes:
 
-    python -m parasitoids_tpu.bayes.spread runs/kalbar --days 3 18 \
+    python -m parasitoids_tpu.bayes.spread runs/kalbar --days 3,18 \
         --draws 20
 
 writes ``<trace>_spread.npz`` (quantile + mean fields per requested day)
@@ -33,14 +33,14 @@ def _spread_fields(setup: BayesSetup, m_draws, day_idx, mesh=None):
     import jax
     import jax.numpy as jnp
 
-    from ..parallel.ensemble import _fields_one, _shard, _sharded_map
+    from ..parallel.ensemble import _fields_one, _sharded_map
 
     one_all = _fields_one(setup)
     idx = jnp.asarray(day_idx, jnp.int32)
     one = lambda theta: one_all(theta)[idx]
     thetas = jnp.asarray(m_draws)
     if mesh is not None:
-        return np.asarray(_sharded_map(one, _shard(thetas, mesh), mesh))
+        return np.asarray(_sharded_map(one, thetas, mesh))
     fn = jax.jit(lambda t: jax.lax.map(one, t))
     return np.asarray(fn(thetas))
 
@@ -57,14 +57,10 @@ def posterior_spread(setup: BayesSetup, traces, n_draws=20, days=None,
         dict with 'days', 'quantiles', 'maps' (len(quantiles), len(days),
         D, D), 'mean' (len(days), D, D), and the sampled 'draw_rows'.
     """
-    traces = np.asarray(traces)
-    if traces.ndim == 2:
-        traces = traces[None]
-    flat = traces.reshape(-1, traces.shape[-1])
-    rng = np.random.default_rng(seed)
-    take = rng.choice(flat.shape[0], size=min(n_draws, flat.shape[0]),
-                      replace=False)
-    m_draws = flat[take, :len(MODEL_PARAM_NAMES)].astype(np.float32)
+    from .predictive import subsample_draws
+
+    rows, take = subsample_draws(traces, n_draws, seed)
+    m_draws = rows[:, :len(MODEL_PARAM_NAMES)].astype(np.float32)
 
     days = [int(d) for d in (days if days else [setup.ndays])]
     bad = [d for d in days if not 1 <= d <= setup.ndays]
@@ -91,12 +87,15 @@ def plot_spread(spread, params, outfile_prefix, locinfo=None):
     conventions) and the credible-interval width between the outer
     quantiles (right, same window).  Returns the written paths."""
     from ..viz.plot_result import (_extent_meters, _mpl, alpha_viridis,
-                                   crop_to_support)
+                                   crop_to_support, vmax_excluding_origin)
     plt = _mpl()
 
     q = spread['quantiles']
     lo_i, hi_i = int(np.argmin(q)), int(np.argmax(q))
     med_i = int(np.argmin(np.abs(q - 0.5)))
+    med_label = ('posterior median density' if abs(q[med_i] - 0.5) < 1e-9
+                 else 'posterior {:.0f}% quantile density'.format(
+                     100 * q[med_i]))
     rad_res = int(params.domain_info[1])
     cell = params.domain_info[0] / params.domain_info[1]
     outs = []
@@ -108,14 +107,18 @@ def plot_spread(spread, params, outfile_prefix, locinfo=None):
         extent = _extent_meters(window, rad_res, cell)
 
         fig, axes = plt.subplots(1, 2, figsize=(13, 5.6))
-        panels = [(cropped, 'posterior median density'),
+        panels = [(cropped, med_label),
                   (width[r0:r1, c0:c1],
                    '{:.0f}% credible-interval width'.format(
                        100 * (q[hi_i] - q[lo_i])))]
         for ax, (fld, label) in zip(axes, panels):
             masked = np.ma.masked_less_equal(fld, max(fld.max(), 1e-30)
                                              * 1e-3)
+            # color scale ignores the origin block (holdback/“didn't fly”
+            # mass dwarfs the dispersal spread on early days)
             im = ax.imshow(masked, cmap=alpha_viridis(), extent=extent,
+                           vmax=vmax_excluding_origin(masked, window,
+                                                      rad_res),
                            zorder=1)
             if locinfo is not None:
                 for poly in locinfo.field_polys.values():
@@ -143,11 +146,17 @@ def main(argv=None):
 
     ap = argparse.ArgumentParser(prog='parasitoids_tpu.bayes.spread')
     ap.add_argument('trace', help='saved MCMC trace (npz path)')
-    ap.add_argument('--days', type=int, nargs='+', default=None,
-                    help='1-based simulation days to map (default: last)')
+    # comma-separated (not nargs='+'): greedy nargs would swallow the
+    # trailing key=value overrides every non-default run needs
+    ap.add_argument('--days', default=None,
+                    type=lambda s: [int(v) for v in s.split(',')],
+                    help='comma-separated 1-based simulation days to map, '
+                         'e.g. --days 3,18 (default: last day)')
     ap.add_argument('--draws', type=int, default=20)
-    ap.add_argument('--quantiles', type=float, nargs='+',
-                    default=(0.05, 0.5, 0.95))
+    ap.add_argument('--quantiles', default=(0.05, 0.5, 0.95),
+                    type=lambda s: [float(v) for v in s.split(',')],
+                    help='comma-separated cell-wise quantiles '
+                         '(default 0.05,0.5,0.95)')
     ap.add_argument('--seed', type=int, default=0)
     ap.add_argument('overrides', nargs='*',
                     help='key=value Params overrides matching the run')

@@ -139,7 +139,19 @@ class Params:
                 self.r_start = None if r_start is None else float(r_start)
                 self.r_number = int(spec.get('r_number', 1))
             else:
-                print('Unknown dataset in Params.dataset.')
+                # the reference prints one line here and keeps the stale
+                # previous preset's site/release parameters — with generic
+                # sites in play (a typo'd name, or running outside the
+                # directory holding data/) that silently simulates the
+                # WRONG site under the requested label, so fail loudly
+                import os
+                raise ValueError(
+                    'unknown dataset {0!r}: not a built-in preset '
+                    '(kalbar/carnarvon) and no site spec at {1} '
+                    '(cwd {2})'.format(
+                        self.dataset,
+                        os.path.join('data', self.dataset + 'site.json'),
+                        os.getcwd()))
 
         if self.dataset is not None:
             stamp = time.strftime('%m%d-%H%M')

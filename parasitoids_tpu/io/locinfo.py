@@ -188,15 +188,28 @@ class LocInfo:
         ### cardinal-direction observations
         self.get_card_observations(location)
         self.card_obs = []
+        # generic sites carry their REAL transect distances (the reference
+        # hard-codes the 5 + step_size*(1..n) sampling geometry of its one
+        # site, Bayes_funcs.py:193-215; ObservationOps keeps that formula
+        # for kalbar and uses these distances otherwise)
+        self.card_dists = [] if self._spec is not None else None
         for dframe in self.card_obs_DataFrames:
             dframe.sort_values(['direction', 'distance'], inplace=True)
-            by_dir = {d: dframe[dframe['direction'] == d]['obs_count'].values
+            by_dir = {d: dframe[dframe['direction'] == d]
                       for d in ('north', 'south', 'east', 'west')}
             maxlen = max(len(v) for v in by_dir.values())
             card = np.zeros((4, maxlen))
             for i, d in enumerate(('north', 'south', 'east', 'west')):
-                card[i, :len(by_dir[d])] = by_dir[d]
+                card[i, :len(by_dir[d])] = by_dir[d]['obs_count'].values
             self.card_obs.append(card)
+            if self.card_dists is not None:
+                dist = np.zeros((4, maxlen))
+                for i, d in enumerate(('north', 'south', 'east', 'west')):
+                    vals = by_dir[d]['distance'].values.astype(float)
+                    dist[i, :len(vals)] = vals
+                    if 0 < len(vals) < maxlen:   # pad: repeat the last
+                        dist[i, len(vals):] = vals[-1]
+                self.card_dists.append(dist)
 
         ### inference-ready arrays (ref Data_Import.py:215-254)
         self.release_emerg = []
@@ -210,7 +223,16 @@ class LocInfo:
             for x, y in dframe.loc[first, ['xcoord', 'ycoord']].values:
                 hit = (np.abs(gx - x) < 1e-6) & (np.abs(gy - y) < 1e-6)
                 vals = self.grid_data['collection'].to_numpy(float)[hit]
-                assert vals.shape == (1,), 'grid point must be unique'
+                if vals.shape != (1,):
+                    # most likely a typo'd coordinate in a generic-site
+                    # release CSV — name the point in the file's own
+                    # (pre-rotation) coordinate frame
+                    ox, oy = rot.T @ np.array([x, y])
+                    raise ValueError(
+                        'release observation point ({0:g}, {1:g}) '
+                        'matches {2} release-grid points; every x,y '
+                        'must coincide with exactly one point of the '
+                        'releasegrid file'.format(ox, oy, vals.size))
                 r_array.append(vals[0])
             r_array = np.array(r_array)
             self.release_collection.append(r_array / r_array.max())
@@ -488,10 +510,11 @@ class LocInfo:
     def _generic_card(self):
         """Cardinal-transect counts: per spec ``cardinal`` entry, a CSV with
         columns ``direction,distance,count`` (direction in north/south/east/
-        west, distance in meters from the release point used only for
-        ordering; the observation date and transect step size live in the
-        spec entry).  Optional: an absent/empty ``cardinal`` list means no
-        transect observations."""
+        west; distance in meters from the release point — the actual sample
+        positions, honored by the observation projections via
+        ``card_dists``; the observation date and a nominal step size live
+        in the spec entry).  Optional: an absent/empty ``cardinal`` list
+        means no transect observations."""
         spec = self._spec
         rd = self.release_date
         self.step_size = []

@@ -112,16 +112,26 @@ class ObservationOps:
         ### cardinal-direction transects (list of static gathers per day)
         self.card_gathers = []
         center = int(domain_info[1])
+        # generic sites record the true per-observation transect distances
+        # (LocInfo.card_dists, (4, obslen) per day); the reference formula
+        # 5 + step_size*(1..n) m is its one site's hard-coded sampling
+        # geometry (ref Bayes_funcs.py:193-215), kept for kalbar parity
+        card_dists = getattr(locinfo, 'card_dists', None)
         for nday, date in enumerate(locinfo.card_obs_datesPR):
             obslen = locinfo.card_obs[nday].shape[1]
-            dist = 5 + locinfo.step_size[nday] * (1 + np.arange(obslen))
+            if card_dists is not None:
+                dist = np.asarray(card_dists[nday], float)   # (4, obslen)
+            else:
+                dist = np.broadcast_to(
+                    5 + locinfo.step_size[nday] * (1 + np.arange(obslen)),
+                    (4, obslen))
             delta = (dist // res).astype(np.int32)
-            rows = np.stack([center - delta, center + delta,
+            rows = np.stack([center - delta[0], center + delta[1],
                              np.full(obslen, center),
                              np.full(obslen, center)])
             cols = np.stack([np.full(obslen, center),
                              np.full(obslen, center),
-                             center + delta, center - delta])
+                             center + delta[2], center - delta[3]])
             self.card_gathers.append(
                 (int(date.days) - 1,
                  rows * D + cols))                # (4, obslen) flat index

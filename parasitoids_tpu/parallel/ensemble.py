@@ -46,12 +46,26 @@ def _shard(x, mesh):
 
 
 def _sharded_map(fn, thetas, mesh):
+    """Map ``fn`` over the leading axis of ``thetas`` with the axis sharded
+    over ``mesh``.  A batch that doesn't divide the device count is padded
+    (repeating the last row) and the padding stripped from the result, so
+    any draw count works on any mesh."""
     from jax import shard_map
 
+    B = thetas.shape[0]
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    pad = (-B) % n_dev
+    if pad:
+        thetas = jnp.concatenate(
+            [thetas, jnp.broadcast_to(thetas[-1:],
+                                      (pad,) + thetas.shape[1:])])
     spec = P(mesh.axis_names[0])
     f = shard_map(lambda th: jax.lax.map(fn, th), mesh=mesh,
                   in_specs=spec, out_specs=spec, check_vma=False)
-    return jax.jit(f)(thetas)
+    out = jax.jit(f)(_shard(thetas, mesh))
+    if pad:
+        out = jax.tree.map(lambda a: a[:B], out)
+    return out
 
 
 def ensemble_projections(setup: BayesSetup, thetas, mesh=None):
@@ -61,7 +75,7 @@ def ensemble_projections(setup: BayesSetup, thetas, mesh=None):
         setup: BayesSetup (defines site, domain, data alignment).
         thetas: (B, 15) model-parameter blocks (e.g. posterior draws).
         mesh: optional 1-D device mesh; the batch axis is sharded over it
-            (pad B to a multiple of the device count for even shards).
+            (padded internally to a multiple of the device count).
     Returns:
         (release, sentinel, grid) projection batches, leading axis B.
     """
@@ -69,7 +83,7 @@ def ensemble_projections(setup: BayesSetup, thetas, mesh=None):
     if mesh is not None:
         return _sharded_map(
             lambda th: setup.forward_projections(_as_model(th)),
-            _shard(thetas, mesh), mesh)
+            thetas, mesh)
     return _proj_batch(setup, thetas)
 
 
@@ -110,5 +124,5 @@ def ensemble_fields(setup: BayesSetup, thetas, mesh=None):
     :func:`ensemble_projections` unless the fields themselves are needed."""
     thetas = jnp.asarray(thetas)
     if mesh is not None:
-        return _sharded_map(_fields_one(setup), _shard(thetas, mesh), mesh)
+        return _sharded_map(_fields_one(setup), thetas, mesh)
     return _fields_batch(setup, thetas)

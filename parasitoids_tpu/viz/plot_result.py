@@ -14,7 +14,8 @@ import os
 
 import numpy as np
 
-__all__ = ['alpha_viridis', 'crop_to_support', 'plot', 'plot_all',
+__all__ = ['alpha_viridis', 'crop_to_support', 'vmax_excluding_origin',
+           'plot', 'plot_all',
            'create_animation', 'get_satellite', 'main']
 
 
@@ -51,6 +52,21 @@ def crop_to_support(field, rel_tol=1e-3, frame=5):
     c0 = max(cols.min() - frame, 0)
     c1 = min(cols.max() + frame + 1, field.shape[1])
     return field[r0:r1, c0:c1], (r0, r1, c0, c1)
+
+
+def vmax_excluding_origin(masked, window, rad_res):
+    """Color-scale maximum ignoring the origin block, which can dwarf the
+    dispersal spread (ref Plot_Result.py:217-221).  ``masked`` is the
+    support-cropped masked field, ``window`` its crop window."""
+    vmax_src = masked.copy()
+    r0, _, c0, _ = window
+    cr, cc = rad_res - r0, rad_res - c0
+    if 0 <= cr < vmax_src.shape[0] and 0 <= cc < vmax_src.shape[1]:
+        lo_r, hi_r = max(cr - 2, 0), cr + 3
+        lo_c, hi_c = max(cc - 2, 0), cc + 3
+        vmax_src[lo_r:hi_r, lo_c:hi_c] = np.ma.masked
+    return float(vmax_src.max()) if vmax_src.count() else float(
+        masked.max())
 
 
 def _extent_meters(window, rad_res, cell):
@@ -108,18 +124,8 @@ def plot(field, day, params, outfile=None, locinfo=None, show=False,
     if sat is not None:
         ax.imshow(sat, extent=extent, zorder=0)
     masked = np.ma.masked_less_equal(cropped, cropped.max() * 1e-3)
-    # color scale ignores the origin block, which can dwarf the spread
-    # (ref Plot_Result.py:217-221)
-    vmax_src = masked.copy()
-    if mask_center:
-        r0, _, c0, _ = window
-        cr, cc = rad_res - r0, rad_res - c0
-        if 0 <= cr < vmax_src.shape[0] and 0 <= cc < vmax_src.shape[1]:
-            lo_r, hi_r = max(cr - 2, 0), cr + 3
-            lo_c, hi_c = max(cc - 2, 0), cc + 3
-            vmax_src[lo_r:hi_r, lo_c:hi_c] = np.ma.masked
-    vmax = float(vmax_src.max()) if vmax_src.count() else float(
-        masked.max())
+    vmax = (vmax_excluding_origin(masked, window, rad_res) if mask_center
+            else float(masked.max()))
     im = ax.imshow(masked, cmap=alpha_viridis(), extent=extent,
                    vmax=vmax, zorder=1)
     if locinfo is not None:

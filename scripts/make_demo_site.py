@@ -99,11 +99,12 @@ def write_observations():
             for n, (x, y) in enumerate(GRID[:6]):
                 f.write('{:.1f},{:.1f},{},{}\n'.format(
                     x, y, date, (3 * n + date) % 5))
-    # cardinal transects: direction,distance,count
+    # cardinal transects: direction,distance,count — distances are the
+    # real sample positions (one, two, three cells out at 80 m resolution)
     with open(os.path.join(OUT, 'demo_card.csv'), 'w') as f:
         f.write('direction,distance,count\n')
         for d in ('north', 'south', 'east', 'west'):
-            for dist, c in ((10, 3), (20, 1), (30, 0)):
+            for dist, c in ((80, 3), (160, 1), (240, 0)):
                 f.write('{},{},{}\n'.format(d, dist, c))
 
 

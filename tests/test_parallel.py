@@ -90,3 +90,24 @@ def test_nuts_chains_over_mesh(setup):
     out = jax.vmap(lambda z, k: nuts_sample(logpdf, z, k, cfg))(z0s, keys)
     assert out['samples'].shape == (8, 10, 3)
     assert np.isfinite(np.asarray(out['samples'])).all()
+
+
+def test_ensemble_sharded_batch_not_divisible(setup):
+    """A draw count that doesn't divide the device count is padded inside
+    _sharded_map and the padding stripped — the spread/predictive CLIs'
+    default --draws must work on any mesh."""
+    from parasitoids_tpu.parallel.chains import chain_mesh
+    from parasitoids_tpu.parallel.ensemble import ensemble_projections
+    from parasitoids_tpu.bayes.priors import initial_model_params
+
+    mesh = chain_mesh()
+    rng = np.random.default_rng(1)
+    B = 3    # 8 devices, B=3: needs padding
+    thetas = np.tile(initial_model_params(), (B, 1)) \
+        * (1 + 0.02 * rng.standard_normal((B, 15)))
+    thetas[:, 13] = 30.0
+    rel, sent, grid = ensemble_projections(setup, thetas, mesh=mesh)
+    assert grid.shape[0] == B
+    rel2, sent2, grid2 = ensemble_projections(setup, thetas, mesh=None)
+    np.testing.assert_allclose(np.asarray(grid), np.asarray(grid2),
+                               rtol=1e-5)

@@ -215,3 +215,52 @@ def test_demo_site_bayes_logpost():
     g = jax.grad(lambda mm: s.log_posterior(mm, o))(m)
     gflat = jnp.concatenate([jnp.ravel(v) for v in g])
     assert bool(jnp.isfinite(gflat).all())
+
+
+def test_unknown_dataset_raises():
+    """A typo'd dataset must fail loudly, not silently keep the previous
+    preset's site/release parameters under the requested label."""
+    p = Params()
+    with pytest.raises(ValueError, match='demmosite.json'):
+        p.cmd_line_chg(['dataset=demmo'])
+
+
+def test_generic_card_distances_honored():
+    """Generic sites record true transect sample positions; the projection
+    gathers at those distances instead of the reference's hard-coded
+    5 + step_size*(1..n) formula (which only describes its one site)."""
+    from parasitoids_tpu.models.observe import ObservationOps
+
+    li = LocInfo('demo', DEMO_COORD, DEMO_DOMAIN)
+    assert li.card_dists is not None
+    np.testing.assert_allclose(li.card_dists[0],
+                               np.tile([80.0, 160.0, 240.0], (4, 1)))
+    oo = ObservationOps(li, DEMO_DOMAIN, 4)
+    day, idx = oo.card_gathers[0]
+    assert day == 2
+    D, center = 51, 25
+    res = DEMO_DOMAIN[0] / DEMO_DOMAIN[1]
+    deltas = (np.array([80.0, 160.0, 240.0]) // res).astype(int)  # 1,2,3
+    np.testing.assert_array_equal(
+        idx[0], (center - deltas) * D + center)          # north: rows up
+    np.testing.assert_array_equal(
+        idx[2], center * D + (center + deltas))          # east: cols right
+    # kalbar keeps the reference formula (card_dists is None)
+    ref = LocInfo('kalbar', KAL_COORD, (10000.0, 100))
+    assert ref.card_dists is None
+
+
+def test_release_csv_point_off_grid_names_the_point(tmp_path):
+    for name in ('demofields.txt', 'demoreleasegrid.txt',
+                 'demo_sentinel.csv', 'demosite.json'):
+        shutil.copy(os.path.join('data', name), tmp_path / name)
+    with open(tmp_path / 'demo_release.csv', 'w') as f:
+        f.write('x,y,date,count\n0.0,100.0,8,6\n100.1,0.0,8,4\n')
+    with open(os.path.join('data', 'demosite.json')) as f:
+        spec = json.load(f)
+    del spec['grid_obs_csv']
+    del spec['cardinal']
+    with open(tmp_path / 'demosite.json', 'w') as f:
+        json.dump(spec, f)
+    with pytest.raises(ValueError, match=r'100\.1'):
+        LocInfo('demo', DEMO_COORD, DEMO_DOMAIN, data_dir=str(tmp_path))
