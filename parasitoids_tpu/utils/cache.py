@@ -11,23 +11,43 @@ from __future__ import annotations
 import hashlib
 import os
 import platform
+import subprocess
 
 
 def _machine_tag() -> str:
     """Short fingerprint of the host CPU so cached XLA:CPU AOT results are
-    never reloaded on a machine with different vector extensions (XLA only
-    warns on the mismatch and 'could lead to execution errors such as
-    SIGILL')."""
+    never reloaded on a machine with different vector extensions (loading
+    one is not just XLA's warned-about SIGILL risk — observed as a hard
+    SIGSEGV inside executable deserialization).
+
+    /proc/cpuinfo is NOT sufficient under virtualization: VMs report a
+    stable masked model ('Intel(R) Xeon(R) Processor @ 2.10GHz') while
+    LLVM detects the real host's features through CPUID, so two physical
+    hosts can share cpuinfo but produce incompatible AOT code.  Prefer the
+    compiler's own CPUID-based native detection (``gcc -march=native``
+    resolves the actual microarchitecture, e.g. 'cooperlake'), falling
+    back to cpuinfo flags."""
+    feats = ''
     try:
-        with open('/proc/cpuinfo') as f:
-            for line in f:
-                if line.startswith('flags'):
-                    feats = ' '.join(sorted(line.split(':', 1)[1].split()))
-                    break
-            else:
-                feats = platform.processor()
-    except OSError:
-        feats = platform.processor()
+        out = subprocess.run(['gcc', '-march=native', '-Q',
+                              '--help=target'],
+                             capture_output=True, text=True, timeout=15)
+        if out.returncode == 0:
+            feats = out.stdout
+    except (OSError, subprocess.TimeoutExpired):
+        pass
+    if not feats:
+        try:
+            with open('/proc/cpuinfo') as f:
+                for line in f:
+                    if line.startswith('flags'):
+                        feats = ' '.join(
+                            sorted(line.split(':', 1)[1].split()))
+                        break
+                else:
+                    feats = platform.processor()
+        except OSError:
+            feats = platform.processor()
     return hashlib.sha1(feats.encode()).hexdigest()[:10]
 
 
@@ -39,6 +59,18 @@ def enable_compilation_cache(path: str | None = None):
     import jax
 
     pin_platform_from_env()
+    # XLA:CPU executable (de)serialization has segfaulted on this stack —
+    # observed both reading an entry compiled on a different physical host
+    # behind the same virtualized cpuinfo AND writing a fresh multi-device
+    # CPU executable (pytest faulthandler: compilation_cache.py
+    # get/put_executable_and_time).  The cache's real value is the TPU
+    # tunnel's multi-minute compiles, so persistent caching is accelerator-
+    # only unless PARA_TPU_CACHE_CPU=1 explicitly opts CPU in (e.g. for
+    # repeated full-scale f64 parity audits on a known-stable host).
+    plats = (os.environ.get('JAX_PLATFORMS') or '').split(',')
+    if (plats[0].strip().lower() == 'cpu'
+            and os.environ.get('PARA_TPU_CACHE_CPU') != '1'):
+        return None
     path = path or os.environ.get('PARA_TPU_CACHE_DIR', _DEFAULT)
     os.makedirs(path, exist_ok=True)
     jax.config.update('jax_compilation_cache_dir', path)
