@@ -736,6 +736,9 @@ def run_analyze(args):
         print('meta: {}'.format(json.dumps(meta)))
     from .store import load_extras
     extras = load_extras(path)
+    print('companion CLIs (each takes this trace + the run overrides): '
+          'bayes.summary (full report), bayes.predictive (PPC), '
+          'bayes.spread (posterior maps), bayes.loo (WAIC/PSIS-LOO)')
     has_ev = (('betas' in extras and 'loglik' in extras)
               or 'logz_path' in extras)
     menu = ('[s] posterior summary + R-hat/ESS   [p] diagnostic plots '

@@ -121,6 +121,17 @@ def build_report(setup, traces, path, draws=100, seed=0, mesh=None,
     ppath = plot_predictive(setup, pred, base + '_predictive.png')
     sec.append('- predictive overlays: `{}`'.format(ppath))
 
+    # posterior spread map of the final day (fields are D^2 per draw —
+    # bounded tighter than the projection-space work above)
+    from .spread import plot_spread, posterior_spread, save_spread
+    spr = posterior_spread(setup, traces, n_draws=min(draws, 20),
+                           seed=seed, mesh=mesh)
+    save_spread(spr, base + '_spread.npz')
+    spaths = plot_spread(spr, setup.params, base + '_spread',
+                         locinfo=setup.locinfo)
+    sec.append('- posterior spread map (day {}): `{}`'.format(
+        int(spr['days'][0]), spaths[0]))
+
     ll, _ = pointwise_matrix(setup, traces, n_draws=draws, seed=seed,
                              mesh=mesh)
     if group != 'point':

@@ -168,4 +168,7 @@ def test_summary_report(tmp_path, monkeypatch):
         assert section in text, section
     assert os.path.exists(base + '_predictive.png')
     assert os.path.exists(base + '_loo.png')
+    assert os.path.exists(base + '_spread.npz')
+    assert os.path.exists(base + '_spread_d{}.png'.format(setup.ndays))
+    assert 'posterior spread map' in text
     assert (tmp_path / 'diagnostics').exists()
