@@ -23,7 +23,8 @@ import numpy as np
 from .model import BayesSetup
 from .priors import MODEL_PARAM_NAMES
 
-__all__ = ['posterior_spread', 'plot_spread', 'save_spread', 'main']
+__all__ = ['posterior_spread', 'prior_spread', 'plot_spread',
+           'save_spread', 'main']
 
 
 def _spread_fields(setup: BayesSetup, m_draws, day_idx, mesh=None):
@@ -75,6 +76,22 @@ def posterior_spread(setup: BayesSetup, traces, n_draws=20, days=None,
         'mean': fields.mean(axis=0),
         'draw_rows': take,
     }
+
+
+def prior_spread(setup: BayesSetup, n_draws=20, days=None,
+                 quantiles=(0.05, 0.5, 0.95), seed=0, mesh=None):
+    """Spread maps under parameters drawn from the exact joint prior — the
+    spatial companion to ``predictive.prior_predictive`` (do the priors
+    put wasps in plausible places at all?)."""
+    import jax
+    from jax import random
+
+    from .priors import sample_prior_model
+
+    m = np.asarray(jax.vmap(sample_prior_model)(
+        random.split(random.PRNGKey(seed), n_draws)))
+    return posterior_spread(setup, m[None], n_draws=n_draws, days=days,
+                            quantiles=quantiles, seed=seed, mesh=mesh)
 
 
 def save_spread(spread, path):
@@ -145,7 +162,11 @@ def main(argv=None):
     from .run import build_setup
 
     ap = argparse.ArgumentParser(prog='parasitoids_tpu.bayes.spread')
-    ap.add_argument('trace', help='saved MCMC trace (npz path)')
+    ap.add_argument('trace', nargs='?', default=None,
+                    help='saved MCMC trace (npz path); omit with --prior')
+    ap.add_argument('--prior', action='store_true',
+                    help='prior spread: draw parameters from the joint '
+                         'prior instead of a trace')
     # comma-separated (not nargs='+'): greedy nargs would swallow the
     # trailing key=value overrides every non-default run needs
     ap.add_argument('--days', default=None,
@@ -161,6 +182,12 @@ def main(argv=None):
     ap.add_argument('overrides', nargs='*',
                     help='key=value Params overrides matching the run')
     args = ap.parse_args(argv)
+    if args.trace is None and not args.prior:
+        ap.error('a trace path is required unless --prior is given')
+    # a bare key=value first positional is a common slip with --prior
+    if args.prior and args.trace and '=' in args.trace:
+        args.overrides = [args.trace] + args.overrides
+        args.trace = None
     enable_compilation_cache()
     setup = build_setup(args.overrides)
 
@@ -168,16 +195,24 @@ def main(argv=None):
     if len(jax.devices()) > 1:
         from ..parallel.chains import chain_mesh
         mesh = chain_mesh()
-    path = (args.trace if args.trace.endswith('.npz')
-            else args.trace + '.npz')
-    with np.load(path) as npz:
-        traces = npz['traces']
-    spread = posterior_spread(setup, traces, n_draws=args.draws,
-                              days=args.days, quantiles=args.quantiles,
-                              seed=args.seed, mesh=mesh)
-    print('wrote', save_spread(spread, path[:-4] + '_spread.npz'))
+    if args.prior:
+        spread = prior_spread(setup, n_draws=args.draws, days=args.days,
+                              quantiles=args.quantiles, seed=args.seed,
+                              mesh=mesh)
+        base = 'prior_spread'
+    else:
+        path = (args.trace if args.trace.endswith('.npz')
+                else args.trace + '.npz')
+        with np.load(path) as npz:
+            traces = npz['traces']
+        spread = posterior_spread(setup, traces, n_draws=args.draws,
+                                  days=args.days,
+                                  quantiles=args.quantiles,
+                                  seed=args.seed, mesh=mesh)
+        base = path[:-4] + '_spread'
+    print('wrote', save_spread(spread, base + '.npz'))
     try:
-        outs = plot_spread(spread, setup.params, path[:-4] + '_spread',
+        outs = plot_spread(spread, setup.params, base,
                            locinfo=setup.locinfo)
         for o in outs:
             print('wrote', o)

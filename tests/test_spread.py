@@ -79,3 +79,13 @@ def test_posterior_spread_default_day_is_last(demo_setup):
     spread = posterior_spread(demo_setup, _fake_trace(3), n_draws=2)
     assert list(spread['days']) == [demo_setup.ndays]
     assert spread['maps'].shape[1] == 1
+
+
+def test_prior_spread(demo_setup):
+    from parasitoids_tpu.bayes.spread import prior_spread
+
+    spread = prior_spread(demo_setup, n_draws=3, days=[2], seed=4)
+    D = demo_setup.setup.scfg.dom_len
+    assert spread['maps'].shape == (3, 1, D, D)
+    assert np.isfinite(spread['maps']).all()
+    assert spread['mean'].sum() > 0
