@@ -36,6 +36,15 @@ __all__ = ['map_fit', 'map_fit_multistart', 'lbfgs_polish',
 _N_PERIODS_FIXED = 30.0
 
 
+
+def default_use_sprd(params):
+    """Whether the pre-wind local-spread day (sprd_factor) is fit: on for
+    Kalbar as in the reference (Bayes_MAP.py:200-205 — a day of local
+    spread before wind data began); generic sites opt in with
+    ``"sprd_factor": true`` in their site spec (config.use_sprd_factor)."""
+    return (params.dataset == 'kalbar'
+            or bool(getattr(params, 'use_sprd_factor', False)))
+
 def _theta_split(setup):
     n_sent = setup.n_sent
     t_obs = obs_transforms(n_sent, setup.min_field_area)
@@ -98,7 +107,7 @@ def map_fit(setup: BayesSetup, n_steps=300, learning_rate=0.02,
     run one monolithic multi-minute program; chunking is mathematically a
     no-op, same pattern as the MCMC/NUTS stepwise drivers)."""
     if use_sprd is None:
-        use_sprd = setup.params.dataset == 'kalbar'
+        use_sprd = default_use_sprd(setup.params)
     neg_logpost, constrain, unconstrain = _make_objective(setup, use_sprd)
 
     if m0 is None:
@@ -165,7 +174,7 @@ def lbfgs_polish(setup: BayesSetup, z, n_steps=30, use_sprd=None,
     and the AIC (both second-order quantities around the mode).  Returns a
     ``map_fit``-shaped dict."""
     if use_sprd is None:
-        use_sprd = setup.params.dataset == 'kalbar'
+        use_sprd = default_use_sprd(setup.params)
     neg_logpost, constrain, _ = _make_objective(setup, use_sprd)
     opt = optax.lbfgs()
     value_and_grad = optax.value_and_grad_from_state(neg_logpost)
@@ -232,7 +241,7 @@ def map_fit_multistart(setup: BayesSetup, n_starts=8, seed=0, n_steps=300,
     from .priors import sample_prior_model, sample_prior_obs
 
     if use_sprd is None:
-        use_sprd = setup.params.dataset == 'kalbar'
+        use_sprd = default_use_sprd(setup.params)
     neg_logpost, constrain, unconstrain = _make_objective(setup, use_sprd)
 
     m0 = jnp.asarray(initial_model_params(), jnp.float32)

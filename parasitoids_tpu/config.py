@@ -96,6 +96,10 @@ class Params:
     # dataset presets (ref: Run.py:96-153)
     # ------------------------------------------------------------------
     def my_datasets(self):
+        # pre-wind local-spread day in MAP fits (Bayes_MAP.py:200-205):
+        # implied for kalbar (bayes/map_fit.default_use_sprd); generic
+        # sites opt in via "sprd_factor": true in their site spec
+        self.use_sprd_factor = False
         if self.dataset is None:
             self.site_name = 'data/carnarvonearl'
             self.start_time = '00:30'
@@ -138,6 +142,7 @@ class Params:
                 r_start = spec.get('r_start')
                 self.r_start = None if r_start is None else float(r_start)
                 self.r_number = int(spec.get('r_number', 1))
+                self.use_sprd_factor = bool(spec.get('sprd_factor', False))
             else:
                 # the reference prints one line here and keeps the stale
                 # previous preset's site/release parameters — with generic

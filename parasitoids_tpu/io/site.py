@@ -19,6 +19,7 @@ Spec file ``{data_dir}/{name}site.json``::
       "r_start": null,                 // release time as day fraction
       "r_number": 10000,               // wasps released
       "release_date": "2005-03-13",    // calendar anchor for CSV dates
+      "sprd_factor": false,            // fit a pre-wind local-spread day (MAP)
       "releasefield_id": "A",          // field id of the release field
       "grid_rotation_deg": 0.0,        // sampling-grid/road rotation
       "collections": [                 // one entry per collection event

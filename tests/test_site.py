@@ -264,3 +264,36 @@ def test_release_csv_point_off_grid_names_the_point(tmp_path):
         json.dump(spec, f)
     with pytest.raises(ValueError, match=r'100\.1'):
         LocInfo('demo', DEMO_COORD, DEMO_DOMAIN, data_dir=str(tmp_path))
+
+
+def test_spec_sprd_factor_opt_in(tmp_path):
+    """Generic sites can opt into the pre-wind local-spread day the MAP
+    layer fits for Kalbar (ref Bayes_MAP.py:200-205)."""
+    from parasitoids_tpu.bayes.map_fit import default_use_sprd
+
+    p = Params()
+    p.cmd_line_chg(['dataset=demo'])
+    assert p.use_sprd_factor is False
+    assert default_use_sprd(p) is False
+
+    with open(os.path.join('data', 'demosite.json')) as f:
+        spec = json.load(f)
+    spec['sprd_factor'] = True
+    site_dir = tmp_path / 'data'
+    site_dir.mkdir()
+    with open(site_dir / 'demo2site.json', 'w') as f:
+        json.dump(spec, f)
+    import os as _os
+    cwd = _os.getcwd()
+    try:
+        _os.chdir(tmp_path)
+        q = Params()
+        q.cmd_line_chg(['dataset=demo2'])
+        assert q.use_sprd_factor is True
+        assert default_use_sprd(q) is True
+    finally:
+        _os.chdir(cwd)
+    # kalbar keeps the reference's implied behavior
+    k = Params()
+    k.cmd_line_chg(['--kalbar'])
+    assert default_use_sprd(k) is True
