@@ -184,10 +184,16 @@ def main(argv=None):
     args = ap.parse_args(argv)
     if args.trace is None and not args.prior:
         ap.error('a trace path is required unless --prior is given')
-    # a bare key=value first positional is a common slip with --prior
-    if args.prior and args.trace and '=' in args.trace:
-        args.overrides = [args.trace] + args.overrides
-        args.trace = None
+    # a bare key=value first positional is a common slip with --prior; a
+    # real trace path with --prior is a conflict (the trace would be
+    # silently ignored), not a slip
+    if args.prior and args.trace:
+        if '=' in args.trace:
+            args.overrides = [args.trace] + args.overrides
+            args.trace = None
+        else:
+            ap.error('--prior takes no trace (got {!r}); drop one or '
+                     'the other'.format(args.trace))
     enable_compilation_cache()
     setup = build_setup(args.overrides)
 

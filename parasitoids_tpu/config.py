@@ -301,6 +301,10 @@ class Params:
                 self.use_pallas = val.strip().lower() in ('1', 'true', 'yes')
             elif arg == 'use_f64':
                 self.use_f64 = self._parse_bool(val)
+            elif arg in ('sprd_factor', 'use_sprd_factor'):
+                # restore/override after a preset change reset it (presets
+                # re-apply my_datasets, which defaults this to False)
+                self.use_sprd_factor = self._parse_bool(val)
             elif arg == 'r_start':
                 self.r_start = f(val)
             elif arg == 'r_number':

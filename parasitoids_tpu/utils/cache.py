@@ -51,8 +51,18 @@ def _machine_tag() -> str:
     return hashlib.sha1(feats.encode()).hexdigest()[:10]
 
 
-_DEFAULT = os.path.join(os.path.expanduser('~'), '.cache',
-                        'parasitoids_tpu_xla-' + _machine_tag())
+_tag_cache: list = []
+
+
+def default_cache_dir() -> str:
+    """Machine-tagged cache directory, computed lazily: the tag shells out
+    to gcc, which must not run as an import side effect (and is pure waste
+    when the cache is skipped)."""
+    if not _tag_cache:
+        _tag_cache.append(os.path.join(
+            os.path.expanduser('~'), '.cache',
+            'parasitoids_tpu_xla-' + _machine_tag()))
+    return _tag_cache[0]
 
 
 def enable_compilation_cache(path: str | None = None):
@@ -67,11 +77,17 @@ def enable_compilation_cache(path: str | None = None):
     # tunnel's multi-minute compiles, so persistent caching is accelerator-
     # only unless PARA_TPU_CACHE_CPU=1 explicitly opts CPU in (e.g. for
     # repeated full-scale f64 parity audits on a known-stable host).
-    plats = (os.environ.get('JAX_PLATFORMS') or '').split(',')
-    if (plats[0].strip().lower() == 'cpu'
-            and os.environ.get('PARA_TPU_CACHE_CPU') != '1'):
+    first = (os.environ.get('JAX_PLATFORMS') or '').split(',')[0]
+    first = first.strip().lower()
+    if not first:
+        # no env pin: ask the backend (quick on a CPU-only host; on this
+        # rig the driver always pins JAX_PLATFORMS so this is never the
+        # wedged-tunnel probe)
+        first = jax.default_backend()
+    if first == 'cpu' and os.environ.get('PARA_TPU_CACHE_CPU') != '1':
         return None
-    path = path or os.environ.get('PARA_TPU_CACHE_DIR', _DEFAULT)
+    path = path or os.environ.get('PARA_TPU_CACHE_DIR',
+                                  default_cache_dir())
     os.makedirs(path, exist_ok=True)
     jax.config.update('jax_compilation_cache_dir', path)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)

@@ -283,16 +283,27 @@ def test_spec_sprd_factor_opt_in(tmp_path):
     site_dir.mkdir()
     with open(site_dir / 'demo2site.json', 'w') as f:
         json.dump(spec, f)
-    import os as _os
-    cwd = _os.getcwd()
+    cwd = os.getcwd()
     try:
-        _os.chdir(tmp_path)
+        os.chdir(tmp_path)
         q = Params()
         q.cmd_line_chg(['dataset=demo2'])
         assert q.use_sprd_factor is True
         assert default_use_sprd(q) is True
+        # preset re-application re-reads the spec, so the flag survives
+        q.cmd_line_chg(['--pop'])
+        assert q.use_sprd_factor is True
     finally:
-        _os.chdir(cwd)
+        os.chdir(cwd)
+    # on preset datasets the flag has no spec to come back from after a
+    # preset change; the CLI/sidecar key restores it
+    c = Params()
+    c.cmd_line_chg(['--carnarvon', 'sprd_factor=True'])
+    assert c.use_sprd_factor is True
+    c.cmd_line_chg(['--pop'])
+    assert c.use_sprd_factor is False
+    c.cmd_line_chg(['sprd_factor=True'])
+    assert c.use_sprd_factor is True and default_use_sprd(c) is True
     # kalbar keeps the reference's implied behavior
     k = Params()
     k.cmd_line_chg(['--kalbar'])
