@@ -25,16 +25,27 @@ def read_wind_file(site_name):
     """
     days_col = []
     rows = []
-    with open(site_name + 'wind.txt') as f:
-        for line in f:
+    path = site_name + 'wind.txt'
+    with open(path) as f:
+        for lineno, line in enumerate(f, 1):
             parts = line.split()
             if not parts:
                 continue
-            day = int(parts[0])
-            windx = float(parts[1])
-            windy = float(parts[2])
+            try:
+                day = int(parts[0])
+                windx = float(parts[1])
+                windy = float(parts[2])
+            except (ValueError, IndexError):
+                # new-site onboarding: name the file and line instead of a
+                # bare parse traceback
+                raise ValueError(
+                    '{}:{}: expected "day windx windy" per 30-min reading '
+                    '(tab/space separated), got {!r}'.format(
+                        path, lineno, line.rstrip('\n'))) from None
             days_col.append(day)
             rows.append((windx, windy))
+    if not rows:
+        raise ValueError('{}: no wind readings found'.format(path))
 
     arr = np.array(rows, dtype=np.float64)
     arr[np.abs(arr) < _DENOISE] = 0.0

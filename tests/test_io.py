@@ -87,3 +87,20 @@ def test_pack_wind():
     np.testing.assert_allclose(packed[0], wind_data[days[0]][:, :2])
     packed2 = pack_wind(wind_data, days, ndays=3)
     assert packed2.shape == (3, 48 * 5, 2)
+
+
+def test_wind_reader_names_bad_line(tmp_path):
+    """New-site onboarding: a malformed wind row fails with file:line and
+    the expected format, not a bare int()/IndexError traceback."""
+    import pytest
+
+    from parasitoids_tpu.io.wind import read_wind_file
+
+    p = tmp_path / 'badwind.txt'
+    p.write_text('1\t0.1\t0.2\n1\t0.3\n')
+    with pytest.raises(ValueError, match=r'badwind\.txt:2'):
+        read_wind_file(str(tmp_path / 'bad'))
+
+    (tmp_path / 'emptywind.txt').write_text('\n\n')
+    with pytest.raises(ValueError, match='no wind readings'):
+        read_wind_file(str(tmp_path / 'empty'))
