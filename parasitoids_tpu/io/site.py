@@ -44,7 +44,7 @@ from __future__ import annotations
 import json
 import os
 
-__all__ = ['load_site_spec', 'site_spec_path']
+__all__ = ['load_site_spec', 'site_spec_path', 'scaffold_site', 'main']
 
 
 def site_spec_path(data_dir, location):
@@ -58,3 +58,86 @@ def load_site_spec(data_dir, location):
         return None
     with open(path) as f:
         return json.load(f)
+
+
+def scaffold_site(name, data_dir='data'):
+    """Write a template file set for a new site under ``data_dir``:
+    the spec with placeholder values, headed (empty) observation CSVs, and
+    commented format stubs for the wind/fields/releasegrid files.  Refuses
+    to overwrite existing files.  Returns the list of files written."""
+    spec = {
+        '_edit_me': 'template written by parasitoids_tpu.io.site — every '
+                    'value below is a placeholder; format reference: '
+                    'parasitoids_tpu/io/site.py and data/README.md',
+        'site_name': '{}/{}'.format(data_dir, name),
+        'start_time': '00:00',
+        'coord': [-27.0, 152.0],
+        'r_dur': 1,
+        'r_dist': 'uniform',
+        'r_start': None,
+        'r_number': 10000,
+        'release_date': '2005-03-13',
+        'releasefield_id': 'A',
+        'grid_rotation_deg': 0.0,
+        'sprd_factor': False,
+        'collections': [
+            {'collection_date': 5,
+             'sentinel_csv': '{}_sentinel.csv'.format(name),
+             'release_csv': '{}_release.csv'.format(name)}],
+        'grid_obs_csv': '{}_grid.csv'.format(name),
+        'cardinal': [
+            {'date': 3, 'step_size': 1,
+             'csv': '{}_card.csv'.format(name)}],
+    }
+    files = {
+        name + 'site.json': json.dumps(spec, indent=2) + '\n',
+        name + 'wind.txt':
+            '# one row per 30-min reading: day windx windy (m/s)\n'
+            '# 1\t0.10\t-0.20\n',
+        name + 'fields.txt':
+            '# sentinel-field polygons: field id line, then lat,long\n'
+            '# vertex lines, blank line between fields\n'
+            '# A\n# -27.001,152.001\n# ...\n',
+        name + 'releasegrid.txt':
+            '# release-field sampling grid\n'
+            '# xcoord,ycoord,area,samples,collection  (meters from the\n'
+            '# release point, pre-rotation)\n',
+        name + '_sentinel.csv': 'id,date,count\n',
+        name + '_release.csv': 'x,y,date,count\n',
+        name + '_grid.csv': 'x,y,date,count\n',
+        name + '_card.csv': 'direction,distance,count\n',
+    }
+    existing = [f for f in files if os.path.exists(os.path.join(data_dir,
+                                                                f))]
+    if existing:
+        raise FileExistsError(
+            'refusing to overwrite existing site files: {}'.format(
+                ', '.join(sorted(existing))))
+    os.makedirs(data_dir, exist_ok=True)
+    written = []
+    for fname, content in files.items():
+        path = os.path.join(data_dir, fname)
+        with open(path, 'w') as f:
+            f.write(content)
+        written.append(path)
+    return written
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog='parasitoids_tpu.io.site',
+        description='scaffold the file set for a new site '
+                    '(spec + headed CSVs + format stubs)')
+    ap.add_argument('name', help='site name (files become data/<name>*)')
+    ap.add_argument('--data-dir', default='data')
+    args = ap.parse_args(argv)
+    for path in scaffold_site(args.name, args.data_dir):
+        print('wrote', path)
+    print('next: fill in the files, then run\n'
+          '  python -m parasitoids_tpu --pop dataset={}'.format(args.name))
+
+
+if __name__ == '__main__':
+    main()

@@ -308,3 +308,33 @@ def test_spec_sprd_factor_opt_in(tmp_path):
     k = Params()
     k.cmd_line_chg(['--kalbar'])
     assert default_use_sprd(k) is True
+
+
+def test_scaffold_site(tmp_path):
+    """The scaffolder writes a loadable spec + headed CSVs and refuses to
+    overwrite; the scaffolded spec parses through Params (with the
+    placeholder values) without touching existing sites."""
+    from parasitoids_tpu.io.site import load_site_spec, scaffold_site
+
+    written = scaffold_site('mysite', data_dir=str(tmp_path))
+    assert len(written) == 8
+    spec = load_site_spec(str(tmp_path), 'mysite')
+    assert spec['r_number'] == 10000
+    assert spec['collections'][0]['sentinel_csv'] == 'mysite_sentinel.csv'
+    with open(tmp_path / 'mysite_release.csv') as f:
+        assert f.readline().strip() == 'x,y,date,count'
+    with pytest.raises(FileExistsError, match='mysitesite.json'):
+        scaffold_site('mysite', data_dir=str(tmp_path))
+
+    # the scaffolded spec flows through Params' generic-dataset branch
+    scaffold_site('mysite', data_dir=str(tmp_path / 'data'))
+    cwd = os.getcwd()
+    try:
+        os.chdir(tmp_path)
+        p = Params()
+        p.cmd_line_chg(['dataset=mysite'])
+        assert p.r_number == 10000
+        assert p.coord == (-27.0, 152.0)
+        assert p.site_name.endswith('/mysite')
+    finally:
+        os.chdir(cwd)
