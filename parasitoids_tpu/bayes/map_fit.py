@@ -445,8 +445,17 @@ def main(argv=None):
     parser.add_argument('--polish', type=int, default=0, metavar='N',
                         help='L-BFGS refinement steps after the Adam fit '
                              '(sharper mode for --norm/AIC)')
+    parser.add_argument('--shard-forward', action='store_true',
+                        help='shard each forward simulation\'s '
+                             'flight-minute axis over the device mesh '
+                             '(single-fit latency scaling, as on '
+                             'bayes.run); incompatible with --starts > 1, '
+                             'which shards over starts instead')
     parser.add_argument('overrides', nargs='*')
     args = parser.parse_args(argv)
+    if args.shard_forward and args.starts > 1:
+        parser.error('--shard-forward is incompatible with --starts > 1 '
+                     '(multi-start already shards over the mesh)')
     enable_compilation_cache()
 
     params = Params()
@@ -464,6 +473,11 @@ def main(argv=None):
     # — so MAP uses the standard TPU-default path; use_pallas=False forces
     # the XLA path for validation
     setup = BayesSetup(params)
+    if args.shard_forward:
+        from ..parallel.domain import minute_mesh
+        setup = setup.with_forward_mesh(minute_mesh())
+        print('forward pass sharded over {} devices (flight-minute '
+              'axis)'.format(setup.forward_mesh.devices.size))
 
     import time
     tic = time.time()
