@@ -474,10 +474,14 @@ def main(argv=None):
     # the XLA path for validation
     setup = BayesSetup(params)
     if args.shard_forward:
-        from ..parallel.domain import minute_mesh
-        setup = setup.with_forward_mesh(minute_mesh())
-        print('forward pass sharded over {} devices (flight-minute '
-              'axis)'.format(setup.forward_mesh.devices.size))
+        import jax
+        if len(jax.devices()) > 1:     # same guard as bayes.run:815-819 —
+            from ..parallel.domain import minute_mesh   # a 1-device
+            setup = setup.with_forward_mesh(minute_mesh())  # shard_map is
+            print('forward pass sharded over {} devices (flight-minute '
+                  'axis)'.format(setup.forward_mesh.devices.size))
+        else:                          # pure overhead
+            print('--shard-forward: single device, running unsharded')
 
     import time
     tic = time.time()

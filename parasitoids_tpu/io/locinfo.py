@@ -309,8 +309,14 @@ class LocInfo:
                     line = line[:c]
                 if line.strip():
                     rows.append([float(v) for v in line.split(',')])
+        if not rows:
+            raise ValueError('no grid rows found in {} (fill in the '
+                             'xcoord,ycoord,area,samples,collection '
+                             'table)'.format(filename))
         grid = np.array(rows)
-        assert grid.ndim == 2, 'incomplete line in {}'.format(filename)
+        if grid.ndim != 2:
+            raise ValueError('incomplete line in {}: every row needs 5 '
+                             'comma-separated values'.format(filename))
         return pd.DataFrame(grid, columns=['xcoord', 'ycoord', 'area',
                                            'samples', 'collection'])
 

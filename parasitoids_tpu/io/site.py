@@ -135,8 +135,14 @@ def main(argv=None):
     args = ap.parse_args(argv)
     for path in scaffold_site(args.name, args.data_dir):
         print('wrote', path)
-    print('next: fill in the files, then run\n'
-          '  python -m parasitoids_tpu --pop dataset={}'.format(args.name))
+    if args.data_dir == 'data':
+        print('next: fill in the files, then run\n'
+              '  python -m parasitoids_tpu --pop dataset={}'.format(
+                  args.name))
+    else:
+        print('NOTE: dataset=<name> resolution looks in ./data — move '
+              'these files into data/ before running '
+              'dataset={}'.format(args.name))
 
 
 if __name__ == '__main__':

@@ -28,6 +28,9 @@ def read_wind_file(site_name):
     path = site_name + 'wind.txt'
     with open(path) as f:
         for lineno, line in enumerate(f, 1):
+            c = line.find('#')         # comments, as in the fields/grid
+            if c >= 0:                 # parsers (scaffolded stubs use them)
+                line = line[:c]
             parts = line.split()
             if not parts:
                 continue

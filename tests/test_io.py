@@ -104,3 +104,15 @@ def test_wind_reader_names_bad_line(tmp_path):
     (tmp_path / 'emptywind.txt').write_text('\n\n')
     with pytest.raises(ValueError, match='no wind readings'):
         read_wind_file(str(tmp_path / 'empty'))
+
+
+def test_wind_reader_accepts_comments(tmp_path):
+    """'#' comments (as written by the site scaffolder's stub) are
+    stripped, matching the fields/releasegrid parsers."""
+    from parasitoids_tpu.io.wind import read_wind_file
+
+    (tmp_path / 'cwind.txt').write_text(
+        '# one row per 30-min reading: day windx windy (m/s)\n'
+        '1\t0.5\t0.5  # midday gust\n1\t0.2\t0.1\n')
+    wind, days = read_wind_file(str(tmp_path / 'c'))
+    assert days == [1] and wind[1].shape == (2, 3)

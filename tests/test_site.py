@@ -338,3 +338,13 @@ def test_scaffold_site(tmp_path):
         assert p.site_name.endswith('/mysite')
     finally:
         os.chdir(cwd)
+
+
+def test_empty_releasegrid_names_the_problem(tmp_path):
+    """A scaffolded (comment-only) releasegrid file fails with 'no grid
+    rows found', not a misleading 'incomplete line' assert."""
+    from parasitoids_tpu.io.site import scaffold_site
+
+    scaffold_site('stub', data_dir=str(tmp_path))
+    with pytest.raises(ValueError, match='no grid rows found'):
+        LocInfo.get_release_grid(str(tmp_path / 'stubreleasegrid.txt'))
