@@ -348,3 +348,75 @@ def test_empty_releasegrid_names_the_problem(tmp_path):
     scaffold_site('stub', data_dir=str(tmp_path))
     with pytest.raises(ValueError, match='no grid rows found'):
         LocInfo.get_release_grid(str(tmp_path / 'stubreleasegrid.txt'))
+
+
+def test_two_collection_site(tmp_path):
+    """A site with TWO collection events: every per-collection list path
+    (sentinel/release frames, emergence weights, likelihood terms) has
+    otherwise only ever run with length-1 lists (Kalbar has one
+    collection)."""
+    import jax.numpy as jnp
+
+    from parasitoids_tpu.bayes.model import BayesSetup
+    from parasitoids_tpu.bayes.priors import (ModelParams, ObsParams,
+                                              initial_model_params,
+                                              initial_obs_params)
+    from parasitoids_tpu.models.observe import ObservationOps
+
+    for name in ('demofields.txt', 'demoreleasegrid.txt', 'demowind.txt',
+                 'demo_sentinel.csv', 'demo_release.csv', 'demo_grid.csv',
+                 'demo_card.csv'):
+        shutil.copy(os.path.join('data', name), tmp_path / name)
+    # second collection: same channels, later dates
+    with open(tmp_path / 'demo_sentinel2.csv', 'w') as f:
+        f.write('id,date,count\nF1,14,4\nF2,14,2\nF1,16,1\n')
+    with open(tmp_path / 'demo_release2.csv', 'w') as f:
+        f.write('x,y,date,count\n0.0,100.0,14,2\n-100.0,0.0,16,1\n')
+    with open(os.path.join('data', 'demosite.json')) as f:
+        spec = json.load(f)
+    spec['collections'].append(
+        {'collection_date': 9, 'sentinel_csv': 'demo_sentinel2.csv',
+         'release_csv': 'demo_release2.csv'})
+    with open(tmp_path / 'demosite.json', 'w') as f:
+        json.dump(spec, f)
+
+    li = LocInfo('demo', DEMO_COORD, DEMO_DOMAIN, data_dir=str(tmp_path))
+    assert len(li.sentinel_emerg) == 2
+    assert len(li.release_emerg) == 2
+    assert [d.days for d in li.collection_datesPR] == [5, 9]
+    assert li.sentinel_emerg[1].shape == (2, 2)    # ids x dates(14, 16)
+    assert li.release_emerg[1].shape == (2, 2)     # 2 points x 2 dates
+    assert len(li.emerg_grids) == 2 and len(li.emerg_grids[1]) == 2
+
+    oo = ObservationOps(li, DEMO_DOMAIN, 4)
+    assert len(oo.release_proj) == 2 and len(oo.sentinel_W) == 2
+
+    # full likelihood over both collections — needs the site files under
+    # ./data for BayesSetup, so run from tmp_path with a data/ symlink
+    cwd = os.getcwd()
+    try:
+        (tmp_path / 'data').mkdir()
+        for f_ in os.listdir(tmp_path):
+            if f_ != 'data' and not (tmp_path / 'data' / f_).exists():
+                if (tmp_path / f_).is_file():
+                    shutil.copy(tmp_path / f_, tmp_path / 'data' / f_)
+        os.chdir(tmp_path)
+        p = Params()
+        p.cmd_line_chg(['dataset=demo', 'domain_info=(2000.0,25)'])
+        p.PLOT = False
+        p.OUTPUT = False
+        p.PROB_MODEL = False
+        p.interp_num = 2
+        p.kernel_rad = 6
+        p.kernel_rad_local = 3
+        p.quad_nodes = 8
+        s = BayesSetup(p)
+        assert len(s.obs_sentinel) == 2 and len(s.obs_release) == 2
+        m = ModelParams(*jnp.asarray(initial_model_params(), jnp.float32))
+        o0 = initial_obs_params(
+            [s.locinfo.field_sizes[k] for k in s.locinfo.sent_ids],
+            s.cell_res ** 2)
+        o = ObsParams(o0[0], o0[1], o0[2], o0[3], jnp.asarray(o0[4:]))
+        assert np.isfinite(float(s.log_posterior(m, o)))
+    finally:
+        os.chdir(cwd)
