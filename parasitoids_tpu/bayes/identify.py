@@ -116,7 +116,7 @@ def plot_identifiability(info, outfile):
     """Two-panel figure: the stiff→sloppy eigen-spectrum (log scale, the
     Gutenkunst sloppy-model signature) and per-parameter prior→posterior
     contraction bars (viz conventions of viz/bayes_plot.py)."""
-    from ..viz.bayes_plot import _mpl
+    from ..viz import _mpl
     plt = _mpl()
 
     fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(12, 4.6))

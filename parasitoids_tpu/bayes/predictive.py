@@ -24,6 +24,7 @@ import os
 
 import numpy as np
 
+from ..viz import _mpl
 from .model import BayesSetup
 from .priors import MODEL_PARAM_NAMES, OBS_PARAM_NAMES
 
@@ -47,14 +48,6 @@ def subsample_draws(traces, n_draws, seed):
     take = rng.choice(flat.shape[0], size=min(n_draws, flat.shape[0]),
                       replace=False)
     return flat[take], take
-
-
-def _mpl():
-    import matplotlib
-    if not os.environ.get('DISPLAY'):
-        matplotlib.use('Agg')
-    import matplotlib.pyplot as plt
-    return plt
 
 
 def posterior_predictive(setup: BayesSetup, traces, n_draws=20, seed=0,

@@ -20,13 +20,7 @@ __all__ = ['plot_traces', 'plot_f_g', 'plot_sprd_vars',
            'plot_sent_obs_probs', 'plot_other', 'plot_pt_ladder', 'main']
 
 
-def _mpl():
-    import matplotlib
-    if not os.environ.get('DISPLAY'):
-        matplotlib.use('Agg')
-    import matplotlib.pyplot as plt
-    return plt
-
+from . import _mpl   # shared headless-backend helper
 
 def _param_names(n_total):
     n_sent = n_total - len(MODEL_PARAM_NAMES) - len(OBS_PARAM_NAMES) - 1
@@ -198,6 +192,13 @@ def main(argv=None):
     path = argv[0] if argv[0].endswith('.npz') else argv[0] + '.npz'
     with np.load(path) as npz:
         traces = npz['traces']
+    min_dim = len(MODEL_PARAM_NAMES) + len(OBS_PARAM_NAMES) + 1
+    if traces.shape[1] == 0 or traces.shape[-1] < min_dim:
+        # a checkpoint saved mid-burn-in / pre-posterior stores a
+        # placeholder trace block — nothing to plot yet
+        print('store has no posterior draws yet (trace shape {}) — '
+              'resume the run first'.format(traces.shape))
+        return
     start = int(argv[1]) if len(argv) > 1 else 0
     plot_traces(traces, start=start)
     plot_f_g(traces, start=start)
@@ -206,7 +207,9 @@ def main(argv=None):
     plot_other(traces, start=start)
     from ..bayes.store import load_extras
     ex = load_extras(path)
-    if 'betas' in ex:            # a --sampler pt store: ladder diagnostics
+    # a --sampler pt store: ladder diagnostics.  SMC stores also save
+    # 'betas' (their anneal path) but no per-rung loglik/swap arrays
+    if 'betas' in ex and 'loglik' in ex and 'swap_attempts' in ex:
         import json
         meta_path, burn = path[:-4] + '.meta.json', 0
         if os.path.exists(meta_path):

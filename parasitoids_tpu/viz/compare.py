@@ -10,7 +10,6 @@ incubation distribution before comparison (:124-132).
 
 from __future__ import annotations
 
-import os
 
 import numpy as np
 
@@ -20,13 +19,7 @@ from .plot_result import alpha_viridis, crop_to_support, _extent_meters
 __all__ = ['compare_emergence', 'assess_fit', 'banner', 'main']
 
 
-def _mpl():
-    import matplotlib
-    if not os.environ.get('DISPLAY'):
-        matplotlib.use('Agg')
-    import matplotlib.pyplot as plt
-    return plt
-
+from . import _mpl   # shared headless-backend helper
 
 def compare_emergence(fields, days, params, locinfo, outfile=None,
                       bw=False):
@@ -113,12 +106,17 @@ def assess_fit(fields, days, params, locinfo, outfile=None, bw=False):
                              squeeze=False)
     for d in range(n_days):
         ax = axes[0][d]
-        order = np.argsort(grid_model[:, d])
+        # apply the per-point sampling effort exactly as the likelihood
+        # does (model.py: grid_obs_prob * grid_samples * density) —
+        # without it, a half-effort point reads as model over-prediction
+        effort = np.asarray(locinfo.grid_samples[:, d])
+        expected = grid_model[:, d] * effort
+        order = np.argsort(expected)
         scale = (locinfo.grid_obs[:, d].sum() /
-                 max(grid_model[:, d].sum(), 1e-9))
+                 max(expected.sum(), 1e-9))
         mline = dict(color='0.1') if bw else {}
         mdots = dict(color='0.5') if bw else {}
-        ax.plot(grid_model[order, d] * scale, label='model (scaled)',
+        ax.plot(expected[order] * scale, label='model (effort-scaled)',
                 **mline)
         ax.plot(locinfo.grid_obs[order, d], '.', label='observed',
                 **mdots)
@@ -175,7 +173,9 @@ def main(argv=None):
         print('usage: python -m parasitoids_tpu.viz.compare <saved_run> '
               '[-b|-a] [--bw]')
         return
-    path = argv[0]
+    # accept the on-disk .npz name too (tab completion); the sidecar
+    # reader and load_run both want the base path
+    path = argv[0].removesuffix('.npz')
     params = Params()
     params.file_read_chg(path)
     dom_len = int(params.domain_info[1]) * 2 + 1

@@ -8,7 +8,6 @@ in an IPython session or from the CLI.
 
 from __future__ import annotations
 
-import os
 
 import numpy as np
 
@@ -16,13 +15,7 @@ __all__ = ['plot_g_wind_prob', 'plot_f_time_prob', 'plot_h_flight_prob',
            'plot_daily_kernel']
 
 
-def _mpl():
-    import matplotlib
-    if not os.environ.get('DISPLAY'):
-        matplotlib.use('Agg')
-    import matplotlib.pyplot as plt
-    return plt
-
+from . import _mpl   # shared headless-backend helper
 
 def plot_g_wind_prob(aw=1.8, bw=6.0, outfile=None, show=False):
     from ..ops.flight import g_wind_prob
@@ -121,8 +114,9 @@ def _finish(fig, outfile, show):
     plt = _mpl()
     if show:
         plt.show()
-    else:
-        fig.savefig(outfile, dpi=130, bbox_inches='tight')
+        plt.close(fig)
+        return None          # nothing was written; don't return a path
+    fig.savefig(outfile, dpi=130, bbox_inches='tight')
     plt.close(fig)
     return outfile
 

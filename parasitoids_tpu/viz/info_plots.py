@@ -9,20 +9,13 @@ sampling effort.
 
 from __future__ import annotations
 
-import os
 
 import numpy as np
 
 __all__ = ['info_plot', 'sample_locations']
 
 
-def _mpl():
-    import matplotlib
-    if not os.environ.get('DISPLAY'):
-        matplotlib.use('Agg')
-    import matplotlib.pyplot as plt
-    return plt
-
+from . import _mpl   # shared headless-backend helper
 
 def info_plot(params, locinfo, wind_data=None, outfile='info_plot.png',
               n_cloud=500, seed=0):

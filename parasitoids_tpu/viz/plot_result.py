@@ -19,13 +19,7 @@ __all__ = ['alpha_viridis', 'crop_to_support', 'vmax_excluding_origin',
            'create_animation', 'get_satellite', 'main']
 
 
-def _mpl():
-    import matplotlib
-    if not os.environ.get('DISPLAY'):
-        matplotlib.use('Agg')
-    import matplotlib.pyplot as plt
-    return plt
-
+from . import _mpl   # shared headless-backend helper
 
 def alpha_viridis():
     """Viridis with alpha ramping from transparent at zero
@@ -76,9 +70,12 @@ def _extent_meters(window, rad_res, cell):
 
 
 def get_satellite(maps_key, coord, dist_m, service='Google'):
-    """Fetch a static satellite image centered on ``coord`` covering
-    ±dist_m (ref Plot_Result.py:101-177).  Returns None without a key or
-    network access."""
+    """Fetch a static satellite image centered on ``coord`` covering at
+    least ±dist_m (ref Plot_Result.py:101-177).  Returns
+    ``(image, half_span_m)`` — the tile's TRUE half-span at the chosen
+    integer zoom (up to 2× the request, and always centered on the
+    release point) so callers can geo-register it — or None without a
+    key/network access."""
     if maps_key is None or coord is None:
         return None
     try:
@@ -86,11 +83,11 @@ def get_satellite(maps_key, coord, dist_m, service='Google'):
         import urllib.request
         from PIL import Image
         lat, lon = coord
-        # zoom chosen so the tile spans ~2*dist_m at this latitude
+        # zoom chosen so the tile spans >= 2*dist_m at this latitude
         import math
-        zoom = int(np.clip(np.floor(np.log2(
-            156543.03392 * math.cos(math.radians(lat)) * 640 /
-            (2 * dist_m))), 1, 21))
+        ground = 156543.03392 * math.cos(math.radians(lat)) * 640
+        zoom = int(np.clip(np.floor(np.log2(ground / (2 * dist_m))),
+                           1, 21))
         if service == 'Google':
             url = ('https://maps.googleapis.com/maps/api/staticmap?'
                    'center={},{}&zoom={}&size=640x640&maptype=satellite'
@@ -100,7 +97,8 @@ def get_satellite(maps_key, coord, dist_m, service='Google'):
                    'Aerial/{},{}/{}?mapSize=640,640&key={}').format(
                        lat, lon, zoom, maps_key)
         with urllib.request.urlopen(url, timeout=10) as resp:
-            return Image.open(io.BytesIO(resp.read()))
+            img = Image.open(io.BytesIO(resp.read()))
+        return img, ground / (2 ** zoom) / 2.0
     except Exception as e:   # network/keys are optional
         print('satellite fetch failed: {}'.format(e))
         return None
@@ -122,7 +120,14 @@ def plot(field, day, params, outfile=None, locinfo=None, show=False,
                         max(abs(e) for e in extent),
                         getattr(params, 'maps_service', 'Google'))
     if sat is not None:
-        ax.imshow(sat, extent=extent, zorder=0)
+        # the tile is square and centered on the release point; draw it
+        # in ITS OWN frame and clamp the view to the crop window —
+        # stretching it into the (asymmetric) crop extent would shift and
+        # rescale the imagery relative to the density/polygons
+        img, half = sat
+        ax.imshow(img, extent=(-half, half, -half, half), zorder=0)
+        ax.set_xlim(extent[0], extent[1])
+        ax.set_ylim(extent[2], extent[3])
     masked = np.ma.masked_less_equal(cropped, cropped.max() * 1e-3)
     vmax = (vmax_excluding_origin(masked, window, rad_res) if mask_center
             else float(masked.max()))
@@ -202,7 +207,9 @@ def main(argv=None):
         print('usage: python -m parasitoids_tpu.viz.plot_result '
               '<saved_run> [all|vid|menu|<day>]')
         return
-    path = argv[0]
+    # accept the on-disk .npz name too (tab completion); the sidecar
+    # reader and load_run both want the base path
+    path = argv[0].removesuffix('.npz')
     mode = argv[1] if len(argv) > 1 else 'all'
     params = Params()
     params.file_read_chg(path)
