@@ -105,7 +105,17 @@ class LocInfo:
         self.field_polys = self.get_fields(
             '{}/{}fields.txt'.format(data_dir, location), release_latlong)
         self.field_cells = self.get_field_cells(self.field_polys, domain_info)
-        self.field_sizes = {key: max(val.shape)
+        empty = [k for k, v in self.field_cells.items() if v.shape[0] == 0]
+        if empty:
+            raise ValueError(
+                'field polygon(s) {} rasterize to zero grid cells — '
+                'check the lat/long vertices against the release point '
+                'and domain radius'.format(sorted(empty)))
+        # cell count = rows of the (n, 2) cell array.  The reference's
+        # max(val.shape) (Data_Import.py:74) would report 2 for 0/1-cell
+        # fields — identical for every Kalbar field (all >= 3 cells), so
+        # this fixes the wart without breaking parity
+        self.field_sizes = {key: val.shape[0]
                             for key, val in self.field_cells.items()}
 
         ### release-field sampling grid
@@ -177,13 +187,34 @@ class LocInfo:
             ox = obs['xcoord'].to_numpy(float)
             oy = obs['ycoord'].to_numpy(float)
             oc = obs['obs_count'].to_numpy(float)
+            matched = np.zeros(ox.shape[0], bool)
             for n in range(n_grid):
                 self.grid_samples[n, nday] = self.grid_data['samples'].iloc[n]
                 hit = (np.abs(ox - gx[n]) < 1e-6) & (np.abs(oy - gy[n]) < 1e-6)
                 if hit.any():
                     self.grid_obs[n, nday] = oc[hit].sum()
+                    matched |= hit
+            if self._spec is not None and not matched.all():
+                # generic CSVs promise on-grid coordinates; silently
+                # dropping a typo'd row would erase real observations.
+                # (kalbar's raw workbook legitimately contains off-grid
+                # rows, so the site-specific path keeps dropping them.)
+                bad = np.flatnonzero(~matched)[0]
+                rot_inv = _rot_mat(-self.grid_rotation_deg)
+                bx, by = rot_inv @ np.array([ox[bad], oy[bad]])
+                raise ValueError(
+                    'grid observation at ({0:g}, {1:g}) (day {2}) matches '
+                    'no release-grid point; every x,y in the grid CSV '
+                    'must coincide with a releasegrid point'.format(
+                        bx, by, date.days))
         if self.grid_samples.size:    # generic sites may have no grid obs
-            self.grid_samples = self.grid_samples / self.grid_samples.max()
+            smax = self.grid_samples.max()
+            if smax <= 0:
+                raise ValueError(
+                    "the releasegrid 'samples' column is all zero — "
+                    'per-point sampling effort is required when grid '
+                    'observations are supplied')
+            self.grid_samples = self.grid_samples / smax
 
         ### cardinal-direction observations
         self.get_card_observations(location)
@@ -191,7 +222,12 @@ class LocInfo:
         # generic sites carry their REAL transect distances (the reference
         # hard-codes the 5 + step_size*(1..n) sampling geometry of its one
         # site, Bayes_funcs.py:193-215; ObservationOps keeps that formula
-        # for kalbar and uses these distances otherwise)
+        # for kalbar and uses these distances otherwise).  The (4, maxlen)
+        # layout is the reference's: directions with fewer samples are
+        # zero-count-padded (distance padded with the last real value) —
+        # placeholder slots, fine for the viz/projection consumers; card
+        # counts are NOT part of the likelihood (commented out in the
+        # reference too, Bayes_Run.py:318-336)
         self.card_dists = [] if self._spec is not None else None
         for dframe in self.card_obs_DataFrames:
             dframe.sort_values(['direction', 'distance'], inplace=True)
@@ -235,6 +271,11 @@ class LocInfo:
                         'releasegrid file'.format(ox, oy, vals.size))
                 r_array.append(vals[0])
             r_array = np.array(r_array)
+            if r_array.max() <= 0:
+                raise ValueError(
+                    "the releasegrid 'collection' column is zero at every "
+                    'observed release point — collection effort is '
+                    'required for release-field emergence data')
             self.release_collection.append(r_array / r_array.max())
             E = np.zeros((datelen, len(obs_datesPR)))
             for ndate, date in enumerate(obs_datesPR):
@@ -262,8 +303,13 @@ class LocInfo:
         def flush():
             nonlocal verts, fid
             if verts:
+                if fid in polys:
+                    raise ValueError('{}: duplicate field id {!r}'.format(
+                        filename, fid))
                 polys[fid] = np.array(verts)
-                verts, fid = [], None
+            # always reset: an id followed by a blank line must not make
+            # the next id line parse as a vertex of the dangling field
+            verts, fid = [], None
 
         with open(filename) as f:
             for line in f:
@@ -528,7 +574,15 @@ class LocInfo:
         self.card_obs_datesPR = []
         for entry in spec.get('cardinal', []):
             df = self._read_obs_csv(entry['csv'])
-            df = pd.DataFrame({'direction': df['direction'].astype(str),
+            dirs = df['direction'].astype(str).str.strip().str.lower()
+            bad = sorted(set(dirs) - {'north', 'south', 'east', 'west'})
+            if bad:
+                # a silently unmatched direction would vanish from the
+                # (4, n) observation array
+                raise ValueError(
+                    '{}: unknown direction value(s) {} — use north/'
+                    'south/east/west'.format(entry['csv'], bad))
+            df = pd.DataFrame({'direction': dirs,
                                'distance': df['distance'].astype(float),
                                'obs_count': df['count'].astype(float)})
             dpr = _parse_day(entry['date'], rd) - rd

@@ -69,7 +69,9 @@ def scaffold_site(name, data_dir='data'):
         '_edit_me': 'template written by parasitoids_tpu.io.site — every '
                     'value below is a placeholder; format reference: '
                     'parasitoids_tpu/io/site.py and data/README.md',
-        'site_name': '{}/{}'.format(data_dir, name),
+        # always the runtime location (dataset=<name> resolution looks in
+        # ./data), NOT the staging --data-dir these files were written to
+        'site_name': 'data/' + name,
         'start_time': '00:00',
         'coord': [-27.0, 152.0],
         'r_dur': 1,

@@ -81,14 +81,23 @@ def get_wind_data(site_name, interp_num, start_time):
     """
     wind_data_raw, days = read_wind_file(site_name)
     time_pts = wind_data_raw[days[0]].shape[0]
+    for day in days:
+        if wind_data_raw[day].shape[0] != time_pts:
+            raise ValueError(
+                '{}wind.txt: day {} has {} readings but day {} has {} — '
+                'every day needs the same reading count'.format(
+                    site_name, day, wind_data_raw[day].shape[0], days[0],
+                    time_pts))
 
     wind_data = {}
     if start_time == '00:00':
         for n, day in enumerate(days):
             cur = wind_data_raw[day]
             if n < len(days) - 1:
-                # interpolate toward the next day's first reading
-                nxt = wind_data_raw[day + 1][0]
+                # interpolate toward the next day's first reading — the
+                # NEXT KEY in the sorted day list, not day+1 (a logger
+                # outage can leave a gap in day numbers)
+                nxt = wind_data_raw[days[n + 1]][0]
                 targets = np.vstack([cur[1:], nxt])
                 interp = _interp_block(cur, targets, interp_num)
             else:

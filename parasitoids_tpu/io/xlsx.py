@@ -153,6 +153,12 @@ def read_sheet(path, sheet_name, header=0):
     data_rows = ordered[header + 1:]
     columns = {}
     for i, name in enumerate(names):
+        # pandas mangles duplicate headers to 'name.1'; a dict would
+        # silently drop the earlier column's data
+        base, k = name, 1
+        while name in columns:
+            name = '{}.{}'.format(base, k)
+            k += 1
         col = [row.get(i, np.nan) for row in data_rows]
         columns[name] = col
     df = pd.DataFrame(columns)

@@ -116,3 +116,32 @@ def test_wind_reader_accepts_comments(tmp_path):
         '1\t0.5\t0.5  # midday gust\n1\t0.2\t0.1\n')
     wind, days = read_wind_file(str(tmp_path / 'c'))
     assert days == [1] and wind[1].shape == (2, 3)
+
+
+def test_wind_day_gap_interpolates_next_key(tmp_path):
+    """'00:00' interpolation must follow the sorted day list, not day+1 —
+    a logger outage can leave a gap in day numbers."""
+    import numpy as np
+
+    from parasitoids_tpu.io.wind import get_wind_data
+
+    lines = []
+    for day in (1, 2, 4):                     # gap at day 3
+        for k in range(4):
+            lines.append('{}\t{}\t0.0\n'.format(day, 0.1 * day + 0.01 * k))
+    (tmp_path / 'gapwind.txt').write_text(''.join(lines))
+    wind, days = get_wind_data(str(tmp_path / 'gap'), 2, '00:00')
+    assert days == [1, 2, 4]
+    # day 2's last block ramps toward day 4's first reading
+    assert np.isclose(wind[2][-1, 0], (0.23 + 0.4) / 2, atol=1e-12)
+
+
+def test_wind_unequal_day_lengths_rejected(tmp_path):
+    import pytest
+
+    from parasitoids_tpu.io.wind import get_wind_data
+
+    (tmp_path / 'ragwind.txt').write_text(
+        '1\t0.1\t0.0\n1\t0.2\t0.0\n2\t0.1\t0.0\n')
+    with pytest.raises(ValueError, match='same reading count'):
+        get_wind_data(str(tmp_path / 'rag'), 2, '00:00')

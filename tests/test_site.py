@@ -420,3 +420,62 @@ def test_two_collection_site(tmp_path):
         assert np.isfinite(float(s.log_posterior(m, o)))
     finally:
         os.chdir(cwd)
+
+
+def _demo_variant(tmp_path, mutate):
+    """Copy the demo site into tmp_path, apply ``mutate(tmp_path)``, and
+    build LocInfo from it."""
+    for name in ('demofields.txt', 'demoreleasegrid.txt', 'demowind.txt',
+                 'demosite.json', 'demo_sentinel.csv', 'demo_release.csv',
+                 'demo_grid.csv', 'demo_card.csv'):
+        shutil.copy(os.path.join('data', name), tmp_path / name)
+    mutate(tmp_path)
+    return LocInfo('demo', DEMO_COORD, DEMO_DOMAIN, data_dir=str(tmp_path))
+
+
+def test_generic_grid_obs_off_grid_point_raises(tmp_path):
+    def mutate(d):
+        with open(d / 'demo_grid.csv', 'a') as f:
+            f.write('33.3,0.0,2,1\n')
+    with pytest.raises(ValueError, match=r'33\.3'):
+        _demo_variant(tmp_path, mutate)
+
+
+def test_all_zero_effort_columns_raise(tmp_path):
+    def zero_samples(d):
+        rows = ['# x,y,area,samples,collection\n']
+        for y in (100.0, 0.0, -100.0):
+            for x in (-100.0, 0.0, 100.0):
+                rows.append('{},{},25.0,0,1.0\n'.format(x, y))
+        (d / 'demoreleasegrid.txt').write_text(''.join(rows))
+    with pytest.raises(ValueError, match='samples'):
+        _demo_variant(tmp_path, zero_samples)
+
+    def zero_collection(d):
+        rows = ['# x,y,area,samples,collection\n']
+        for y in (100.0, 0.0, -100.0):
+            for x in (-100.0, 0.0, 100.0):
+                rows.append('{},{},25.0,1,0.0\n'.format(x, y))
+        (d / 'demoreleasegrid.txt').write_text(''.join(rows))
+    with pytest.raises(ValueError, match='collection'):
+        _demo_variant(tmp_path, zero_collection)
+
+
+def test_card_direction_validation(tmp_path):
+    def mutate(d):
+        (d / 'demo_card.csv').write_text(
+            'direction,distance,count\nNorth,80,3\nNE,160,1\n')
+    with pytest.raises(ValueError, match="'ne'"):
+        _demo_variant(tmp_path, mutate)
+
+    # case/whitespace are normalized, not rejected
+    ok = tmp_path / 'ok'
+    ok.mkdir()
+
+    def mutate_ok(d):
+        (d / 'demo_card.csv').write_text(
+            'direction,distance,count\n'
+            'North,80,3\n south ,80,2\nEAST,80,1\nwest,80,0\n')
+    li = _demo_variant(ok, mutate_ok)
+    assert li.card_obs[0].shape == (4, 1)
+    np.testing.assert_array_equal(li.card_obs[0][:, 0], [3, 2, 1, 0])
