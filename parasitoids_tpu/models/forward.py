@@ -99,6 +99,13 @@ def setup_forward(params: Params, dtype=None) -> ForwardSetup:
     if params.r_dur:
         w = np.array([params.r_mthd()(d + 1) for d in range(params.r_dur)])
     else:
+        if not params.PROB_MODEL:
+            # dataset=None leaves r_dur unset; the ones(1) placeholder
+            # would die later in an opaque int(None)/scatter traceback
+            raise ValueError(
+                'the population model requires r_dur >= 1 (release '
+                'duration in days) — pick a dataset preset/site spec or '
+                'pass r_dur=N')
         w = np.ones(1)
     return ForwardSetup(flat, cumsum, tuple(days), ndays, kcfg, scfg,
                         float(rad_dist), start_idx, w)
@@ -129,8 +136,12 @@ def forward_fields(wind_flat, wind_cumsum, hparams, Dparams, Dlparams, mu_r,
                    n_periods, rad_dist, start_idx, r_number, dist_weights,
                    kcfg: KernelConfig, scfg: SolverConfig, ndays: int,
                    r_dur: int, prob_model: bool):
-    """Fused kernel-build + propagation — one device program per forward
-    simulation (the shape run inside every MCMC likelihood evaluation)."""
+    """Fused kernel-build + propagation as one standalone device program —
+    the library's single-call forward simulation (used by the driver
+    compile check, ``__graft_entry__.entry``).  The MCMC likelihood
+    composes the same building blocks itself (bayes/model.py
+    ``forward_projections``) because it adds sprd_factor and optional
+    minute-axis sharding this signature doesn't carry."""
     kernels, _ = build_all_kernels(wind_flat, wind_cumsum, hparams, Dparams,
                                    Dlparams, mu_r, n_periods, rad_dist,
                                    start_idx, kcfg, ndays)

@@ -71,6 +71,22 @@ class ObservationOps:
         self.dom_len = D
         self.ndays = ndays
 
+        # a simulation shorter than the observation timeline silently
+        # truncates oviposition windows / clamps day gathers — legitimate
+        # for deliberately tiny smoke configs, a misconfiguration
+        # otherwise, so warn with the needed horizon (the reference
+        # instead dies with a bare IndexError, Bayes_funcs.py:167-173)
+        need = [d.days for d in locinfo.collection_datesPR]
+        need += [d.days for d in locinfo.grid_obs_datesPR]
+        need += [d.days for d in locinfo.card_obs_datesPR]
+        if need and max(need) > ndays:
+            import warnings
+            warnings.warn(
+                'simulation covers {} day(s) but observations run to day '
+                '{} post-release; late oviposition/observation days are '
+                'truncated to the simulated horizon'.format(
+                    ndays, max(need)), RuntimeWarning, stacklevel=2)
+
         ### release-field grid emergence (per collection)
         self.release_proj = []
         for nframe, dframe in enumerate(locinfo.release_DataFrames):
@@ -108,6 +124,18 @@ class ObservationOps:
         self.grid_idx = gidx
         self.grid_days = np.array(
             [d.days - 1 for d in locinfo.grid_obs_datesPR], np.int32)
+        if (self.grid_days < 0).any():
+            # day 0 would gather index -1: the jitted path wraps to the
+            # LAST day (as the reference's modelsol[-1] Python wrap does,
+            # a latent bug there) while the host path clips to day 0 —
+            # neither is meaningful, so reject it
+            raise ValueError('grid observation dated on/before the '
+                             'release day (day {})'.format(
+                                 int(self.grid_days.min()) + 1))
+        # keep the jitted gather and the host variant consistent on runs
+        # shorter than the observation schedule: both clamp to the last
+        # simulated day (see the horizon warning above)
+        self.grid_days = np.minimum(self.grid_days, ndays - 1)
 
         ### cardinal-direction transects (list of static gathers per day)
         self.card_gathers = []
@@ -132,8 +160,12 @@ class ObservationOps:
             cols = np.stack([np.full(obslen, center),
                              np.full(obslen, center),
                              center + delta[2], center - delta[3]])
+            day = int(date.days) - 1
+            if day < 0:
+                raise ValueError('cardinal observation dated on/before '
+                                 'the release day')
             self.card_gathers.append(
-                (int(date.days) - 1,
+                (min(day, ndays - 1),             # clamp like grid_days
                  rows * D + cols))                # (4, obslen) flat index
 
     # ------------------------------------------------------------------

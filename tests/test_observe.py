@@ -127,3 +127,52 @@ def test_host_variants_match_jitted(fields, obs_ops):
     np.testing.assert_allclose(
         np.asarray(obs_ops.project_grid(jnp.asarray(short))),
         obs_ops.project_grid_np(short), rtol=1e-5)
+
+
+def test_short_run_warns_and_clamps_consistently():
+    """A simulation shorter than the observation schedule warns (instead
+    of the reference's bare IndexError) and the jitted/host grid gathers
+    agree on the clamped day."""
+    import warnings
+
+    from parasitoids_tpu.io.locinfo import LocInfo
+    from parasitoids_tpu.models.observe import ObservationOps
+
+    li = LocInfo('demo', (-27.0, 152.0), (2000.0, 25))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter('always')
+        oo = ObservationOps(li, (2000.0, 25), 2)   # obs run to day 5
+    assert any('truncated' in str(x.message) for x in w)
+    assert (oo.grid_days <= 1).all()
+    fields = np.linspace(0, 1, 2 * 51 * 51).reshape(2, 51, 51)
+    np.testing.assert_allclose(np.asarray(oo.project_grid(fields)),
+                               oo.project_grid_np(fields), rtol=1e-6)
+    # card day clamped the same way
+    assert all(day <= 1 for day, _ in oo.card_gathers)
+
+
+def test_release_day_observation_rejected():
+    import pandas as pd
+    import pytest
+
+    from parasitoids_tpu.io.locinfo import LocInfo
+    from parasitoids_tpu.models.observe import ObservationOps
+
+    li = LocInfo('demo', (-27.0, 152.0), (2000.0, 25))
+    li.grid_obs_datesPR = [pd.Timedelta(days=0)] + li.grid_obs_datesPR[1:]
+    with pytest.raises(ValueError, match='release day'):
+        ObservationOps(li, (2000.0, 25), 4)
+
+
+def test_pop_model_requires_r_dur():
+    import pytest
+
+    from parasitoids_tpu.config import Params
+    from parasitoids_tpu.models.forward import setup_forward
+
+    p = Params()
+    p.cmd_line_chg(['--kalbar', 'ndays=2', 'domain_info=(2000.0,25)'])
+    p.PROB_MODEL = False
+    p.r_dur = None
+    with pytest.raises(ValueError, match='r_dur'):
+        setup_forward(p)
