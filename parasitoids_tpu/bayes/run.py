@@ -831,8 +831,14 @@ def main(argv=None):
 
     n_dev = len(jax.devices())
     mesh = chain_mesh() if (args.chains > 1 and n_dev > 1 and
+                            args.chains % n_dev == 0 and
                             getattr(setup, 'forward_mesh', None) is None
                             ) else None
+    if mesh is None and args.chains > 1 and n_dev > 1 \
+            and args.chains % n_dev:
+        print('note: {} chains do not divide {} devices — running '
+              'unsharded (pick a multiple for chain parallelism)'.format(
+                  args.chains, n_dev))
 
     if args.new is not None:
         n_samples, burn, db = int(args.new[0]), int(args.new[1]), args.new[2]

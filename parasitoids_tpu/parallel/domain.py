@@ -46,12 +46,8 @@ _AXIS = 'minutes'
 
 def minute_mesh(n_devices=None, devices=None):
     """1-D mesh over a ``minutes`` axis (all devices by default)."""
-    import numpy as np
-    if devices is None:
-        devices = jax.devices()
-        if n_devices is not None:
-            devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), (_AXIS,))
+    from .chains import axis_mesh
+    return axis_mesh(_AXIS, n_devices, devices)
 
 
 def _sharded_accumulate(mesh, h_scat, cdf_mu, idx, clip_f, Dparams, cell,

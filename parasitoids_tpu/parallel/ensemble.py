@@ -78,6 +78,12 @@ def ensemble_projections(setup: BayesSetup, thetas, mesh=None):
             (padded internally to a multiple of the device count).
     Returns:
         (release, sentinel, grid) projection batches, leading axis B.
+
+    Limitation: members run without a pre-spread day (sprd_factor=None).
+    Every sampler CLI fits with use_sprd=False (matching Bayes_Run, where
+    sprd is disabled), so CLI-produced traces are exact; library users
+    who fit VI/MAP with use_sprd=True should note their sprd column is
+    not applied in these ensemble projections.
     """
     thetas = jnp.asarray(thetas)
     if mesh is not None:

@@ -111,3 +111,31 @@ def test_ensemble_sharded_batch_not_divisible(setup):
     rel2, sent2, grid2 = ensemble_projections(setup, thetas, mesh=None)
     np.testing.assert_allclose(np.asarray(grid), np.asarray(grid2),
                                rtol=1e-5)
+
+
+def test_init_chains_always_in_prior_support(setup):
+    """Jittered starts live in unconstrained space, so every chain begins
+    with a finite prior — a multiplicative jitter on constrained values
+    pushed lam (init 0.95, Beta support (0,1)) out of support with ~15%
+    probability per chain, silently freezing it for the whole run."""
+    from parasitoids_tpu.parallel.chains import init_chains
+
+    states = init_chains(setup, random.PRNGKey(0), 16, jitter=0.05)
+    pm = np.asarray(states.prior_m)
+    assert pm.shape == (16,)
+    assert np.isfinite(pm).all()
+    lam = np.asarray(states.m)[:, 12]
+    assert ((lam > 0) & (lam < 1)).all()
+    # starts are actually over-dispersed (not collapsed to the init point)
+    assert np.asarray(states.m)[:, 0].std() > 0
+
+
+def test_run_chains_rejects_indivisible_mesh(setup):
+    from parasitoids_tpu.bayes.sampler import MCMCConfig
+    from parasitoids_tpu.parallel.chains import (chain_mesh, init_chains,
+                                                 run_chains)
+
+    states = init_chains(setup, random.PRNGKey(1), 3)
+    with pytest.raises(ValueError, match='divisible'):
+        run_chains(setup, states, MCMCConfig(n_samples=2),
+                   mesh=chain_mesh())
