@@ -69,8 +69,13 @@ def r_small_vals_dense(field, prob_model=False, negval=_NEGVAL):
     keep = field >= negval
     kept = jnp.where(keep, field, 0.0)
     if prob_model:
-        n = jnp.maximum(jnp.sum(keep), 1)
+        n_keep = jnp.sum(keep)
+        n = jnp.maximum(n_keep, 1)
         kept = kept + jnp.where(keep, (1.0 - kept.sum()) / n, 0.0)
+        # degenerate input with NO surviving entries: redistribution has
+        # nowhere to go — pass the field through instead of silently
+        # annihilating all mass
+        kept = jnp.where(n_keep > 0, kept, field)
     return kept
 
 
@@ -87,6 +92,11 @@ def _advection_means(wind_flat, wind_cumsum, day_idx, n_periods, periods,
     total = wind_flat.shape[0]
     g0 = day_idx * periods
     t = jnp.arange(periods)
+    # n_periods = 0 is inside the Poisson prior's support (the AM proposal
+    # only rounds the discrete slot) and would make counts 0 -> NaN fields
+    # that silently auto-reject; floor the averaging window at 1 period
+    # (the Gibbs-NUTS move clamps the same way, bayes/nuts.py)
+    n_periods = jnp.maximum(n_periods, 1)
     starts = g0 + t
     ends = jnp.minimum(starts + n_periods, total)
     counts = (ends - starts).astype(wind_flat.dtype)
@@ -102,9 +112,11 @@ def xla_accumulate_day(h_scat, cdf_mu, idx, clipped, Dparams, cell,
                        K: int, G: int, buf_len: int, chunk: int = 240):
     """Accumulate all per-minute BVN blocks of one day (XLA path): chunked
     ``vmap`` block build + ``lax.scatter_add`` with CLIP mode.  Same
-    contract as ``ops.pallas_kernel.pallas_accumulate_day`` (which uses this
-    function as its backward rule): returns the (buf_len, buf_len) buffer
-    and the clipped-block truncation loss  sum_t clip_t h_t (1 - bsum_t)."""
+    contract as ``ops.pallas_kernel.pallas_accumulate_day`` (whose backward
+    is a dedicated Pallas kernel, ``_day_bwd_kernel`` — this XLA path is
+    the numerical oracle both are tested against): returns the
+    (buf_len, buf_len) buffer and the clipped-block truncation loss
+    sum_t clip_t h_t (1 - bsum_t)."""
     dtype = h_scat.dtype
     T = h_scat.shape[0]
     sig_x, sig_y, rho = Dparams
@@ -264,7 +276,8 @@ def build_daily_kernel(wind_flat, wind_cumsum, day_idx, hparams, Dparams,
 
     if config.pallas:
         # fused on-chip build+accumulate (ops/pallas_kernel.py); its
-        # backward rule recomputes through the XLA path below
+        # backward rule is a dedicated Pallas kernel (_day_bwd_kernel),
+        # gradient-parity-tested against the XLA path below
         from .pallas_kernel import pallas_accumulate_day
         buf, clip_loss = pallas_accumulate_day(
             h_scat, cdf_mu, idx, clip_f, Dparams, cell,

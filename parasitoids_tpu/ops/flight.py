@@ -37,7 +37,16 @@ def f_time_prob(n, a1, b1, a2, b2):
         jax.nn.sigmoid(b1 * (t_tild - a1)) -
         jax.nn.sigmoid(b2 * (t_tild - a2)),
         0.0)
-    return likelihood / likelihood.sum()
+    # the positive part can underflow to identically zero (b1/b2 are
+    # sampled in log space; a warmup overshoot to b ~ 1e-8 flattens both
+    # sigmoids to exactly 0.5 in f32) — 0/0 here would poison the NUTS
+    # gradient.  Guard with a where so the degenerate branch returns an
+    # all-zero pmf with ZERO gradient (a bare 1/tiny floor would make the
+    # gradient explode instead of NaN — no better)
+    total = likelihood.sum()
+    eps = jnp.asarray(1e-6, likelihood.dtype)
+    return jnp.where(total > eps,
+                     likelihood / jnp.maximum(total, eps), 0.0)
 
 
 def h_flight_prob(day_windr, lam, aw, bw, a1, b1, a2, b2):
@@ -58,7 +67,9 @@ def h_flight_prob(day_windr, lam, aw, bw, a1, b1, a2, b2):
     f_func = f_time_prob(n, a1, b1, a2, b2)
     g_func = g_wind_prob(day_windr, aw, bw)
     t_vec = jnp.linspace(1.0, n, n)
-    integral_avg = (f_func * g_func / t_vec / jnp.max(f_func) *
+    eps = jnp.asarray(1e-12, f_func.dtype)
+    integral_avg = (f_func * g_func / t_vec /
+                    jnp.maximum(jnp.max(f_func), eps) *
                     jnp.cumsum((1.0 - jnp.cumsum(f_func) ** alpha_pow) *
                                (f_func - f_func * g_func)))
     return lam * (f_func * g_func + integral_avg)

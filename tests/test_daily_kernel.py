@@ -134,3 +134,42 @@ def test_parity_with_reference_start_time():
                                     rad_res, start_time=start_frac)
     got, _ = _build(flat, cs, cfg, day=0, start_idx=int(start_frac * T))
     assert np.abs(got - want).max() < 3e-3
+
+
+def test_f_time_prob_underflow_is_finite():
+    """Both logistic slopes underflowing to a flat 0.5 must give an
+    all-zero pmf with finite gradients, not 0/0 NaN (b1/b2 are sampled in
+    log space; warmup overshoots reach this region)."""
+    import jax
+
+    from parasitoids_tpu.ops.flight import f_time_prob, h_flight_prob
+
+    f = np.asarray(f_time_prob(48, 6.0, 1e-20, 20.0, 1e-20))
+    assert np.isfinite(f).all() and f.sum() == 0.0
+
+    def h_sum(b1):
+        return jnp.sum(h_flight_prob(jnp.full(48, 0.5), 1.0, 1.8, 6.0,
+                                     7.0, b1, 19.0, 1e-38))
+    g = float(jax.grad(h_sum)(1e-38))
+    assert np.isfinite(g)
+
+
+def test_n_periods_zero_is_finite():
+    """n_periods = 0 is in the Poisson prior's support and the AM proposal
+    only rounds the discrete slot — the windowed wind average must floor
+    the window at 1 instead of dividing by zero."""
+    _, _, flat, cs, cfg = _setup()
+    pmf, loss = _build(flat, cs, cfg, n_per=0)
+    assert np.isfinite(pmf).all() and abs(pmf.sum() - 1.0) < 1e-4
+    assert np.isfinite(loss)
+    # floored window == n_periods 1
+    pmf1, _ = _build(flat, cs, cfg, n_per=1)
+    np.testing.assert_allclose(pmf, pmf1, atol=1e-7)
+
+
+def test_r_small_vals_dense_degenerate_passthrough():
+    from parasitoids_tpu.ops.daily_kernel import r_small_vals_dense
+
+    tiny_field = jnp.full((5, 5), 1e-12)
+    out = np.asarray(r_small_vals_dense(tiny_field, prob_model=True))
+    np.testing.assert_array_equal(out, np.asarray(tiny_field))
