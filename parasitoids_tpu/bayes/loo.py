@@ -64,22 +64,18 @@ def pointwise_matrix(setup: BayesSetup, traces, n_draws=400, seed=0,
     from .priors import MODEL_PARAM_NAMES, OBS_PARAM_NAMES
     from .sampler import _as_obs
 
-    traces = np.asarray(traces)
-    if traces.ndim == 2:
-        traces = traces[None]
-    flat = traces.reshape(-1, traces.shape[-1])
-    rng = np.random.default_rng(seed)
-    size = min(n_draws, flat.shape[0])
+    from .predictive import subsample_draws
+
+    draws, take = subsample_draws(traces, n_draws, seed)
     if mesh is not None:
         # the sharded ensemble splits the draw axis evenly over devices;
         # round down to a multiple (or drop the mesh for tiny subsamples)
         n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-        if size < n_dev:
+        if draws.shape[0] < n_dev:
             mesh = None
         else:
-            size -= size % n_dev
-    take = rng.choice(flat.shape[0], size=size, replace=False)
-    draws = flat[take]
+            size = draws.shape[0] - draws.shape[0] % n_dev
+            draws, take = draws[:size], take[:size]
 
     n_m = len(MODEL_PARAM_NAMES)
     n_o = len(OBS_PARAM_NAMES)

@@ -159,7 +159,7 @@ parser.add_argument('overrides', nargs='*',
                     help='Params key=value overrides (e.g. interp_num=30)')
 
 
-def build_setup(overrides=(), need_grad=False):
+def build_setup(overrides=()):
     params = Params()
     params.cmd_line_chg(['--kalbar'])
     params.PLOT = False
@@ -313,7 +313,7 @@ def run_nuts(args, setup):
     dt = time.time() - tic
     print('NUTS finished: {:.1f} s ({:.3f} s/sample/chain); accept {:.2f}, '
           '{} divergences'.format(
-              dt, dt / n_samples, float(np.mean(out['accept_rate'])),
+              dt, dt / max(1, n_samples), float(np.mean(out['accept_rate'])),
               int(np.sum(out['n_divergent']))))
     if gibbs:
         print('  n_periods Gibbs moves: accept {:.2f}'.format(
@@ -359,6 +359,11 @@ def run_pt_cli(args, setup):
         kept, states, meta = load_chain(db, setup)
         if meta.get('sampler') != 'pt':
             raise SystemExit('{} was not written by --sampler pt'.format(db))
+        if kept is not None and kept.shape[1] == 0:
+            # burn-in checkpoint placeholder (1, 0, 1): no post-burn draws
+            # yet — must be None so the first real cold-chain block isn't
+            # concatenated against the 1-wide dummy
+            kept = None
         ex = load_extras(db)
         betas = np.asarray(ex['betas'], np.float32)
         se = int(meta['swap_every'])
@@ -395,6 +400,12 @@ def run_pt_cli(args, setup):
         n_tuned = 0
     T = betas.shape[0]
     swap_key = random.PRNGKey(seed + 2)
+    # ladder-tuning swap stats accumulate across checkpoint chunks: swap
+    # parity alternates by global round, so a short chunk may attempt only
+    # even- or odd-parity pairs and tuning must wait until every adjacent
+    # pair has data (not persisted — a mid-burn resume restarts the window)
+    t_att = np.zeros(T - 1)
+    t_acc = np.zeros(T - 1)
 
     n_dev = len(jax.devices())
     sharded = n_dev == T and T > 1
@@ -435,13 +446,19 @@ def run_pt_cli(args, setup):
         c_att = np.asarray(stats['swap_attempts'])
         c_acc = np.asarray(stats['swap_accepts'])
         in_burn = steps_before + n * se <= burn
-        if args.tune_ladder and in_burn and (c_att > 0).all() and T > 2:
-            new_betas = tune_ladder(betas, c_acc / c_att,
-                                    kappa=0.6 / (1.0 + 0.5 * n_tuned))
-            n_tuned += 1
-            print('  ladder tuned ({}): beta = [{}]'.format(
-                n_tuned, ' '.join('{:.3g}'.format(b) for b in new_betas)))
-            betas = new_betas
+        if args.tune_ladder and in_burn and T > 2:
+            t_att = t_att + c_att
+            t_acc = t_acc + c_acc
+            if (t_att > 0).all():
+                new_betas = tune_ladder(betas, t_acc / t_att,
+                                        kappa=0.6 / (1.0 + 0.5 * n_tuned))
+                n_tuned += 1
+                print('  ladder tuned ({}): beta = [{}]'.format(
+                    n_tuned, ' '.join('{:.3g}'.format(b)
+                                      for b in new_betas)))
+                betas = new_betas
+                t_att = np.zeros(T - 1)
+                t_acc = np.zeros(T - 1)
         else:
             # reported rates cover only the frozen-ladder phase
             att = att + c_att
@@ -808,7 +825,7 @@ def main(argv=None):
         return run_analyze(args)
 
     print('devices: {}'.format(jax.devices()))
-    setup = build_setup(args.overrides, need_grad=args.sampler == 'nuts')
+    setup = build_setup(args.overrides)
     if args.shard_forward:
         if args.sampler in ('pt', 'smc'):
             parser.error('--shard-forward is incompatible with the '

@@ -194,8 +194,8 @@ def main(argv=None):
 
     from jax import random
 
-    from ..config import Params
     from ..utils.cache import enable_compilation_cache
+    from .run import build_setup
 
     ap = argparse.ArgumentParser(prog='parasitoids_tpu.bayes.sbc')
     ap.add_argument('--replicates', type=int, default=20)
@@ -213,17 +213,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
     enable_compilation_cache()
 
-    params = Params()
-    params.cmd_line_chg(['--kalbar'])
-    params.PLOT = False
-    params.OUTPUT = False
-    params.PROB_MODEL = False
-    params.domain_info = (10000.0, 400)
-    for ov in args.overrides:
-        if '=' in ov:
-            k, _, v = ov.partition('=')
-            params.chg_param(k, v)
-    setup = BayesSetup(params)
+    # the canonical Bayes setup — same builder as every other inference CLI,
+    # so the calibration target cannot drift from the sampler it validates
+    setup = build_setup(args.overrides)
 
     print('SBC: {} replicates x ({} burn + {} samples, thin {})...'.format(
         args.replicates, args.burn, args.samples, args.thin))

@@ -85,12 +85,9 @@ class SMCConfig(NamedTuple):
 # host-side annealing machinery (pure NumPy; unit-tested standalone)
 # ----------------------------------------------------------------------
 
-def _logsumexp(x):
-    x = np.asarray(x, np.float64)
-    m = np.max(x)
-    if not np.isfinite(m):
-        return m
-    return m + np.log(np.sum(np.exp(x - m)))
+# one host-side f64 logsumexp for the whole bayes package (defined in
+# tempering.py; re-exported here for the module-local call sites)
+from .tempering import logsumexp as _logsumexp  # noqa: E402
 
 
 def ess(logw):
@@ -315,6 +312,13 @@ def run_smc(setup: BayesSetup, key, cfg: SMCConfig, mesh=None, seed=0,
                 w, np.random.default_rng([seed, stage]))
             states = jax.tree.map(
                 lambda x: jnp.take(x, jnp.asarray(idx), axis=0), states)
+            # clones share their ancestor's RNG key; without a re-key their
+            # rejuvenation moves would be bitwise identical forever, capping
+            # population diversity at the unique-ancestor count.  fold_in by
+            # particle index is deterministic, so chunked/resumed runs stay
+            # bitwise-equal to monolithic ones.
+            states = states._replace(key=jax.vmap(random.fold_in)(
+                states.key, jnp.arange(N, dtype=jnp.uint32)))
             logw = np.zeros(N)
 
         mu, cov = _population_cov(states.m, logw)

@@ -293,6 +293,8 @@ def fit_advi(setup, key, n_steps=600, n_mc=4, learning_rate=0.02,
     predicts ~zero density at most observed cells, where floor-rate
     log-likelihood terms drown the ELBO gradient in f32 noise (same
     rationale as the NUTS initialization, run.py)."""
+    if use_sprd is None:
+        use_sprd = False    # match Bayes_Run (sprd disabled, Run.py:168-175)
     logpdf, constrain, z0, active = _model_logpdf(setup, use_sprd)
     mu0 = None
     if init == 'map':
@@ -300,7 +302,10 @@ def fit_advi(setup, key, n_steps=600, n_mc=4, learning_rate=0.02,
         if verbose:
             print('ADVI init: MAP fit ({} steps)...'.format(init_map_steps),
                   flush=True)
-        fit = map_fit(setup, n_steps=init_map_steps, use_sprd=False)
+        # use_sprd must match _model_logpdf's: the sprd slot changes the
+        # z-vector length, and a shorter MAP z would silently clamp-gather
+        # into the wrong variational mean coordinate
+        fit = map_fit(setup, n_steps=init_map_steps, use_sprd=use_sprd)
         if verbose:
             print('ADVI init: MAP logp = {:.2f}'.format(fit['logp']),
                   flush=True)
@@ -308,7 +313,7 @@ def fit_advi(setup, key, n_steps=600, n_mc=4, learning_rate=0.02,
     res = advi(logpdf, z0, key, active=active, n_steps=n_steps, n_mc=n_mc,
                learning_rate=learning_rate, fullrank=fullrank,
                chunk_steps=chunk_steps, mu0=mu0, verbose=verbose)
-    res['use_sprd'] = bool(use_sprd) if use_sprd is not None else False
+    res['use_sprd'] = bool(use_sprd)
     return res
 
 

@@ -36,8 +36,9 @@ See README.md for the full command map.
 
 
 def main(params: Params | None = None, argv=None):
-    if params is None and argv is None and \
-            any(a in ('-h', '--help') for a in sys.argv[1:]):
+    if params is None and \
+            any(a in ('-h', '--help')
+                for a in (sys.argv[1:] if argv is None else argv)):
         print(_USAGE)
         return None, None
     enable_compilation_cache()

@@ -149,7 +149,6 @@ class Params:
                 # sites in play (a typo'd name, or running outside the
                 # directory holding data/) that silently simulates the
                 # WRONG site under the requested label, so fail loudly
-                import os
                 raise ValueError(
                     'unknown dataset {0!r}: not a built-in preset '
                     '(kalbar/carnarvon) and no site spec at {1} '
@@ -214,7 +213,11 @@ class Params:
                     key, eq, val = line.partition('=')
                     if eq:
                         self.chg_param(key.strip(), val.strip())
-            self.my_datasets()
+            # the reference re-runs my_datasets() here (Run.py:202), which
+            # clobbers every preset-owned key a config.txt just set
+            # (r_number, outfile, ...); chg_param already re-applies the
+            # preset immediately when dataset/prob_model change, so the
+            # trailing call is purely destructive — wart fixed, not copied
         except FileNotFoundError:
             try:
                 with open(path, 'w') as f:
@@ -235,35 +238,47 @@ class Params:
 
     def cmd_line_chg(self, args):
         '''Apply CLI overrides: ``--flag`` options and ``key=value`` pairs
-        (ref: Run.py:218-261).'''
-        for argstr in args:
-            if argstr.startswith('--'):
-                opt = argstr[2:].lower()
-                if opt in self._FLAG_ACTIONS:
-                    name, value = self._FLAG_ACTIONS[opt]
-                    setattr(self, name, value)
-                elif opt in ('pop', 'popmodel', 'pop_model'):
-                    self.PROB_MODEL = False
-                    self.my_datasets()
-                elif opt in ('prob', 'probmodel', 'prob_model'):
-                    self.PROB_MODEL = True
-                    self.my_datasets()
-                elif opt in ('carnarvon', 'kalbar'):
-                    self.dataset = opt
-                    self.my_datasets()
-                else:
-                    raise ValueError('Unrecognized option {0}.'.format(argstr))
+        (ref: Run.py:218-261).
+
+        Flags are applied before key=value pairs regardless of their
+        position on the command line: ``--pop``/``--kalbar`` re-apply the
+        dataset preset, and in the reference's single in-order pass that
+        silently clobbered any override given earlier on the same line
+        (``r_number=5000 --pop`` ran with the preset's 130000).  Two-pass
+        application makes the documented "preset -> CLI" precedence hold
+        for every argument order.'''
+        flags = [a for a in args if a.startswith('--')]
+        pairs = [a for a in args if not a.startswith('--')]
+        for argstr in flags:
+            opt = argstr[2:].lower()
+            if opt in self._FLAG_ACTIONS:
+                name, value = self._FLAG_ACTIONS[opt]
+                setattr(self, name, value)
+            elif opt in ('pop', 'popmodel', 'pop_model'):
+                self.PROB_MODEL = False
+                self.my_datasets()
+            elif opt in ('prob', 'probmodel', 'prob_model'):
+                self.PROB_MODEL = True
+                self.my_datasets()
+            elif opt in ('carnarvon', 'kalbar'):
+                self.dataset = opt
+                self.my_datasets()
             else:
-                arg, _, val = argstr.partition('=')
-                self.chg_param(arg, val)
+                raise ValueError('Unrecognized option {0}.'.format(argstr))
+        for argstr in pairs:
+            arg, _, val = argstr.partition('=')
+            self.chg_param(arg, val)
 
     @staticmethod
     def _parse_bool(val):
-        if val in ('True', 'true', '1'):
+        v = str(val).strip().lower()
+        if v in ('true', '1', 'yes', 'on'):
             return True
-        if val in ('False', 'false', '0'):
+        if v in ('false', '0', 'no', 'off'):
             return False
-        return bool(val)
+        # a fallthrough to bool(val) would turn 'no'/'off' into True —
+        # mis-typed booleans must fail loudly like every other parameter
+        raise ValueError('not a boolean: {0!r}'.format(val))
 
     @staticmethod
     def _parse_tuple(val, types):
@@ -298,7 +313,7 @@ class Params:
                          'quad_nodes'):
                 setattr(self, arg, i(val))
             elif arg == 'use_pallas':
-                self.use_pallas = val.strip().lower() in ('1', 'true', 'yes')
+                self.use_pallas = self._parse_bool(val)
             elif arg == 'use_f64':
                 self.use_f64 = self._parse_bool(val)
             elif arg in ('sprd_factor', 'use_sprd_factor'):
@@ -362,9 +377,9 @@ class Params:
         '''Write the parameter sidecar, stripping the maps key
         (ref: Run.py:512-516).'''
         filename = filename or self.outfile + '.json'
-        d = dirname = os.path.dirname(filename)
-        if d and not os.path.exists(d):
-            os.makedirs(dirname)
+        d = os.path.dirname(filename)
+        if d:
+            os.makedirs(d, exist_ok=True)
         param_dict = dict(self.__dict__)
         param_dict.pop('maps_key', None)
         with open(filename, 'w') as fobj:

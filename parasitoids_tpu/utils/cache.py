@@ -86,8 +86,9 @@ def enable_compilation_cache(path: str | None = None):
         first = jax.default_backend()
     if first == 'cpu' and os.environ.get('PARA_TPU_CACHE_CPU') != '1':
         return None
-    path = path or os.environ.get('PARA_TPU_CACHE_DIR',
-                                  default_cache_dir())
+    # `or` keeps default_cache_dir() lazy: it shells out to gcc for the
+    # machine tag, which must not run when the env var already decides
+    path = path or os.environ.get('PARA_TPU_CACHE_DIR') or default_cache_dir()
     os.makedirs(path, exist_ok=True)
     jax.config.update('jax_compilation_cache_dir', path)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)

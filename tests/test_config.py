@@ -144,3 +144,41 @@ def test_custom_release_weights_in_forward_setup_and_json(tmp_path):
     q = Params()
     q.file_read_chg(str(path))
     assert q.r_mthd()(2) == 0.75
+
+
+def test_config_txt_preset_owned_keys_survive(tmp_path):
+    """config.txt overrides of preset-owned keys must not be clobbered
+    (regression: the reference re-runs my_datasets() after the config loop,
+    Run.py:202, resetting r_number/outfile/... — wart fixed, not copied)."""
+    cfg = tmp_path / 'config.txt'
+    cfg.write_text('r_number = 50000\nlam = 0.9\n')
+    p = Params()
+    p.default_chg(str(cfg))
+    assert p.r_number == 50000
+    assert p.lam == 0.9
+
+
+def test_cli_flag_order_independent():
+    """--pop/--kalbar re-apply the dataset preset; key=value overrides must
+    win regardless of argument order (regression: an override given before
+    the flag was silently reset by the preset)."""
+    a, b = Params(), Params()
+    a.cmd_line_chg(['r_number=5000', 'outfile=output/x', '--pop'])
+    b.cmd_line_chg(['--pop', 'r_number=5000', 'outfile=output/x'])
+    assert a.r_number == b.r_number == 5000
+    assert a.outfile == b.outfile == 'output/x'
+    assert a.PROB_MODEL is False and b.PROB_MODEL is False
+
+
+def test_bool_parse_strict():
+    """'no'/'off' parse False; junk raises instead of silently enabling
+    (regression: the bool(val) fallthrough turned 'no' into True)."""
+    p = Params()
+    p.chg_param('plot', 'no')
+    assert p.PLOT is False
+    p.chg_param('use_f64', 'on')
+    assert p.use_f64 is True
+    p.chg_param('use_pallas', 'False')
+    assert p.use_pallas is False
+    with pytest.raises(ValueError):
+        p.chg_param('output', 'nope')

@@ -108,7 +108,7 @@ def test_exact_logo_cv_runs(setup):
     # two folds through ONE compiled SMC program (traced mask operand)
     res = exact_logo_cv(setup, by='block', folds=[0, 1],
                         smc_config=SMCConfig(n_particles=16, n_moves=2,
-                                             max_stages=6),
+                                             max_stages=30),
                         seed=0)
     assert len(res['elpd']) == 2
     assert np.isfinite(res['elpd']).all()

@@ -229,6 +229,21 @@ def test_run_smc_tiny(setup):
     np.testing.assert_allclose(float(ll_re), ll[i], rtol=1e-5)
 
 
+def test_smc_resampled_clones_diverge(setup):
+    """Resampling duplicates ancestors; clones must be re-keyed so their
+    rejuvenation moves differ (regression: clones inheriting the ancestor's
+    RNG key moved bitwise-identically forever, capping population diversity
+    at the unique-ancestor count)."""
+    from parasitoids_tpu.bayes.smc import SMCConfig, run_smc
+
+    # resample_ess=1.0 forces a resample at every stage
+    cfg = SMCConfig(n_particles=8, n_moves=2, resample_ess=1.0)
+    out = run_smc(setup, random.PRNGKey(4), cfg, seed=13)
+    assert any(out['history']['resampled'])
+    keys = np.asarray(out['states'].key)
+    assert len(np.unique(keys, axis=0)) == keys.shape[0]
+
+
 @pytest.mark.slow
 def test_smc_checkpoint_resume_bitwise(setup):
     """A run interrupted at an intermediate stage and resumed from its

@@ -354,10 +354,34 @@ def test_pt_cli_new_and_resume(tmp_path, capsys):
         brun.main(['--resume', db, '6'] + ov)
 
 
+def test_pt_cli_resume_from_burnin_only_checkpoint(tmp_path, capsys):
+    """A PT store written before any post-burn draw (the (1, 0, 1)
+    placeholder) must resume cleanly into the sampling phase (regression:
+    the placeholder was concatenated against the first real cold-chain
+    block and crashed append_traces)."""
+    from parasitoids_tpu.bayes import run as brun
+
+    db = str(tmp_path / 'pt_burn')
+    ov = ['ndays=3', 'domain_info=(10000.0,50)', 'interp_num=2',
+          'kernel_rad=6', 'kernel_rad_local=3', 'quad_nodes=8']
+    brun.main(['--new', '0', '9', db, '--sampler', 'pt', '--temps', '3',
+               '--swap-every', '3'] + ov)
+    with np.load(db + '.npz') as d:
+        assert d['traces'].shape[1] == 0      # burn-in only, no draws yet
+    capsys.readouterr()
+    brun.main(['--resume', db, '6', '--sampler', 'pt'] + ov)
+    with np.load(db + '.npz') as d:
+        assert d['traces'].shape[1] == 6      # post-burn draws appended
+
+
 @pytest.mark.slow
 def test_pt_cli_tune_ladder(tmp_path, capsys):
     """--tune-ladder adapts interior rungs during burn-in chunks and
-    freezes the ladder for the sampling phase."""
+    freezes the ladder for the sampling phase.  checkpoint-every == swap
+    -every makes each chunk a single swap round, which attempts only one
+    parity of adjacent pairs — tuning must accumulate stats across chunks
+    (regression: it required every pair within one chunk and silently
+    never tuned)."""
     from parasitoids_tpu.bayes import run as brun
     from parasitoids_tpu.bayes.store import load_extras
     from parasitoids_tpu.bayes.tempering import power_ladder
@@ -365,9 +389,10 @@ def test_pt_cli_tune_ladder(tmp_path, capsys):
     db = str(tmp_path / 'pt_tuned')
     ov = ['ndays=3', 'domain_info=(10000.0,50)', 'interp_num=2',
           'kernel_rad=6', 'kernel_rad_local=3', 'quad_nodes=8']
-    # burn 12 over chunks of 2 rounds (6 steps): two in-burn tuning chunks
+    # burn 12 over chunks of ONE round (3 steps): four in-burn chunks,
+    # alternating swap parity; all pairs covered only across chunks
     brun.main(['--new', '6', '12', db, '--sampler', 'pt', '--temps', '4',
-               '--swap-every', '3', '--checkpoint-every', '6',
+               '--swap-every', '3', '--checkpoint-every', '3',
                '--tune-ladder'] + ov)
     out = capsys.readouterr().out
     assert 'ladder tuned' in out

@@ -170,7 +170,7 @@ def test_vi_cli_smoke(tmp_path, monkeypatch):
     db = str(tmp_path / 'vi_smoke')
     monkeypatch.setattr(
         bayes_run, 'build_setup',
-        lambda overrides=(), need_grad=False: _tiny_setup())
+        lambda overrides=(): _tiny_setup())
     bayes_run.main(['--new', '8', '30', db, '--sampler', 'vi',
                     '--vi-mc', '2', '--init-map-steps', '30'])
     import json
