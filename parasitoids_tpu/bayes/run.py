@@ -755,7 +755,8 @@ def run_analyze(args):
     extras = load_extras(path)
     print('companion CLIs (each takes this trace + the run overrides): '
           'bayes.summary (full report), bayes.predictive (PPC), '
-          'bayes.spread (posterior maps), bayes.loo (WAIC/PSIS-LOO)')
+          'bayes.spread (posterior maps), bayes.loo (WAIC/PSIS-LOO), '
+          'bayes.sensitivity (power-scaling prior/likelihood sensitivity)')
     has_ev = (('betas' in extras and 'loglik' in extras)
               or 'logz_path' in extras)
     menu = ('[s] posterior summary + R-hat/ESS   [p] diagnostic plots '

@@ -132,8 +132,8 @@ def build_report(setup, traces, path, draws=100, seed=0, mesh=None,
     sec.append('- posterior spread map (day {}): `{}`'.format(
         int(spr['days'][0]), spaths[0]))
 
-    ll, _ = pointwise_matrix(setup, traces, n_draws=draws, seed=seed,
-                             mesh=mesh)
+    ll, take = pointwise_matrix(setup, traces, n_draws=draws, seed=seed,
+                                mesh=mesh)
     if group != 'point':
         gids, labels = point_groups(setup, by=group)
         gll = group_loglik(ll, gids)
@@ -162,6 +162,24 @@ def build_report(setup, traces, path, draws=100, seed=0, mesh=None,
                + '; '.join('{} ({:+.1f})'.format(
                    labels[i], l['elpd_pointwise'][i]) for i in worst))
     sec.append('')
+
+    # power-scaling sensitivity reuses the pointwise matrix's forward sims
+    from .sensitivity import (plot_sensitivity, sensitivity_from_trace,
+                              report as sens_report)
+    sens = sensitivity_from_trace(setup, traces, n_draws=draws, seed=seed,
+                                  mesh=mesh, pointwise=(ll, take))
+    spath = plot_sensitivity(sens, base + '_sensitivity.png')
+    flagged = [(n, d) for n, d in zip(sens['names'], sens['diagnosis'])
+               if d]
+    sec += ['## Prior/likelihood sensitivity (power-scaling)', '']
+    if flagged:
+        sec.append('- flagged: '
+                   + '; '.join('{} — {}'.format(n, d) for n, d in flagged))
+    else:
+        sec.append('- no parameter flagged at threshold {}'.format(
+            sens['threshold']))
+    sec.append('- sensitivity scatter: `{}`'.format(spath))
+    sec += ['', '```', sens_report(sens), '```', '']
 
     out = base + '_report.md'
     with open(out, 'w') as fh:

@@ -164,10 +164,12 @@ def test_summary_report(tmp_path, monkeypatch):
     text = open(out).read()
     for section in ('## Posterior', '## Convergence',
                     '## Posterior-predictive p-values',
-                    '## Predictive assessment'):
+                    '## Predictive assessment',
+                    '## Prior/likelihood sensitivity'):
         assert section in text, section
     assert os.path.exists(base + '_predictive.png')
     assert os.path.exists(base + '_loo.png')
+    assert os.path.exists(base + '_sensitivity.png')
     assert os.path.exists(base + '_spread.npz')
     assert os.path.exists(base + '_spread_d{}.png'.format(setup.ndays))
     assert 'posterior spread map' in text
