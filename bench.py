@@ -23,10 +23,14 @@ import numpy as np
 
 def _tpu_reachable(timeout_s=180):
     """Probe device init in a child process — a wedged hosted-TPU tunnel
-    hangs indefinitely inside jax, so never probe in-process."""
+    hangs indefinitely inside jax, so never probe in-process.  Requires an
+    actual TPU device: on a CPU-only host jax.devices() succeeds with
+    CpuDevice, which must report as the (labeled) CPU fallback."""
     try:
         r = subprocess.run(
-            [sys.executable, '-c', 'import jax; jax.devices()'],
+            [sys.executable, '-c',
+             "import jax; assert any(d.platform == 'tpu' "
+             'for d in jax.devices())'],
             timeout=timeout_s, capture_output=True)
         return r.returncode == 0
     except subprocess.TimeoutExpired:

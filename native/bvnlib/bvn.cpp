@@ -158,15 +158,5 @@ void pt_bvn_cell_masses(double mux, double muy, double sx, double sy,
   delete[] U;
 }
 
-// Batched rectangles: n independent (low, upp, mu) triples sharing
-// (sx, sy, rho) — amortizes the ctypes call overhead for host tooling.
-void pt_bvn_rect_batch(const double* lo, const double* up, const double* mu,
-                       double sx, double sy, double rho, int32_t n,
-                       double* out) {
-  for (int32_t i = 0; i < n; ++i) {
-    out[i] = pt_bvn_rect(lo[2 * i], lo[2 * i + 1], up[2 * i], up[2 * i + 1],
-                         mu[2 * i], mu[2 * i + 1], sx, sy, rho);
-  }
-}
 
 }  // extern "C"

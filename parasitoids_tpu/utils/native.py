@@ -47,11 +47,6 @@ def load_bvnlib():
         lib.pt_bvn_cell_masses.argtypes = (
             [ctypes.c_double] * 6 + [ctypes.c_int32,
                                      ctypes.POINTER(ctypes.c_double)])
-        lib.pt_bvn_rect_batch.restype = None
-        lib.pt_bvn_rect_batch.argtypes = [
-            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
-            ctypes.POINTER(ctypes.c_double), ctypes.c_double, ctypes.c_double,
-            ctypes.c_double, ctypes.c_int32, ctypes.POINTER(ctypes.c_double)]
     except (OSError, subprocess.CalledProcessError):
         lib = None
     _cache['lib'] = lib

@@ -41,10 +41,6 @@ def main():
     prob_model = '--prob' in sys.argv
     ndays = int(args[0]) if args else 4
 
-    import jax
-    if os.environ.get('JAX_PLATFORMS'):
-        # the hosted-TPU site hook overrides the env var in jax.config
-        jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
     from scipy import sparse
 
     from parasitoids_tpu.config import Params
@@ -68,6 +64,12 @@ def main():
     p.PLOT = False
     p.OUTPUT = False
     p.PROB_MODEL = prob_model
+    if not prob_model and ndays < p.r_dur:
+        # the population back-solve needs one kernel per release day
+        # (carnarvon releases over 5 days)
+        print('ndays {} < r_dur {}; raising to {}'.format(
+            ndays, p.r_dur, p.r_dur))
+        ndays = int(p.r_dur)
     p.ndays = ndays
     if '--f64' in sys.argv:
         p.use_f64 = True

@@ -50,6 +50,13 @@ def main():
     from parasitoids_tpu.io import get_wind_data
     ref_wind, ref_days = get_wind_data(*p.get_wind_params())
 
+    # warm-up: compile outside the per-day timing so the printed
+    # ours-vs-reference comparison is steady-state, not trace+compile
+    build_daily_kernel(
+        s.wind_flat, s.wind_cumsum, jnp.int32(day_idxs[0]), hparams,
+        p.Dparams, p.Dlparams, jnp.float32(p.mu_r), jnp.int32(p.n_periods),
+        s.rad_dist, jnp.int32(0), s.kcfg)[0].block_until_ready()
+
     worst = 0.0
     for di in day_idxs:
         day = list(s.days)[di]

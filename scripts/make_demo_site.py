@@ -31,7 +31,7 @@ def xy_to_latlong(x, y):
     return math.degrees(lat), math.degrees(long)
 
 
-def write_wind(path, ndays=4, readings=48, seed=0):
+def write_wind(path, ndays=5, readings=48, seed=0):
     """<day windx windy> per 30-min reading, m/s (format of kalbarwind.txt)."""
     rng = np.random.default_rng(seed)
     with open(path, 'w') as f:
@@ -79,19 +79,24 @@ def write_releasegrid(path):
 
 
 def write_observations():
-    # sentinel emergence: id,date,count (dates = days post-release)
+    # sentinel emergence: id,date,count (dates = days post-release).
+    # Dates must land inside the oviposition-to-emergence window
+    # (INCUBATION_TIME spans 19..25 days, models/observe.py) measured from
+    # the simulated oviposition days, or every emergence weight is zero and
+    # the observations are structurally uninformative: with collection on
+    # day 5, dates 22 and 26 give full-weight coverage.
     with open(os.path.join(OUT, 'demo_sentinel.csv'), 'w') as f:
         f.write('id,date,count\n')
-        for date, counts in ((8, {'F1': 11, 'F2': 3}),
-                             (12, {'F1': 5, 'F2': 1})):
+        for date, counts in ((22, {'F1': 11, 'F2': 3}),
+                             (26, {'F1': 5, 'F2': 1})):
             for fid, c in counts.items():
                 f.write('{},{},{}\n'.format(fid, date, c))
     # release-field emergence: x,y,date,count on release-grid points;
-    # (100,0) has no day-12 row on purpose (the loader zero-fills)
+    # (100,0) has no day-26 row on purpose (the loader zero-fills)
     with open(os.path.join(OUT, 'demo_release.csv'), 'w') as f:
         f.write('x,y,date,count\n')
-        f.write('0.0,100.0,8,6\n100.0,0.0,8,4\n-100.0,0.0,8,2\n')
-        f.write('0.0,100.0,12,3\n-100.0,0.0,12,1\n')
+        f.write('0.0,100.0,22,6\n100.0,0.0,22,4\n-100.0,0.0,22,2\n')
+        f.write('0.0,100.0,26,3\n-100.0,0.0,26,1\n')
     # adult grid counts: x,y,date,count
     with open(os.path.join(OUT, 'demo_grid.csv'), 'w') as f:
         f.write('x,y,date,count\n')

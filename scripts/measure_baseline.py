@@ -86,8 +86,8 @@ def main():
     # Convolution phase: replicate CalcSol.get_solutions CPU inner loop
     # (CalcSol.py:188-201) for one day-step at the max observed kernel shape.
     max_shape = np.array([0, 0])
-    for p in pmfs:
-        max_shape = np.maximum(max_shape, p.shape)
+    for pm in pmfs:
+        max_shape = np.maximum(max_shape, pm.shape)
     # recenter day-1 pmf into full domain the way Run.py:453-458 does
     offset = domain_info[1] - pmfs[0].shape[0] // 2
     dom0 = np.zeros((dom_len, dom_len))

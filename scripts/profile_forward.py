@@ -39,10 +39,6 @@ def main():
     args = ap.parse_args()
 
     import jax
-    if os.environ.get('JAX_PLATFORMS'):
-        # the hosted-TPU site hook overrides the env var in jax.config;
-        # re-apply it so JAX_PLATFORMS=cpu works when the tunnel is down
-        jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
     import jax.numpy as jnp
     from parasitoids_tpu.config import Params
     from parasitoids_tpu.models.forward import (build_all_kernels,
