@@ -50,6 +50,30 @@ def test_demo_site_locinfo():
     assert li.card_obs_datesPR[0].days == 3
 
 
+def test_demo_site_emergence_is_informative():
+    """The shipped demo observations must actually inform the likelihood:
+    emergence dates have to land inside the 19-25 day incubation window
+    measured from the simulated oviposition days, and the wind file has to
+    cover the collection date.  (The original demo had dates 8/12 — every
+    emergence weight was identically zero, so the demo fit a
+    parameter-independent constant likelihood block.)"""
+    import warnings
+
+    from parasitoids_tpu.io.wind import read_wind_file
+    from parasitoids_tpu.models.observe import ObservationOps
+
+    li = LocInfo('demo', DEMO_COORD, DEMO_DOMAIN)
+    _, wind_days = read_wind_file(os.path.join('data', 'demo'))
+    assert len(wind_days) >= li.collection_datesPR[0].days
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')            # truncation warns -> fail
+        oo = ObservationOps(li, DEMO_DOMAIN, len(wind_days))
+    for W in oo.sentinel_W:
+        assert (np.asarray(W) != 0).any()
+    for proj in oo.release_proj:
+        assert (np.asarray(proj[1]) != 0).any()
+
+
 def test_demo_site_params():
     p = Params()
     p.cmd_line_chg(['dataset=demo'])
