@@ -148,11 +148,17 @@ def test_forward_mesh_bayes_integration():
 
     la = np.asarray(setup.pointwise_loglik(pa, o), np.float64)
     lb = np.asarray(sharded.pointwise_loglik(pb, o), np.float64)
-    # low-rate cells amplify fp noise logarithmically, so this is a
-    # gross-error check (a wrong psum would shift terms by orders)
-    healthy = (la > -20.0) & (lb > -20.0)
+    # low-rate cells amplify fp noise logarithmically: a projection
+    # difference of ~1e-6*peak (allowed above) is a few log-units on a
+    # cell whose rate is near the 1e-8 threshold, so terms in the
+    # (-20, -10) band only get a gross-error bound; terms above -10 are
+    # far from the threshold and must agree tightly (a wrong psum would
+    # shift them by orders)
+    healthy = (la > -10.0) & (lb > -10.0)
     assert healthy.mean() > 0.5
-    np.testing.assert_allclose(lb[healthy], la[healthy], atol=1.0)
+    np.testing.assert_allclose(lb[healthy], la[healthy], atol=1e-3)
+    band = (la > -20.0) & (lb > -20.0)
+    np.testing.assert_allclose(lb[band], la[band], atol=5.0)
 
     lp_a = float(setup.log_posterior(m, o))
     lp_b = float(sharded.log_posterior(m, o))
