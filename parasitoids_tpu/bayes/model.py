@@ -172,6 +172,32 @@ class BayesSetup:
         new.obs_grid = grid
         return new
 
+    def obs_pytree(self, obs):
+        """Validate a ``predictive.simulate_observations`` dict against this
+        setup's observation shapes and return it as the traced
+        ``(rel, sent, grid)`` structure ``log_likelihood`` accepts as its
+        ``obs`` argument.
+
+        Unlike ``with_observations`` (a new static jit key whose data
+        compile in as HLO constants — a full XLA recompile per dataset),
+        data passed this way are ordinary traced operands: ONE compiled
+        program serves every replicate dataset.  This is what makes
+        simulation-based calibration (bayes/sbc.py) tractable — 40
+        replicates share one compile instead of paying ~40 s each."""
+        dtype = self.obs_grid.dtype
+        rel = tuple(jnp.asarray(a, dtype) for a in obs['release'])
+        sent = tuple(jnp.asarray(a, dtype) for a in obs['sentinel'])
+        grid = jnp.asarray(obs['grid'], dtype)
+        for got, ref, name in (
+                (rel, self.obs_release, 'release'),
+                (sent, self.obs_sentinel, 'sentinel'),
+                ((grid,), (self.obs_grid,), 'grid')):
+            if len(got) != len(ref) or any(
+                    g.shape != r.shape for g, r in zip(got, ref)):
+                raise ValueError('observation shapes for {!r} do not match '
+                                 'this setup'.format(name))
+        return rel, sent, grid
+
     def split_point_mask(self, keep_flat):
         """Reshape a flat boolean vector over the pointwise columns (in
         ``pointwise_loglik`` order: release blocks row-major, sentinel
@@ -305,28 +331,35 @@ class BayesSetup:
 
     # ------------------------------------------------------------------
     @partial(jax.jit, static_argnums=(0,))
-    def log_likelihood(self, projections, o: ObsParams, obs_mask=None):
+    def log_likelihood(self, projections, o: ObsParams, obs_mask=None,
+                       obs=None):
         """Thinned-Poisson observation likelihood (Bayes_Run.py:344-433).
         Masked observations contribute nothing: ``obs_mask`` is a traced
         ``(rel, sent, grid)`` 0/1-weight structure (``split_point_mask``),
         falling back to the baked-in ``self.obs_mask`` (``with_held_out``)
-        when omitted."""
+        when omitted.  ``obs``: optional traced ``(rel, sent, grid)``
+        observed-data structure (``obs_pytree``) replacing the baked-in
+        dataset — one compiled program serves every dataset value (the
+        SBC replicate path)."""
         rel, sent, grid = projections
         mask = obs_mask if obs_mask is not None else self.obs_mask
         m_rel, m_sent, m_grid = (mask if mask is not None
                                  else (None, None, None))
+        data_rel, data_sent, data_grid = (
+            obs if obs is not None
+            else (self.obs_release, self.obs_sentinel, self.obs_grid))
         lp = 0.0
         for k, (model, data, effort) in enumerate(
-                zip(rel, self.obs_release, self.release_effort)):
+                zip(rel, data_rel, self.release_effort)):
             rate = o.xi * model * (effort * o.em_obs_prob)[:, None]
             ll = poisson_logpmf(data, rate)
             lp += jnp.sum(ll if m_rel is None else ll * m_rel[k])
-        for k, (model, data) in enumerate(zip(sent, self.obs_sentinel)):
+        for k, (model, data) in enumerate(zip(sent, data_sent)):
             rate = o.xi * model * o.sent_obs_probs[:, None]
             ll = poisson_logpmf(data, rate)
             lp += jnp.sum(ll if m_sent is None else ll * m_sent[k])
         grid_rate = o.grid_obs_prob * self.grid_samples * grid
-        ll = poisson_logpmf(self.obs_grid, grid_rate)
+        ll = poisson_logpmf(data_grid, grid_rate)
         lp += jnp.sum(ll if m_grid is None else ll * m_grid)
         return lp
 

@@ -86,10 +86,13 @@ def _as_obs(vec, n_sent) -> ObsParams:
 
 
 def init_chain_state(setup: BayesSetup, key, m0=None, o0=None,
-                     obs_mask=None):
+                     obs_mask=None, obs=None):
     """Evaluate the model at the initial point and build the chain state.
     ``obs_mask``: optional traced likelihood mask (model.py
-    ``split_point_mask``) — the cross-validation refit path."""
+    ``split_point_mask``) — the cross-validation refit path.
+    ``obs``: optional traced observed-data structure (model.py
+    ``obs_pytree``) — the SBC replicate path (one compile for all
+    replicate datasets)."""
     if m0 is None:
         m0 = initial_model_params()
     if o0 is None:
@@ -102,7 +105,7 @@ def init_chain_state(setup: BayesSetup, key, m0=None, o0=None,
     m = _as_model(m0)
     o = _as_obs(o0, setup.n_sent)
     proj = setup.forward_projections(m)
-    loglik = setup.log_likelihood(proj, o, obs_mask)
+    loglik = setup.log_likelihood(proj, o, obs_mask, obs)
     return ChainState(
         m=m0, o=o0, loglik=loglik,
         prior_m=log_prior_model(m),
@@ -128,7 +131,7 @@ def _proposal_chol(state, adapt_start):
 
 
 def _mcmc_step(setup: BayesSetup, state: ChainState, cfg: MCMCConfig,
-               beta=1.0, obs_mask=None):
+               beta=1.0, obs_mask=None, obs=None):
     """One AM transition targeting ``prior + beta * loglik``.
 
     ``beta`` is the inverse temperature: 1.0 is the posterior (the only
@@ -138,6 +141,9 @@ def _mcmc_step(setup: BayesSetup, state: ChainState, cfg: MCMCConfig,
     sampler in ``tempering.py``.  ``state.loglik`` stays untempered.
     ``obs_mask``: optional traced likelihood mask (cross-validation
     refits) — must match the mask the chain state was initialized with.
+    ``obs``: optional traced observed-data structure (model.py
+    ``obs_pytree``) — must match the data the chain state was initialized
+    with; lets many datasets share one compiled program (SBC).
     """
     n_sent = setup.n_sent
     beta = jnp.asarray(beta, jnp.float32)
@@ -154,7 +160,8 @@ def _mcmc_step(setup: BayesSetup, state: ChainState, cfg: MCMCConfig,
 
     def eval_prop(_):
         proj = setup.forward_projections(m_prop)
-        ll = setup.log_likelihood(proj, _as_obs(state.o, n_sent), obs_mask)
+        ll = setup.log_likelihood(proj, _as_obs(state.o, n_sent), obs_mask,
+                                  obs)
         return ll, proj
 
     def skip(_):
@@ -200,7 +207,7 @@ def _mcmc_step(setup: BayesSetup, state: ChainState, cfg: MCMCConfig,
 
         ll_p = lax.cond(
             jnp.isfinite(prior_p),
-            lambda _: setup.log_likelihood(proj_new, o_p, obs_mask),
+            lambda _: setup.log_likelihood(proj_new, o_p, obs_mask, obs),
             lambda _: jnp.asarray(-jnp.inf, ll_cur.dtype), operand=None)
         ratio = (prior_p + beta * ll_p) - (prior_o + beta * ll_cur)
         acc = jnp.log(random.uniform(k2)) < ratio
@@ -225,13 +232,16 @@ mcmc_step = _mcmc_step
 
 
 @partial(jax.jit, static_argnames=('setup', 'cfg'))
-def run_mcmc(setup: BayesSetup, state: ChainState, cfg: MCMCConfig):
+def run_mcmc(setup: BayesSetup, state: ChainState, cfg: MCMCConfig,
+             obs=None):
     """Advance one chain ``cfg.n_samples`` steps.
 
     Returns (final_state, trace) where trace rows are
     ``[model params(15), obs params, log_posterior]``.
-    """
+    ``obs``: optional traced observed-data structure (model.py
+    ``obs_pytree``) replacing the setup's baked-in dataset — one compiled
+    program serves every dataset value (the SBC replicate path)."""
     def step(s, _):
-        return _mcmc_step(setup, s, cfg)
+        return _mcmc_step(setup, s, cfg, obs=obs)
 
     return lax.scan(step, state, None, length=cfg.n_samples)

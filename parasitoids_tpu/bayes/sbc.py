@@ -6,8 +6,11 @@ is trusted blind.  SBC (Talts, Betancourt, Simpson, Vehtari & Gelman 2018,
 arXiv:1804.06788) closes the loop using machinery this rebuild already
 has: the exact prior samplers (priors.py), the synthetic-data generator
 (predictive.simulate_observations — the same thinned-Poisson observation
-model the likelihood evaluates), and cheap replicate construction
-(``BayesSetup.with_observations``).
+model the likelihood evaluates), and cheap replicate construction: each
+AM replicate's dataset enters as a traced operand
+(``BayesSetup.obs_pytree`` + ``run_mcmc(..., obs=...)``), so all
+replicates share ONE compiled program (the NUTS path still rebuilds via
+``with_observations``, which recompiles per replicate).
 
 Per replicate: draw truth ``theta* ~ prior``, simulate a dataset
 ``y ~ p(y | theta*)``, run the sampler on ``y``, and record the rank of
@@ -90,8 +93,8 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
                                              setup.min_field_area))
         rng = np.random.default_rng([seed, r])
         y = simulate_observations(setup, m_star, o_star, rng)
-        setup_r = setup.with_observations(y)
         if sampler == 'nuts':
+            setup_r = setup.with_observations(y)
             logpdf, constrain, _ = make_transformed_logpdf(setup_r)
             _, _, unconstrain = _make_objective(setup_r, False)
             z_true = unconstrain(jnp.asarray(m_star, jnp.float32),
@@ -108,9 +111,15 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
             draws = np.asarray(theta)[::thin][:L]
             metric = 'logp[-1] {:.1f}'.format(float(out['logp'][-1]))
         else:
-            state = init_chain_state(setup_r, k_chain, m0=m_star,
-                                     o0=o_star)
-            _, trace = jax.block_until_ready(run_mcmc(setup_r, state, cfg))
+            # traced-obs path: every replicate's dataset goes through ONE
+            # compiled program (with_observations would bake each dataset
+            # in as HLO constants — a full XLA recompile per replicate,
+            # ~40 s each at full config)
+            obs_r = setup.obs_pytree(y)
+            state = init_chain_state(setup, k_chain, m0=m_star,
+                                     o0=o_star, obs=obs_r)
+            _, trace = jax.block_until_ready(
+                run_mcmc(setup, state, cfg, obs=obs_r))
             draws = np.asarray(trace)[burn:burn + n_samples:thin, :dim]
             metric = 'loglik* {:.1f}'.format(float(state.loglik))
         truth = np.concatenate([m_star, o_star])

@@ -101,3 +101,46 @@ def test_store_resume_stacked_chains(tmp_path, setup):
                      (s1, jax.tree.map(lambda x: x[1], state2))):
         jax.tree.map(lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-6), orig.proj, re.proj)
+
+
+@pytest.mark.slow
+def test_traced_obs_matches_baked_and_shares_compile(setup):
+    """``run_mcmc(..., obs=setup.obs_pytree(y))`` must (a) reuse ONE
+    compiled program across datasets — the property that makes SBC
+    replicates tractable — and (b) match the ``with_observations(y)``
+    baked-constant path numerically."""
+    from parasitoids_tpu.bayes.predictive import simulate_observations
+    from parasitoids_tpu.bayes.priors import (initial_model_params,
+                                              initial_obs_params)
+    from parasitoids_tpu.bayes.sampler import (MCMCConfig, init_chain_state,
+                                               run_mcmc)
+
+    m0 = np.asarray(initial_model_params())
+    o0 = np.asarray(initial_obs_params(
+        [setup.locinfo.field_sizes[k] for k in setup.locinfo.sent_ids],
+        setup.cell_res ** 2))
+    cfg = MCMCConfig(n_samples=5)
+    datasets = [simulate_observations(setup, m0, o0,
+                                      np.random.default_rng(i))
+                for i in range(2)]
+
+    traces = []
+    sizes = []
+    for y in datasets:
+        obs = setup.obs_pytree(y)
+        st = init_chain_state(setup, random.PRNGKey(7), m0=m0, o0=o0,
+                              obs=obs)
+        _, tr = run_mcmc(setup, st, cfg, obs=obs)
+        traces.append(np.asarray(jax.block_until_ready(tr)))
+        if hasattr(run_mcmc, '_cache_size'):
+            sizes.append(run_mcmc._cache_size())
+    if sizes:
+        assert sizes[0] == sizes[-1], 'second dataset retraced run_mcmc'
+    # different datasets must actually give different posteriors
+    assert not np.allclose(traces[0][:, -1], traces[1][:, -1])
+
+    baked = setup.with_observations(datasets[0])
+    sb = init_chain_state(baked, random.PRNGKey(7), m0=m0, o0=o0)
+    _, tr_b = run_mcmc(baked, sb, cfg)
+    np.testing.assert_allclose(traces[0], np.asarray(tr_b),
+                               rtol=2e-5, atol=1e-5)
