@@ -51,7 +51,8 @@ def _theta_split(setup):
     return n_sent, MODEL_TRANSFORMS, t_obs
 
 
-def _make_objective(setup: BayesSetup, use_sprd, free_n=False):
+def _make_objective(setup: BayesSetup, use_sprd, free_n=False,
+                    traced_obs=False):
     """Negative log posterior over the unconstrained vector z.
 
     ``free_n=True`` returns two-argument callables ``constrain(z, n)`` /
@@ -59,7 +60,15 @@ def _make_objective(setup: BayesSetup, use_sprd, free_n=False):
     a traced operand instead of pinned at 30 — the target for
     Gibbs-within-NUTS (bayes/nuts.py); ``n`` enters ``log_posterior``
     through the model vector, so its Poisson(30) prior term (priors.py) is
-    included automatically."""
+    included automatically.
+
+    ``traced_obs=True`` instead returns ``neg_logpost(z, obs)`` with the
+    observed dataset a traced operand (``BayesSetup.obs_pytree``
+    structure) — one compiled program serves every dataset value (the
+    SBC replicate path; ``with_observations`` would bake each dataset in
+    as HLO constants and recompile per replicate)."""
+    if free_n and traced_obs:
+        raise ValueError('free_n and traced_obs are mutually exclusive')
     n_sent, t_m, t_o = _theta_split(setup)
     n_obs = 4 + n_sent
     sprd_t = Unit()
@@ -74,14 +83,17 @@ def _make_objective(setup: BayesSetup, use_sprd, free_n=False):
         sprd = sprd_t.inv(z[-1]) if use_sprd else None
         return m_vec, o_vec, sprd
 
-    def _neg_logpost(z, n_periods):
+    def _neg_logpost(z, n_periods, obs=None):
         m_vec, o_vec, sprd = constrain(z, n_periods)
         lp = setup.log_posterior(_as_model(m_vec), _as_obs(o_vec, n_sent),
-                                 sprd)
+                                 sprd, obs=obs)
         return -lp
 
     if free_n:
         neg_logpost = _neg_logpost
+    elif traced_obs:
+        def neg_logpost(z, obs):
+            return _neg_logpost(z, jnp.asarray(_N_PERIODS_FIXED), obs)
     else:
         def neg_logpost(z):
             return _neg_logpost(z, jnp.asarray(_N_PERIODS_FIXED))

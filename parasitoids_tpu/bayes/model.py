@@ -384,16 +384,19 @@ class BayesSetup:
         return jnp.concatenate(parts)
 
     @partial(jax.jit, static_argnums=(0,))
-    def log_posterior(self, m: ModelParams, o: ObsParams, sprd_factor=None):
+    def log_posterior(self, m: ModelParams, o: ObsParams, sprd_factor=None,
+                      obs=None):
         """Full joint log posterior; -inf outside prior support without
-        running the forward model."""
+        running the forward model.  ``obs``: optional traced observed-data
+        structure (``obs_pytree``) replacing the baked-in dataset — see
+        ``log_likelihood``."""
         lp_m = log_prior_model(m)
         lp_o = log_prior_obs(o, self.field_areas, self.min_field_area)
         prior = lp_m + lp_o
 
         def run(_):
             proj = self.forward_projections(m, sprd_factor)
-            return self.log_likelihood(proj, o)
+            return self.log_likelihood(proj, o, obs=obs)
 
         loglik = lax.cond(jnp.isfinite(prior), run,
                           lambda _: jnp.asarray(-jnp.inf, prior.dtype),

@@ -448,7 +448,7 @@ def _draw_step(lpg, config: NUTSConfig, step_size, inv_mass, carry):
 
 
 @partial(jax.jit, static_argnames=('logpdf', 'config'))
-def nuts_sample(logpdf, z0, key, config: NUTSConfig):
+def nuts_sample(logpdf, z0, key, config: NUTSConfig, logpdf_args=()):
     """Run warmup + sampling from ``z0``.  Returns a dict of device arrays:
     ``samples`` (num_samples, dim), ``logp`` (num_samples,), plus
     ``step_size``, ``inv_mass``, ``accept_rate``, ``n_divergent``.
@@ -459,11 +459,18 @@ def nuts_sample(logpdf, z0, key, config: NUTSConfig):
     devices that bound single-execution runtime, use
     :func:`nuts_sample_stepwise` instead (identical math, one program per
     transition).
+
+    ``logpdf_args``: optional extra *traced* operands appended to every
+    ``logpdf(z, *logpdf_args)`` call.  Because the jit cache keys on the
+    static ``logpdf``/``config`` only, reusing one ``logpdf`` while varying
+    these operands (e.g. the SBC replicate datasets via
+    ``make_transformed_logpdf(traced_obs=True)``) reuses ONE compiled
+    program instead of recompiling per closure.
     """
     z0 = jnp.asarray(z0)
 
     def lpg(z):
-        return jax.value_and_grad(logpdf)(z)
+        return jax.value_and_grad(lambda zz: logpdf(zz, *logpdf_args))(z)
 
     init = _warmup_init(lpg, z0, key, config)
     carry, _ = lax.scan(lambda c, i: (_warm_step(lpg, config, c, i), None),
@@ -810,7 +817,8 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
 # parasitoid-model target
 # ---------------------------------------------------------------------------
 
-def make_transformed_logpdf(setup, use_sprd=False, free_n=False):
+def make_transformed_logpdf(setup, use_sprd=False, free_n=False,
+                            traced_obs=False):
     """Unconstrained-space log posterior for NUTS over the parasitoid model.
 
     Continuous parameters only: the model block with ``n_periods`` held
@@ -825,6 +833,13 @@ def make_transformed_logpdf(setup, use_sprd=False, free_n=False):
     moves z at fixed n and a Metropolis step moves n
     (:func:`nuts_sample_stepwise` with ``gibbs_n=``).
 
+    ``traced_obs=True`` instead returns ``logpdf(z, obs)`` with the
+    observed dataset a traced operand (``BayesSetup.obs_pytree``
+    structure): pass one dataset per call via ``nuts_sample(...,
+    logpdf_args=(obs,))`` and every dataset shares ONE compiled program —
+    the SBC replicate path (``with_observations`` would recompile per
+    replicate).
+
     Returns (logpdf, constrain, z0) with constrain(z[, n]) -> (m_vec,
     o_vec, sprd).
     """
@@ -832,7 +847,7 @@ def make_transformed_logpdf(setup, use_sprd=False, free_n=False):
     from .priors import initial_model_params, initial_obs_params
 
     neg_logpost, constrain, unconstrain = _make_objective(
-        setup, use_sprd, free_n=free_n)
+        setup, use_sprd, free_n=free_n, traced_obs=traced_obs)
 
     def theta_flat(zz):
         m_vec, o_vec, sprd = constrain(zz)
@@ -853,6 +868,9 @@ def make_transformed_logpdf(setup, use_sprd=False, free_n=False):
     if free_n:
         def logpdf(z, n_periods):
             return -neg_logpost(z, n_periods) + log_jacobian(z)
+    elif traced_obs:
+        def logpdf(z, obs):
+            return -neg_logpost(z, obs) + log_jacobian(z)
     else:
         def logpdf(z):
             return -neg_logpost(z) + log_jacobian(z)

@@ -7,10 +7,12 @@ arXiv:1804.06788) closes the loop using machinery this rebuild already
 has: the exact prior samplers (priors.py), the synthetic-data generator
 (predictive.simulate_observations — the same thinned-Poisson observation
 model the likelihood evaluates), and cheap replicate construction: each
-AM replicate's dataset enters as a traced operand
-(``BayesSetup.obs_pytree`` + ``run_mcmc(..., obs=...)``), so all
-replicates share ONE compiled program (the NUTS path still rebuilds via
-``with_observations``, which recompiles per replicate).
+replicate's dataset enters as a traced operand (``BayesSetup.obs_pytree``
++ ``run_mcmc(..., obs=...)`` for AM; ``make_transformed_logpdf(
+traced_obs=True)`` + ``nuts_sample(..., logpdf_args=(obs,))`` for NUTS),
+so all replicates share ONE compiled program per sampler
+(``with_observations`` would bake each dataset in as HLO constants —
+a full XLA recompile per replicate, ~40 s each at full config).
 
 Per replicate: draw truth ``theta* ~ prior``, simulate a dataset
 ``y ~ p(y | theta*)``, run the sampler on ``y``, and record the rank of
@@ -76,7 +78,15 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
 
     if sampler == 'nuts':
         from .map_fit import _make_objective
-        from .nuts import NUTSConfig, make_transformed_logpdf
+        from .nuts import (NUTSConfig, make_transformed_logpdf,
+                           nuts_sample)
+
+        # one target for every replicate — datasets enter as traced
+        # operands below, so the static (logpdf, config) jit key is
+        # constant and all replicates share ONE compiled program
+        logpdf, constrain, _ = make_transformed_logpdf(
+            setup, traced_obs=True)
+        _, _, unconstrain = _make_objective(setup, False)
 
     dim = 15 + 4 + setup.n_sent
     ranks = np.zeros((n_replicates, dim), np.int64)
@@ -94,17 +104,14 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
         rng = np.random.default_rng([seed, r])
         y = simulate_observations(setup, m_star, o_star, rng)
         if sampler == 'nuts':
-            setup_r = setup.with_observations(y)
-            logpdf, constrain, _ = make_transformed_logpdf(setup_r)
-            _, _, unconstrain = _make_objective(setup_r, False)
+            obs_r = setup.obs_pytree(y)
             z_true = unconstrain(jnp.asarray(m_star, jnp.float32),
                                  jnp.asarray(o_star, jnp.float32),
                                  jnp.float32(0.3))
-            from .nuts import nuts_sample
             out = jax.block_until_ready(nuts_sample(
                 logpdf, z_true, k_chain,
                 NUTSConfig(num_warmup=burn, num_samples=n_samples,
-                           max_depth=max_depth)))
+                           max_depth=max_depth), logpdf_args=(obs_r,)))
             theta = jax.vmap(
                 lambda zz: jnp.concatenate(constrain(zz)[:2]))(
                     out['samples'])

@@ -494,3 +494,48 @@ def test_gibbs_nuts_n_step_in_signature(tmp_path):
                                checkpoint_path=ckpt, checkpoint_every=1,
                                resume=True)
     assert out['samples'].shape == (2, 6, 2)
+
+
+@pytest.mark.slow
+def test_nuts_traced_obs_matches_baked_and_shares_compile():
+    """``nuts_sample(logpdf, ..., logpdf_args=(obs,))`` with a
+    ``make_transformed_logpdf(traced_obs=True)`` target must (a) reuse ONE
+    compiled program across datasets — what makes NUTS SBC replicates
+    tractable — and (b) match the ``with_observations(y)`` baked-constant
+    path numerically."""
+    from parasitoids_tpu.bayes.nuts import make_transformed_logpdf
+    from parasitoids_tpu.bayes.predictive import simulate_observations
+    from parasitoids_tpu.bayes.priors import (initial_model_params,
+                                              initial_obs_params)
+
+    setup = _tiny_setup()
+    m0 = np.asarray(initial_model_params())
+    o0 = np.asarray(initial_obs_params(
+        [setup.locinfo.field_sizes[k] for k in setup.locinfo.sent_ids],
+        setup.cell_res ** 2))
+    datasets = [simulate_observations(setup, m0, o0,
+                                      np.random.default_rng(i))
+                for i in range(2)]
+    cfg = NUTSConfig(num_warmup=2, num_samples=3, max_depth=2,
+                     init_step_size=0.01)
+    logpdf, _, z0 = make_transformed_logpdf(setup, traced_obs=True)
+
+    outs, sizes = [], []
+    for y in datasets:
+        obs = setup.obs_pytree(y)
+        out = jax.block_until_ready(nuts_sample(
+            logpdf, z0, random.PRNGKey(3), cfg, logpdf_args=(obs,)))
+        outs.append(np.asarray(out['samples']))
+        if hasattr(nuts_sample, '_cache_size'):
+            sizes.append(nuts_sample._cache_size())
+    if sizes:
+        assert sizes[0] == sizes[-1], 'second dataset retraced nuts_sample'
+    # different datasets must actually give different posteriors
+    assert not np.allclose(outs[0], outs[1])
+
+    baked = setup.with_observations(datasets[0])
+    logpdf_b, _, _ = make_transformed_logpdf(baked)
+    out_b = jax.block_until_ready(nuts_sample(
+        logpdf_b, z0, random.PRNGKey(3), cfg))
+    np.testing.assert_allclose(outs[0], np.asarray(out_b['samples']),
+                               rtol=2e-4, atol=2e-4)
