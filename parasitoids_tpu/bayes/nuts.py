@@ -486,24 +486,24 @@ def nuts_sample(logpdf, z0, key, config: NUTSConfig, logpdf_args=()):
 
 
 @partial(jax.jit, static_argnames=('logpdf', 'config'))
-def _warm_init_mapped(logpdf, config, z0s, keys):
+def _warm_init_mapped(logpdf, config, z0s, keys, args=()):
     def lpg(z):
-        return jax.value_and_grad(logpdf)(z)
+        return jax.value_and_grad(lambda zz: logpdf(zz, *args))(z)
     return lax.map(lambda zk: _warmup_init(lpg, zk[0], zk[1], config),
                    (z0s, keys))
 
 
 @partial(jax.jit, static_argnames=('logpdf', 'config'))
-def _warm_step_mapped(logpdf, config, carries, i):
+def _warm_step_mapped(logpdf, config, carries, i, args=()):
     def lpg(z):
-        return jax.value_and_grad(logpdf)(z)
+        return jax.value_and_grad(lambda zz: logpdf(zz, *args))(z)
     return lax.map(lambda c: _warm_step(lpg, config, c, i), carries)
 
 
 @partial(jax.jit, static_argnames=('logpdf', 'config'))
-def _draw_step_mapped(logpdf, config, state):
+def _draw_step_mapped(logpdf, config, state, args=()):
     def lpg(z):
-        return jax.value_and_grad(logpdf)(z)
+        return jax.value_and_grad(lambda zz: logpdf(zz, *args))(z)
 
     def one(s):
         carry, step_size, inv_mass = s
@@ -566,7 +566,7 @@ def _ckpt_save(path, payload):
 def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
                          progress=None, checkpoint_path=None,
                          checkpoint_every=25, resume=False, mesh=None,
-                         gibbs_n=None, n0=30.0):
+                         gibbs_n=None, n0=30.0, logpdf_args=()):
     """Host-dispatched NUTS over stacked chains (leading axis of
     ``z0s``/``keys``): same math as :func:`nuts_sample`, but each transition
     is its own bounded device program.  Long monolithic sampler programs can
@@ -602,12 +602,21 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
     it), and each draw is one NUTS transition on z followed by a
     Metropolis move on n.  Adds ``n_periods`` (chains, num_samples) and
     ``n_accept_rate`` to the returned dict.
+
+    ``logpdf_args``: optional extra *traced* operands appended to every
+    ``logpdf(z, *logpdf_args)`` call (see :func:`nuts_sample`) — reuse one
+    ``logpdf`` across datasets and the per-transition programs compile
+    once.  Constant for the whole run and NOT checkpointed: a ``resume``
+    must pass the same values.  Incompatible with ``gibbs_n`` (the Gibbs
+    target owns the second argument slot).
     """
     import os
 
     import numpy as np
 
     gibbs = gibbs_n is not None
+    if gibbs and logpdf_args:
+        raise ValueError('logpdf_args is not supported with gibbs_n')
     if gibbs and logpdf is None:
         logpdf = partial(_gibbs_fixed_n, gibbs_n, float(n0))
 
@@ -629,20 +638,27 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
     if gibbs:
         draw_inner = lambda s: _gibbs_draw_step_mapped(gibbs_n, draw_cfg, s)
     else:
-        draw_inner = lambda s: _draw_step_mapped(logpdf, draw_cfg, s)
+        draw_inner = lambda s: _draw_step_mapped(logpdf, draw_cfg, s,
+                                                 logpdf_args)
     if mesh is None:
-        warm_init = lambda z, k: _warm_init_mapped(logpdf, warm_cfg, z, k)
-        warm_step = lambda c, i: _warm_step_mapped(logpdf, warm_cfg, c, i)
+        warm_init = lambda z, k: _warm_init_mapped(logpdf, warm_cfg, z, k,
+                                                   logpdf_args)
+        warm_step = lambda c, i: _warm_step_mapped(logpdf, warm_cfg, c, i,
+                                                   logpdf_args)
         draw_step = draw_inner
     else:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
         cs, rep = P('chains'), P()
+        # logpdf_args ride inside the shard-mapped closures as constants of
+        # the traced program (replicated — they are chain-independent data)
         warm_init = jax.jit(shard_map(
-            lambda z, k: _warm_init_mapped(logpdf, warm_cfg, z, k),
+            lambda z, k: _warm_init_mapped(logpdf, warm_cfg, z, k,
+                                           logpdf_args),
             mesh=mesh, in_specs=(cs, cs), out_specs=cs, check_vma=False))
         warm_step = jax.jit(shard_map(
-            lambda c, i: _warm_step_mapped(logpdf, warm_cfg, c, i),
+            lambda c, i: _warm_step_mapped(logpdf, warm_cfg, c, i,
+                                           logpdf_args),
             mesh=mesh, in_specs=(cs, rep), out_specs=cs, check_vma=False))
         draw_step = jax.jit(shard_map(
             draw_inner, mesh=mesh, in_specs=(cs,), out_specs=cs,

@@ -53,7 +53,8 @@ def _param_names(setup):
 
 
 def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
-            thin=5, seed=0, verbose=False, sampler='am', max_depth=6):
+            thin=5, seed=0, verbose=False, sampler='am', max_depth=6,
+            stepwise=False):
     """SBC rank statistics for a sampler (``'am'`` or ``'nuts'``).
 
     Returns ``{'ranks': (R, dim) int array, 'L': draws per replicate,
@@ -66,7 +67,11 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
     the discrete ``n_periods`` fixed at 30 (like the reference's MAP), so
     the replicate truths are drawn from the prior CONDITIONED on
     ``n_periods = 30`` and the ranks test that conditional posterior —
-    a coherent SBC of exactly the model NUTS samples.
+    a coherent SBC of exactly the model NUTS samples.  ``stepwise=True``
+    dispatches each NUTS transition as its own bounded device program
+    (:func:`nuts_sample_stepwise`) — required at full scale on hosted/
+    tunneled accelerators, where one monolithic replicate program exceeds
+    single-execution limits.
     """
     import jax
     import jax.numpy as jnp
@@ -79,7 +84,7 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
     if sampler == 'nuts':
         from .map_fit import _make_objective
         from .nuts import (NUTSConfig, make_transformed_logpdf,
-                           nuts_sample)
+                           nuts_sample, nuts_sample_stepwise)
 
         # one target for every replicate — datasets enter as traced
         # operands below, so the static (logpdf, config) jit key is
@@ -108,15 +113,22 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
             z_true = unconstrain(jnp.asarray(m_star, jnp.float32),
                                  jnp.asarray(o_star, jnp.float32),
                                  jnp.float32(0.3))
-            out = jax.block_until_ready(nuts_sample(
-                logpdf, z_true, k_chain,
-                NUTSConfig(num_warmup=burn, num_samples=n_samples,
-                           max_depth=max_depth), logpdf_args=(obs_r,)))
+            ncfg = NUTSConfig(num_warmup=burn, num_samples=n_samples,
+                              max_depth=max_depth)
+            if stepwise:
+                out = nuts_sample_stepwise(
+                    logpdf, z_true[None], random.split(k_chain, 1),
+                    ncfg, logpdf_args=(obs_r,))
+                zdraws, logp = out['samples'][0], out['logp'][0]
+            else:
+                out = jax.block_until_ready(nuts_sample(
+                    logpdf, z_true, k_chain, ncfg, logpdf_args=(obs_r,)))
+                zdraws, logp = out['samples'], out['logp']
             theta = jax.vmap(
                 lambda zz: jnp.concatenate(constrain(zz)[:2]))(
-                    out['samples'])
+                    jnp.asarray(zdraws))
             draws = np.asarray(theta)[::thin][:L]
-            metric = 'logp[-1] {:.1f}'.format(float(out['logp'][-1]))
+            metric = 'logp[-1] {:.1f}'.format(float(logp[-1]))
         else:
             # traced-obs path: every replicate's dataset goes through ONE
             # compiled program (with_observations would bake each dataset
@@ -224,6 +236,10 @@ def main(argv=None):
                          'gradient path against the prior conditioned on '
                          'n_periods = 30 (the NUTS target)')
     ap.add_argument('--max-depth', type=int, default=6)
+    ap.add_argument('--stepwise', action='store_true',
+                    help='dispatch each NUTS transition as its own bounded '
+                         'device program (required at full scale on hosted/'
+                         'tunneled accelerators)')
     ap.add_argument('-o', '--outname', default='sbc')
     ap.add_argument('overrides', nargs='*')
     args = ap.parse_args(argv)
@@ -239,7 +255,7 @@ def main(argv=None):
     out = run_sbc(setup, args.replicates, random.PRNGKey(args.seed),
                   n_samples=args.samples, burn=args.burn, thin=args.thin,
                   seed=args.seed, verbose=True, sampler=args.sampler,
-                  max_depth=args.max_depth)
+                  max_depth=args.max_depth, stepwise=args.stepwise)
     print('SBC finished: {:.1f} s'.format(time.time() - tic))
     pvals = sbc_uniformity(out['ranks'], out['L'])
     for n, p in zip(out['names'], pvals):

@@ -539,3 +539,49 @@ def test_nuts_traced_obs_matches_baked_and_shares_compile():
         logpdf_b, z0, random.PRNGKey(3), cfg))
     np.testing.assert_allclose(outs[0], np.asarray(out_b['samples']),
                                rtol=2e-4, atol=2e-4)
+
+
+def _shifted_gauss_logpdf(z, mu):
+    """Traced-args analytic target: standard normal shifted by ``mu``."""
+    x = z - mu
+    return -0.5 * jnp.sum(x * x)
+
+
+def test_stepwise_logpdf_args_traced_operand():
+    """``nuts_sample_stepwise(..., logpdf_args=(mu,))`` must equal the
+    closure that bakes the same ``mu`` in, and varying ``mu`` across calls
+    must reuse the per-transition compiled programs (the full-scale NUTS
+    SBC path)."""
+    from functools import partial
+
+    from parasitoids_tpu.bayes import nuts as N
+    from parasitoids_tpu.bayes.nuts import nuts_sample_stepwise
+
+    cfg = NUTSConfig(num_warmup=5, num_samples=8, max_depth=3)
+    z0s = jnp.zeros((2, 2))
+    keys = random.split(random.PRNGKey(11), 2)
+    mus = [jnp.array([1.5, -0.5]), jnp.array([-3.0, 2.0])]
+
+    outs, sizes = [], []
+    for mu in mus:
+        out = nuts_sample_stepwise(_shifted_gauss_logpdf, z0s, keys, cfg,
+                                   logpdf_args=(mu,))
+        outs.append(out)
+        if hasattr(N._draw_step_mapped, '_cache_size'):
+            sizes.append(N._draw_step_mapped._cache_size())
+    if sizes:
+        assert sizes[0] == sizes[-1], 'second mu retraced the draw step'
+    assert not np.allclose(outs[0]['samples'], outs[1]['samples'])
+
+    baked = partial(_shifted_gauss_logpdf, mu=mus[0])
+    ref = nuts_sample_stepwise(baked, z0s, keys, cfg)
+    np.testing.assert_allclose(outs[0]['samples'], ref['samples'],
+                               rtol=1e-5, atol=1e-6)
+
+    # draws should center on mu, not the origin
+    assert np.allclose(outs[1]['samples'].mean(axis=(0, 1)),
+                       np.asarray(mus[1]), atol=2.0)
+
+    with pytest.raises(ValueError):
+        nuts_sample_stepwise(None, z0s, keys, cfg, gibbs_n=_gibbs_target,
+                             n0=5.0, logpdf_args=(mus[0],))
