@@ -10,6 +10,21 @@ so sims/hr bounds achievable samples/hr.
 path (BASELINE_MEASURED.json: per-day prob_mass + per-day conv on this
 machine, scaled to 18 days).  The reference publishes no numbers
 (BASELINE.md), so the baseline is measured, not copied.
+
+The JSON line also carries ``extra_metrics`` — the inference-layer
+north-star numbers, regression-tracked per round (VERDICT r1 item 2):
+
+* ``am_steps_per_hr``: adaptive-Metropolis steps/hr at the FULL reference
+  MCMC config (801x801 @ 25 m, every step a complete forward simulation —
+  the workload of Bayes_Run.py:484-537, whose only perf counter is the
+  'sec./model' print, Bayes_MAP.py:344-346).
+* ``nuts_transitions_per_hr_map_domain``: NUTS transitions/hr at the
+  reference MAP domain (401x401 @ 50 m, Bayes_MAP.py:95), depth-6 trees,
+  each leapfrog a full forward+gradient simulation.
+
+Each extra metric runs in its own bounded child process (the hosted-TPU
+tunnel can wedge mid-run); a failed/timed-out extra reports null without
+losing the headline.
 """
 
 import json
@@ -96,6 +111,71 @@ def measure(n_iters=20):
     return dt, s.ndays
 
 
+def measure_am(n_steps=1000):
+    """Adaptive-Metropolis steps/hr at the full reference MCMC config: one
+    compiled program runs ``n_steps`` transitions (chain scan), timed on a
+    second invocation so compile cost is excluded."""
+    import jax
+    import jax.numpy as jnp
+    from parasitoids_tpu.bayes.model import BayesSetup
+    from parasitoids_tpu.bayes.sampler import (MCMCConfig, init_chain_state,
+                                               run_mcmc)
+    from parasitoids_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    setup = BayesSetup()                      # Bayes_Run config: 801x801
+    state = init_chain_state(setup, jax.random.PRNGKey(0))
+    cfg = MCMCConfig(n_samples=n_steps)
+    run = jax.jit(lambda s: run_mcmc(setup, s, cfg))
+    state2, trace = run(state)
+    assert np.isfinite(float(trace[-1, -1]))   # forces completion
+    t0 = time.time()
+    _, trace = run(state2)
+    assert np.isfinite(float(trace[-1, -1]))
+    return (time.time() - t0) / n_steps
+
+
+def measure_nuts(n_draws=24, n_warmup=32, steps_per_call=4):
+    """NUTS transitions/hr at the reference MAP domain (401x401 @ 50 m,
+    Bayes_MAP.py:95).  Warmup (adaptation + compile) is untimed; the rate
+    comes from the per-chunk progress timestamps of the sampling phase,
+    skipping the first chunk (which may include the draw-program compile)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import random
+    from parasitoids_tpu.bayes.model import BayesSetup
+    from parasitoids_tpu.bayes.nuts import (NUTSConfig,
+                                            make_transformed_logpdf,
+                                            nuts_sample_stepwise)
+    from parasitoids_tpu.config import Params
+    from parasitoids_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    p = Params()
+    p.cmd_line_chg(['--kalbar'])
+    p.PLOT = False
+    p.OUTPUT = False
+    p.PROB_MODEL = False
+    p.domain_info = (10000.0, 200)            # Bayes_MAP.py:95
+    setup = BayesSetup(p)
+    logpdf, _, z0 = make_transformed_logpdf(setup)
+    cfg = NUTSConfig(num_warmup=n_warmup, num_samples=n_draws, max_depth=6)
+    stamps = []
+
+    def progress(phase, i, total):
+        if phase == 'sample':
+            stamps.append((i, time.time()))
+
+    out = nuts_sample_stepwise(
+        logpdf, z0[None], random.split(random.PRNGKey(0), 1), cfg,
+        progress=progress, steps_per_call=steps_per_call)
+    assert np.isfinite(np.asarray(out['logp'])).all()
+    if len(stamps) < 2:
+        raise RuntimeError('not enough timing chunks')
+    (i0, t0), (i1, t1) = stamps[0], stamps[-1]
+    return (t1 - t0) / (i1 - i0)              # s per transition
+
+
 def _measure_tpu_subprocess(timeout_s):
     """Run the TPU measurement in a bounded child: the hosted-TPU tunnel
     can wedge AFTER device init (a dispatch that never returns), which an
@@ -115,10 +195,32 @@ def _measure_tpu_subprocess(timeout_s):
         return None
 
 
+def _extra_subprocess(mode, timeout_s):
+    """Run one extra metric in a bounded child; returns its JSON dict or
+    None on failure/timeout."""
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__), mode],
+                           timeout=timeout_s, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return None
+    if r.returncode != 0:
+        return None
+    try:
+        return json.loads(r.stdout.strip().splitlines()[-1])
+    except (ValueError, IndexError):
+        return None
+
+
 def main():
     if '--child-tpu' in sys.argv:
         dt, ndays = measure(20)
         print(json.dumps({'dt': dt, 'ndays': ndays}))
+        return
+    if '--child-am' in sys.argv:
+        print(json.dumps({'s_per_step': measure_am()}))
+        return
+    if '--child-nuts' in sys.argv:
+        print(json.dumps({'s_per_transition': measure_nuts()}))
         return
 
     platform = 'tpu'
@@ -149,6 +251,7 @@ def main():
     sim_days_per_sec = ndays / dt
 
     vs_baseline = None
+    ref_total = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              'BASELINE_MEASURED.json')
     if os.path.exists(base_path):
@@ -157,12 +260,41 @@ def main():
         ref_total = (base['per_day_prob_mass_s'] +
                      base['conv_per_day_s']) * base['ndays']
         vs_baseline = ref_total / dt   # speedup factor
+
+    # inference-layer extras (TPU only — each step is a full forward sim;
+    # a CPU fallback run of these would take hours and say nothing)
+    extras = {}
+    if res is not None:
+        am = _extra_subprocess('--child-am', float(os.environ.get(
+            'PARA_AM_BENCH_TIMEOUT', 1800)))
+        if am:
+            sps = am['s_per_step']
+            extras['am_steps_per_hr'] = {
+                'value': round(3600.0 / sps, 1),
+                'unit': 'AM MCMC steps/hr, full 801x801 Bayes config',
+                # reference AM step = one full forward sim, single stream
+                'vs_baseline': (round((3600.0 / sps) / (3600.0 / ref_total),
+                                      1) if ref_total else None)}
+        else:
+            extras['am_steps_per_hr'] = None
+        nuts = _extra_subprocess('--child-nuts', float(os.environ.get(
+            'PARA_NUTS_BENCH_TIMEOUT', 1800)))
+        if nuts:
+            spt = nuts['s_per_transition']
+            extras['nuts_transitions_per_hr_map_domain'] = {
+                'value': round(3600.0 / spt, 1),
+                'unit': 'NUTS transitions/hr, 401x401 MAP domain, depth 6',
+                'vs_baseline': None}   # the reference has no NUTS at all
+        else:
+            extras['nuts_transitions_per_hr_map_domain'] = None
+
     print(json.dumps({
         'metric': 'kalbar_full_forward_sims_per_hr',
         'value': round(sims_per_hr, 1),
         'unit': 'sims/hr on {} (801x801, 18 days; sim-days/s={:.1f})'.format(
             platform, sim_days_per_sec),
         'vs_baseline': round(vs_baseline, 1) if vs_baseline else None,
+        'extra_metrics': extras,
     }))
 
 

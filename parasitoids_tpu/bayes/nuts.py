@@ -493,23 +493,41 @@ def _warm_init_mapped(logpdf, config, z0s, keys, args=()):
                    (z0s, keys))
 
 
-@partial(jax.jit, static_argnames=('logpdf', 'config'))
-def _warm_step_mapped(logpdf, config, carries, i, args=()):
+@partial(jax.jit, static_argnames=('logpdf', 'config', 'n_steps'))
+def _warm_steps_mapped(logpdf, config, carries, i0, n_steps=1, args=()):
+    """``n_steps`` consecutive warmup transitions (all chains) in ONE device
+    program: an outer ``lax.scan`` over the adaptation clock around the
+    per-chain ``lax.map``.  Chunking transitions amortizes the host
+    dispatch+sync round-trip of the stepwise driver (tens of ms through a
+    hosted-TPU tunnel) over ``n_steps`` multi-second transitions while
+    keeping each program's runtime bounded."""
     def lpg(z):
         return jax.value_and_grad(lambda zz: logpdf(zz, *args))(z)
-    return lax.map(lambda c: _warm_step(lpg, config, c, i), carries)
+
+    def sweep(cs, j):
+        return lax.map(lambda c: _warm_step(lpg, config, c, i0 + j), cs), None
+
+    carries, _ = lax.scan(sweep, carries, jnp.arange(n_steps))
+    return carries
 
 
-@partial(jax.jit, static_argnames=('logpdf', 'config'))
-def _draw_step_mapped(logpdf, config, state, args=()):
+@partial(jax.jit, static_argnames=('logpdf', 'config', 'n_steps'))
+def _draw_steps_mapped(logpdf, config, state, n_steps=1, args=()):
+    """``n_steps`` consecutive sampling transitions (all chains) in one
+    device program; output leaves gain a leading (n_steps,) axis."""
     def lpg(z):
         return jax.value_and_grad(lambda zz: logpdf(zz, *args))(z)
 
-    def one(s):
-        carry, step_size, inv_mass = s
-        return _draw_step(lpg, config, step_size, inv_mass, carry)
-    carries, outs = lax.map(one, state)
-    return (carries, state[1], state[2]), outs
+    def sweep(st, _):
+        carries, step_size, inv_mass = st
+
+        def one(s):
+            carry, ss, im = s
+            return _draw_step(lpg, config, ss, im, carry)
+        carries, outs = lax.map(one, (carries, step_size, inv_mass))
+        return (carries, step_size, inv_mass), outs
+
+    return lax.scan(sweep, state, None, length=n_steps)
 
 
 def _gibbs_fixed_n(logpdf_n, n0, z):
@@ -517,15 +535,15 @@ def _gibbs_fixed_n(logpdf_n, n0, z):
     return logpdf_n(z, jnp.asarray(n0, z.dtype))
 
 
-@partial(jax.jit, static_argnames=('logpdf_n', 'config'))
-def _gibbs_draw_step_mapped(logpdf_n, config, state):
-    """One Gibbs sweep per chain over the augmented target
-    ``logpdf_n(z, n)``: a NUTS transition on the continuous block at fixed
-    n, then a Metropolis move on the discrete ``n_periods`` (symmetric
-    +/-U{1..n_step} proposal; the Poisson-prior support bound n >= 1 is
-    enforced by rejection).  The reference's AdaptiveMetropolis updates
-    n_periods inside its joint block (Bayes_Run.py:186-196); here the
-    discrete coordinate gets its own exact conditional move so the
+@partial(jax.jit, static_argnames=('logpdf_n', 'config', 'n_steps'))
+def _gibbs_draw_steps_mapped(logpdf_n, config, state, n_steps=1):
+    """``n_steps`` Gibbs sweeps per chain over the augmented target
+    ``logpdf_n(z, n)``: each sweep is a NUTS transition on the continuous
+    block at fixed n, then a Metropolis move on the discrete ``n_periods``
+    (symmetric +/-U{1..n_step} proposal; the Poisson-prior support bound
+    n >= 1 is enforced by rejection).  The reference's AdaptiveMetropolis
+    updates n_periods inside its joint block (Bayes_Run.py:186-196); here
+    the discrete coordinate gets its own exact conditional move so the
     gradient sampler needn't hold it fixed."""
     def one(s):
         (z, n, lp, grad, key), step_size, inv_mass = s
@@ -549,8 +567,12 @@ def _gibbs_draw_step_mapped(logpdf_n, config, state):
         grad = jnp.where(acc, grad_new, grad)
         return (z, n, lp, grad, key), (z, n, lp, astat, div, acc)
 
-    carries, outs = lax.map(one, state)
-    return (carries, state[1], state[2]), outs
+    def sweep(st, _):
+        carries, step_size, inv_mass = st
+        carries, outs = lax.map(one, (carries, step_size, inv_mass))
+        return (carries, step_size, inv_mass), outs
+
+    return lax.scan(sweep, state, None, length=n_steps)
 
 
 def _ckpt_save(path, payload):
@@ -566,7 +588,8 @@ def _ckpt_save(path, payload):
 def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
                          progress=None, checkpoint_path=None,
                          checkpoint_every=25, resume=False, mesh=None,
-                         gibbs_n=None, n0=30.0, logpdf_args=()):
+                         gibbs_n=None, n0=30.0, logpdf_args=(),
+                         steps_per_call=1):
     """Host-dispatched NUTS over stacked chains (leading axis of
     ``z0s``/``keys``): same math as :func:`nuts_sample`, but each transition
     is its own bounded device program.  Long monolithic sampler programs can
@@ -609,6 +632,19 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
     once.  Constant for the whole run and NOT checkpointed: a ``resume``
     must pass the same values.  Incompatible with ``gibbs_n`` (the Gibbs
     target owns the second argument slot).
+
+    ``steps_per_call``: transitions batched into each device program (an
+    inner ``lax.scan``).  The stepwise driver pays one host dispatch+sync
+    round-trip per program — tens of ms through a hosted-TPU tunnel —
+    which at 1 transition/program bounds throughput; chunking k
+    transitions amortizes it k-fold while keeping per-program runtime at
+    k x (transition cost), sized to stay under the tunnel's
+    single-execution limit (full-scale 801-square chains run ~2 s per
+    chain-sweep; 5-10 per call keeps programs under a minute).  The math
+    and the RNG stream are IDENTICAL for every value; checkpoints land on
+    exact transition indices, so a run may resume under a different
+    ``steps_per_call`` (progress/checkpoint callbacks fire per program,
+    i.e. every k transitions).
     """
     import os
 
@@ -634,18 +670,22 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
     # chain execution: lax.map per device (never vmap — a chain-batched rho
     # batches the BVN lax.switch, which then executes every branch); with a
     # mesh the chain axis is sharded over devices exactly like
-    # parallel/chains.py run_chains (chains % devices == 0 required)
+    # parallel/chains.py run_chains (chains % devices == 0 required).
+    # Each dispatched program covers ``n`` transitions (static per chunk
+    # size; at most two sizes compile — steps_per_call and one remainder).
+    spc = max(1, int(steps_per_call))
     if gibbs:
-        draw_inner = lambda s: _gibbs_draw_step_mapped(gibbs_n, draw_cfg, s)
+        draw_inner = lambda s, n: _gibbs_draw_steps_mapped(gibbs_n, draw_cfg,
+                                                           s, n)
     else:
-        draw_inner = lambda s: _draw_step_mapped(logpdf, draw_cfg, s,
-                                                 logpdf_args)
+        draw_inner = lambda s, n: _draw_steps_mapped(logpdf, draw_cfg, s, n,
+                                                     logpdf_args)
     if mesh is None:
         warm_init = lambda z, k: _warm_init_mapped(logpdf, warm_cfg, z, k,
                                                    logpdf_args)
-        warm_step = lambda c, i: _warm_step_mapped(logpdf, warm_cfg, c, i,
-                                                   logpdf_args)
-        draw_step = draw_inner
+        warm_steps = lambda c, i, n: _warm_steps_mapped(
+            logpdf, warm_cfg, c, i, n, logpdf_args)
+        draw_steps = draw_inner
     else:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
@@ -656,13 +696,26 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
             lambda z, k: _warm_init_mapped(logpdf, warm_cfg, z, k,
                                            logpdf_args),
             mesh=mesh, in_specs=(cs, cs), out_specs=cs, check_vma=False))
-        warm_step = jax.jit(shard_map(
-            lambda c, i: _warm_step_mapped(logpdf, warm_cfg, c, i,
-                                           logpdf_args),
-            mesh=mesh, in_specs=(cs, rep), out_specs=cs, check_vma=False))
-        draw_step = jax.jit(shard_map(
-            draw_inner, mesh=mesh, in_specs=(cs,), out_specs=cs,
-            check_vma=False))
+        # chunk size is static to the traced program: one shard_map wrapper
+        # per size, cached (steps_per_call + at most one remainder)
+        _warm_cache, _draw_cache = {}, {}
+
+        def warm_steps(c, i, n):
+            if n not in _warm_cache:
+                _warm_cache[n] = jax.jit(shard_map(
+                    lambda cc, ii: _warm_steps_mapped(
+                        logpdf, warm_cfg, cc, ii, n, logpdf_args),
+                    mesh=mesh, in_specs=(cs, rep), out_specs=cs,
+                    check_vma=False))
+            return _warm_cache[n](c, i)
+
+        def draw_steps(s, n):
+            if n not in _draw_cache:
+                # outputs gain a leading (n,) step axis: chains are axis 1
+                _draw_cache[n] = jax.jit(shard_map(
+                    lambda ss: draw_inner(ss, n), mesh=mesh, in_specs=(cs,),
+                    out_specs=(cs, P(None, 'chains')), check_vma=False))
+            return _draw_cache[n](s)
 
     # ------------------------------------------------------------------
     # checkpoint/resume: the warmup carry is a flat tuple of arrays and the
@@ -766,16 +819,23 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
                                np.zeros((cfg_sig[3], 0), bool))
         _ckpt_save(checkpoint_path, payload)
 
+    def _crossed(i0, i1):
+        """True when [i0, i1) crosses a checkpoint_every multiple."""
+        return (i1 // checkpoint_every) > (i0 // checkpoint_every)
+
     # ------------------------------------------------------------------
     if carries is None and state is None:
         carries = warm_init(z0s, keys)
-    for i in range(start_w, config.num_warmup):
+    i = start_w
+    while i < config.num_warmup:
+        n = min(spc, config.num_warmup - i)
         carries = jax.block_until_ready(
-            warm_step(carries, jnp.int32(i)))
+            warm_steps(carries, jnp.int32(i), n))
+        i += n
         if progress is not None:
-            progress('warmup', i + 1, config.num_warmup)
-        if checkpoint_path and (i + 1) % checkpoint_every == 0:
-            _save_warm(i + 1, carries)
+            progress('warmup', i, config.num_warmup)
+        if checkpoint_path and _crossed(i - n, i):
+            _save_warm(i, carries)
     if state is None:
         z, lp, grad, key, step_size, inv_mass = jax.vmap(_warmup_final)(
             carries)
@@ -785,23 +845,27 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
         else:
             state = ((z, lp, grad, key), step_size, inv_mass)
 
-    for i in range(start_d, config.num_samples):
+    i = start_d
+    while i < config.num_samples:
+        n = min(spc, config.num_samples - i)
         if gibbs:
             state, (zs, nss, lps, asts, dvs, nas) = jax.block_until_ready(
-                draw_step(state))
-            ns.append(np.asarray(nss))
-            naccs.append(np.asarray(nas))
+                draw_steps(state, n))
+            ns.extend(np.asarray(nss))
+            naccs.extend(np.asarray(nas))
         else:
             state, (zs, lps, asts, dvs) = jax.block_until_ready(
-                draw_step(state))
-        samples.append(np.asarray(zs))
-        logps.append(np.asarray(lps))
-        astats.append(np.asarray(asts))
-        divs.append(np.asarray(dvs))
+                draw_steps(state, n))
+        # outputs carry a leading (n,) step axis; extend per transition
+        samples.extend(np.asarray(zs))
+        logps.extend(np.asarray(lps))
+        astats.extend(np.asarray(asts))
+        divs.extend(np.asarray(dvs))
+        i += n
         if progress is not None:
-            progress('sample', i + 1, config.num_samples)
-        if checkpoint_path and (i + 1) % checkpoint_every == 0:
-            _save_draw(i + 1, state)
+            progress('sample', i, config.num_samples)
+        if checkpoint_path and _crossed(i - n, i):
+            _save_draw(i, state)
     step_size, inv_mass = state[1], state[2]
     if checkpoint_path and os.path.exists(checkpoint_path):
         os.remove(checkpoint_path)   # run completed; drop the checkpoint

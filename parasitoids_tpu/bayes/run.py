@@ -106,6 +106,14 @@ parser.add_argument('--dense-mass', action='store_true',
                          'matrix during warmup instead of the diagonal '
                          'one — better geometry for the correlated '
                          'sig_x/sig_y block')
+parser.add_argument('--steps-per-call', type=int, default=1,
+                    help='NUTS: transitions batched into each device '
+                         'program (inner lax.scan).  Amortizes the '
+                         'per-program host dispatch+sync round-trip of '
+                         'the stepwise driver; size so one program stays '
+                         'under the hosted-tunnel execution limit '
+                         '(full-scale chains: ~2 s/chain-sweep, 5-10 is '
+                         'safe).  Math/RNG identical for every value.')
 parser.add_argument('--gibbs-n', action='store_true',
                     help='NUTS: sample the discrete n_periods by a '
                          'Metropolis move after each NUTS transition '
@@ -308,7 +316,8 @@ def run_nuts(args, setup):
     out = nuts_sample_stepwise(
         logpdf, z0s, keys, cfg, progress=progress, checkpoint_path=ckpt,
         checkpoint_every=max(1, min(args.checkpoint_every, 25)),
-        resume=resume, mesh=mesh, gibbs_n=logpdf_n)
+        resume=resume, mesh=mesh, gibbs_n=logpdf_n,
+        steps_per_call=args.steps_per_call)
     samples = np.asarray(out['samples'])     # (chains, n, dim) z-space
     dt = time.time() - tic
     print('NUTS finished: {:.1f} s ({:.3f} s/sample/chain); accept {:.2f}, '

@@ -249,6 +249,65 @@ def test_stepwise_checkpoint_resume_exact(tmp_path, interrupt):
     assert not os.path.exists(ckpt)   # completed run drops the checkpoint
 
 
+@pytest.mark.parametrize('gibbs', [False, True])
+def test_stepwise_chunked_matches_single_step(gibbs):
+    """``steps_per_call`` batches transitions into one device program (an
+    inner lax.scan) without changing the math or the RNG stream: draws are
+    bitwise identical for every chunk size, including a remainder chunk
+    (10 draws at 3/call = programs of 3, 3, 3, 1)."""
+    from parasitoids_tpu.bayes.nuts import nuts_sample_stepwise
+
+    cfg = NUTSConfig(num_warmup=8, num_samples=10, max_depth=4)
+    z0s = jnp.zeros((2, 2))
+    keys = random.split(random.PRNGKey(5), 2)
+    kw = (dict(gibbs_n=_gibbs_target, n0=5.0) if gibbs
+          else dict())
+    target = None if gibbs else _corr_gauss_logpdf
+
+    ref = nuts_sample_stepwise(target, z0s, keys, cfg, **kw)
+    out = nuts_sample_stepwise(target, z0s, keys, cfg, steps_per_call=3,
+                               **kw)
+    np.testing.assert_array_equal(out['samples'], ref['samples'])
+    np.testing.assert_array_equal(out['logp'], ref['logp'])
+    np.testing.assert_allclose(out['step_size'], ref['step_size'])
+    if gibbs:
+        np.testing.assert_array_equal(out['n_periods'], ref['n_periods'])
+
+
+def test_stepwise_chunked_checkpoint_resumes_across_chunk_sizes(tmp_path):
+    """Checkpoints land on exact transition indices, so a run interrupted
+    under one ``steps_per_call`` resumes exactly under another."""
+    import os
+
+    from parasitoids_tpu.bayes.nuts import nuts_sample_stepwise
+
+    cfg = NUTSConfig(num_warmup=8, num_samples=10, max_depth=4)
+    z0s = jnp.zeros((2, 2))
+    keys = random.split(random.PRNGKey(5), 2)
+    ckpt = str(tmp_path / 'chunk.ckpt.npz')
+
+    ref = nuts_sample_stepwise(_corr_gauss_logpdf, z0s, keys, cfg)
+
+    class Stop(Exception):
+        pass
+
+    def interrupter(phase, i, total):
+        if (phase, i) == ('sample', 6):
+            raise Stop
+
+    with pytest.raises(Stop):
+        nuts_sample_stepwise(_corr_gauss_logpdf, z0s, keys, cfg,
+                             progress=interrupter, checkpoint_path=ckpt,
+                             checkpoint_every=2, steps_per_call=3)
+    assert os.path.exists(ckpt)
+    out = nuts_sample_stepwise(_corr_gauss_logpdf, z0s, keys, cfg,
+                               checkpoint_path=ckpt, checkpoint_every=2,
+                               resume=True, steps_per_call=4)
+    np.testing.assert_array_equal(out['samples'], ref['samples'])
+    np.testing.assert_array_equal(out['logp'], ref['logp'])
+    assert not os.path.exists(ckpt)
+
+
 def test_stepwise_resume_rejects_mismatched_config(tmp_path):
     import os
 
@@ -567,8 +626,8 @@ def test_stepwise_logpdf_args_traced_operand():
         out = nuts_sample_stepwise(_shifted_gauss_logpdf, z0s, keys, cfg,
                                    logpdf_args=(mu,))
         outs.append(out)
-        if hasattr(N._draw_step_mapped, '_cache_size'):
-            sizes.append(N._draw_step_mapped._cache_size())
+        if hasattr(N._draw_steps_mapped, '_cache_size'):
+            sizes.append(N._draw_steps_mapped._cache_size())
     if sizes:
         assert sizes[0] == sizes[-1], 'second mu retraced the draw step'
     assert not np.allclose(outs[0]['samples'], outs[1]['samples'])
