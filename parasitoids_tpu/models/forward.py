@@ -88,9 +88,14 @@ def setup_forward(params: Params, dtype=None) -> ForwardSetup:
     else:
         from ..ops.pallas_kernel import pallas_available
         use_pallas = pallas_available()
+    # a user-forced Pallas path off-TPU (use_pallas=True on a CPU host)
+    # runs in interpret mode — slow, but functional for development
+    from ..ops.pallas_kernel import pallas_available as _on_tpu
+    interpret = bool(use_pallas) and not _on_tpu()
     kcfg = KernelConfig(rad_res=int(rad_res), periods=T,
                         K=int(K), K_local=int(Kl),
-                        G=params.quad_nodes, pallas=bool(use_pallas))
+                        G=params.quad_nodes, pallas=bool(use_pallas),
+                        interpret=interpret)
     scfg = SolverConfig.for_domain(int(rad_res))
     if (not params.PROB_MODEL) and params.r_start is not None:
         start_idx = int(params.r_start * T)

@@ -21,10 +21,15 @@ This kernel fuses the whole day on-chip:
   SMEM.
 
 One deliberate difference from the XLA path: the node count is fixed at
-G=20 (the XLA path selects 6/12/20 from |ρ| via ``lax.switch``), and the
-|ρ| > 0.925 asymptotic-series branch is not implemented — beyond there the
-20-node quadrature degrades gradually (the prior places ~2e-4 mass past
-0.925).  This path is the **default on TPU** (validated on v5e: matches the
+G=20 (the XLA path selects 6/12/20 from |ρ| via ``lax.switch`` — at
+prior-typical |ρ| the extra nodes are pure margin).  The |ρ| ≥ 0.925
+region gets its own kernel variant implementing Genz's asymptotic-series +
+tail-quadrature form (``_corner_upper_high``, the same math as
+ops/bvn.py ``_upper_highcorr``), selected by a ``lax.cond`` on the traced
+ρ — value and gradient parity with the XLA path is tested at
+ρ ∈ {0.93, 0.99} (tests/test_pallas_kernel.py), closing the accuracy gap
+the 20-node low-corr quadrature would have beyond 0.925.  This path is
+the **default on TPU** (validated on v5e: matches the
 XLA path to ≤2e-7 per cell at the headline config, ~8× faster);
 ``use_pallas=True/False`` forces it either way.  Gradient-based drivers
 (autodiff MAP, NUTS) use it too: the custom VJP's backward pass is a second
@@ -77,8 +82,81 @@ def _ndtr(x):
     return 0.5 * _erf(x / _SQRT2) + 0.5
 
 
+def _corner_upper_low(xe, ye, quad_ref, G):
+    """Upper-orthant probabilities on the corner lattice for |ρ| < 0.925:
+    Drezner–Wesolowsky correlation-integral quadrature (the same math as
+    ops/bvn.py ``_upper_lowcorr``).  quad rows = (sn_g, wfac_g, inv_g);
+    the exponent is ≤ 0 for every node (|sn| ≤ |ρ| < 1)."""
+    hk = xe * ye                                            # (n+1, n+1)
+    hs = 0.5 * (xe * xe + ye * ye)
+    U = jnp.zeros(hk.shape, hk.dtype)
+    for g in range(G):
+        U = U + quad_ref[1, g] * jnp.exp(
+            (quad_ref[0, g] * hk - hs) * quad_ref[2, g])
+    return U + _ndtr(-xe) * _ndtr(-ye)
+
+
+def _corner_upper_high(xe, ye, quad_ref, sgn, a, inv_a, inv_a_sq, a_sq,
+                       asq2_5, G):
+    """|ρ| ≥ 0.925: Genz 2004 BVND complementary asymptotic series + tail
+    quadrature, mirroring ops/bvn.py ``_upper_highcorr`` term for term.
+    quad rows = (xs_g, inv_xs_g, ehk_g, inv_rs_g, aw_g) with
+    xs_g = (a(1+x_g)/2)², ehk_g = (1−rs_g)/(2(1+rs_g)), aw_g = a·w_g/2 —
+    all ρ-only, precomputed on the XLA side.  Overflowing lattice entries
+    are always under a discarding ``where`` (same guards as the XLA path)."""
+    h = xe                                                  # (1, n+1)
+    k = ye * sgn                                            # (n+1, 1)
+    hk = h * k                                              # (n+1, n+1)
+    diff = h - k
+    bs = diff * diff
+    c = (4.0 - hk) * 0.125
+    d = (12.0 - hk) * 0.0625
+    asr = -(bs * inv_a_sq + hk) * 0.5
+    bvn = jnp.where(asr > -80.0,
+                    a * jnp.exp(jnp.clip(asr, -80.0, 0.0)) *
+                    (1.0 - c * (bs - a_sq) * (1.0 - d * bs * 0.2) / 3.0 +
+                     c * d * asq2_5), 0.0)
+    b = jnp.sqrt(jnp.maximum(bs, 1e-30))
+    term = (jnp.exp(jnp.clip(-hk * 0.5, -80.0, 80.0)) * _SQRT_2PI_F *
+            _ndtr(-b * inv_a) * b *
+            (1.0 - c * bs * (1.0 - d * bs * 0.2) / 3.0))
+    bvn = bvn - jnp.where(-hk < 80.0, term, 0.0)
+    for g in range(G):
+        xs = quad_ref[0, g]
+        inv_xs = quad_ref[1, g]
+        ehk = quad_ref[2, g]
+        inv_rs = quad_ref[3, g]
+        aw = quad_ref[4, g]
+        asr1 = -(bs * inv_xs + hk) * 0.5
+        sp = 1.0 + c * xs * (1.0 + d * xs)
+        ep = jnp.exp(-hk * ehk) * inv_rs
+        bvn = bvn + jnp.where(asr1 > -80.0,
+                              aw * jnp.exp(jnp.clip(asr1, -80.0, 0.0)) *
+                              (ep - sp), 0.0)
+    bvn = -bvn / _TWO_PI
+    pos = bvn + _ndtr(-jnp.maximum(h, k))
+    neg = -bvn + jnp.where(k > h, _ndtr(k) - _ndtr(h), 0.0)
+    return jnp.where(sgn > 0, pos, neg)
+
+
+def _hi_quad_params(rho, x, w, dtype):
+    """ρ-only quadrature constants + scalar pack for the high-|ρ| branch
+    (computed once per day on the XLA side)."""
+    a_sq = jnp.maximum((1.0 - rho) * (1.0 + rho), 1e-30)
+    a = jnp.sqrt(a_sq)
+    a_half = a * 0.5
+    xs = (a_half * (1.0 + x)) ** 2
+    rs = jnp.sqrt(1.0 - xs)
+    quad = jnp.stack([xs, 1.0 / xs, (1.0 - rs) / (2.0 * (1.0 + rs)),
+                      1.0 / rs, a_half * w])
+    scalars = (jnp.sign(rho).astype(dtype), a, 1.0 / a, 1.0 / a_sq, a_sq,
+               a_sq * a_sq * 0.2)
+    return quad, scalars
+
+
 def _day_kernel(params_ref, quad_ref, h_ref, mux_ref, muy_ref, idxr_ref,
-                idxc_ref, clip_ref, buf_ref, loss_ref, *, K, G, H, W, dtype):
+                idxc_ref, clip_ref, buf_ref, loss_ref, *, K, G, H, W, dtype,
+                hi=False):
     """One grid step = one flight minute (corner-CDF block build).
 
     Mosaic only allows dynamic VMEM stores at tile-aligned starts (multiples
@@ -120,18 +198,12 @@ def _day_kernel(params_ref, quad_ref, h_ref, mux_ref, muy_ref, idxr_ref,
     xe = ((col - (K + 0.5)) * cell - mux) / sig_x           # (1, n+1)
     ye = (((K + 0.5) - row) * cell - muy) / sig_y           # (n+1, 1)
 
-    hk = xe * ye                                            # (n+1, n+1)
-    hs = 0.5 * (xe * xe + ye * ye)
-
-    # correlation integral: U += sum_g wfac_g * exp((sn_g*hk - hs)*inv_g);
-    # the exponent is <= 0 for every node (|sn| <= |rho| < 1)
-    U = jnp.zeros((n + 1, n + 1), dtype)
-    for g in range(G):
-        sn = quad_ref[0, g]
-        wfac = quad_ref[1, g]
-        inv = quad_ref[2, g]
-        U = U + wfac * jnp.exp((sn * hk - hs) * inv)
-    U = U + _ndtr(-xe) * _ndtr(-ye)
+    if hi:
+        U = _corner_upper_high(xe, ye, quad_ref, params_ref[3],
+                               params_ref[4], params_ref[5], params_ref[6],
+                               params_ref[7], params_ref[8], G)
+    else:
+        U = _corner_upper_low(xe, ye, quad_ref, G)
 
     # four-corner differences -> cell masses [row, col]
     # (y descends with row index, so the low-y corner is at row+1)
@@ -152,10 +224,10 @@ def _day_kernel(params_ref, quad_ref, h_ref, mux_ref, muy_ref, idxr_ref,
 
 
 @partial(jax.jit,
-         static_argnames=('K', 'G', 'buf_len', 'interpret'))
+         static_argnames=('K', 'G', 'buf_len', 'interpret', 'hi'))
 def _accumulate_impl(h_scat, cdf_mu, idx, clipped, Dparams, cell,
                      K: int, G: int, buf_len: int,
-                     interpret: bool = False):
+                     interpret: bool = False, hi: bool = False):
     """Accumulate all per-minute BVN blocks of one day into a padded buffer.
 
     Args:
@@ -198,22 +270,27 @@ def _accumulate_impl(h_scat, cdf_mu, idx, clipped, Dparams, cell,
     sig_x = jnp.maximum(jnp.asarray(sig_x, dtype), 1e-8)
     sig_y = jnp.maximum(jnp.asarray(sig_y, dtype), 1e-8)
     rho = jnp.clip(jnp.asarray(rho, dtype), -1 + 1e-6, 1 - 1e-6)
-    params = jnp.stack([sig_x, sig_y, jnp.asarray(cell, dtype)])
 
     # rho-dependent quadrature constants, computed once per day on the
-    # XLA side: sn_g = sin(asr*(1+x_g)/2), wfac_g = w_g*asr/(4*pi),
-    # inv_g = 1/(1 - sn_g^2)
+    # XLA side.  Low-|rho| branch: sn_g = sin(asr*(1+x_g)/2),
+    # wfac_g = w_g*asr/(4*pi), inv_g = 1/(1 - sn_g^2).  High-|rho| branch
+    # (hi=True): Genz-BVND constants from _hi_quad_params.
     Gq = _G_NODES
     x_np, w_np = gauss_legendre(Gq)
     x = jnp.asarray(x_np, dtype)
     w = jnp.asarray(w_np, dtype)
-    asr = jnp.arcsin(rho)
-    sn = jnp.sin(asr * 0.5 * (1.0 + x))
-    wfac = w * asr / (2.0 * _TWO_PI)
-    inv = 1.0 / (1.0 - sn * sn)
-    quad = jnp.stack([sn, wfac, inv])                       # (3, Gq)
+    if hi:
+        quad, scal = _hi_quad_params(rho, x, w, dtype)
+        params = jnp.stack([sig_x, sig_y, jnp.asarray(cell, dtype), *scal])
+    else:
+        asr = jnp.arcsin(rho)
+        sn = jnp.sin(asr * 0.5 * (1.0 + x))
+        wfac = w * asr / (2.0 * _TWO_PI)
+        inv = 1.0 / (1.0 - sn * sn)
+        quad = jnp.stack([sn, wfac, inv])                   # (3, Gq)
+        params = jnp.stack([sig_x, sig_y, jnp.asarray(cell, dtype)])
 
-    kernel = partial(_day_kernel, K=K, G=Gq, H=H, W=W, dtype=dtype)
+    kernel = partial(_day_kernel, K=K, G=Gq, H=H, W=W, dtype=dtype, hi=hi)
     buf, loss = pl.pallas_call(
         kernel,
         grid=(T,),
@@ -248,7 +325,7 @@ def _accumulate_impl(h_scat, cdf_mu, idx, clipped, Dparams, cell,
 
 def _day_bwd_kernel(params_ref, quad_ref, h_ref, mux_ref, muy_ref, idxr_ref,
                     idxc_ref, clip_ref, ct_ref, dh_ref, dmux_ref, dmuy_ref,
-                    dcl_ref, dscal_ref, *, K, G, H, W, dtype):
+                    dcl_ref, dscal_ref, *, K, G, H, W, dtype, hi=False):
     """Backward of one flight minute: gather the cotangent window, rebuild
     the primal block, and contract against the **closed-form** BVN CDF
     derivative lattices (ops/bvn.py ``_cell_masses_jvp``):
@@ -309,14 +386,12 @@ def _day_bwd_kernel(params_ref, quad_ref, h_ref, mux_ref, muy_ref, idxr_ref,
     ye = (((K + 0.5) - row) * cell - muy) / sig_y           # (n+1, 1)
 
     hk = xe * ye
-    hs = 0.5 * (xe * xe + ye * ye)
-    U = jnp.zeros((n + 1, n + 1), dtype)
-    for g in range(G):
-        sn = quad_ref[0, g]
-        wfac = quad_ref[1, g]
-        inv = quad_ref[2, g]
-        U = U + wfac * jnp.exp((sn * hk - hs) * inv)
-    U = U + _ndtr(-xe) * _ndtr(-ye)
+    if hi:
+        U = _corner_upper_high(xe, ye, quad_ref, params_ref[7],
+                               params_ref[8], params_ref[9], params_ref[10],
+                               params_ref[11], params_ref[12], G)
+    else:
+        U = _corner_upper_low(xe, ye, quad_ref, G)
     rect = ((U[1:, :-1] - U[1:, 1:]) - (U[:-1, :-1] - U[:-1, 1:]))
     block = jnp.maximum(rect, 0.0)
     bsum = jnp.sum(block)
@@ -360,10 +435,10 @@ def _day_bwd_kernel(params_ref, quad_ref, h_ref, mux_ref, muy_ref, idxr_ref,
                         + jnp.sum(dye * ((K + 0.5) - row)) / sig_y)  # dcell
 
 
-@partial(jax.jit, static_argnames=('K', 'G', 'buf_len', 'interpret'))
+@partial(jax.jit, static_argnames=('K', 'G', 'buf_len', 'interpret', 'hi'))
 def _accumulate_bwd_impl(ct_buf, ct_loss, h_scat, cdf_mu, idx, clipped,
                          Dparams, cell, K: int, G: int, buf_len: int,
-                         interpret: bool = False):
+                         interpret: bool = False, hi: bool = False):
     """Pallas backward of ``_accumulate_impl``: one sequential grid pass
     over the day's minutes against the (padded) buffer cotangent."""
     import jax.experimental.pallas as pl
@@ -384,23 +459,29 @@ def _accumulate_bwd_impl(ct_buf, ct_loss, h_scat, cdf_mu, idx, clipped,
     rho = jnp.clip(jnp.asarray(rho_r, dtype), -1 + 1e-6, 1 - 1e-6)
     s2 = jnp.maximum(1.0 - rho * rho, jnp.asarray(1e-12, dtype))
     s = jnp.sqrt(s2)
-    params = jnp.stack([sig_x, sig_y, rho, jnp.asarray(cell, dtype),
-                        1.0 / s, 1.0 / s2, jnp.asarray(ct_loss, dtype)])
+    base = [sig_x, sig_y, rho, jnp.asarray(cell, dtype),
+            1.0 / s, 1.0 / s2, jnp.asarray(ct_loss, dtype)]
 
     Gq = _G_NODES
     x_np, w_np = gauss_legendre(Gq)
     x = jnp.asarray(x_np, dtype)
     w = jnp.asarray(w_np, dtype)
-    asr = jnp.arcsin(rho)
-    sn = jnp.sin(asr * 0.5 * (1.0 + x))
-    wfac = w * asr / (2.0 * _TWO_PI)
-    inv = 1.0 / (1.0 - sn * sn)
-    quad = jnp.stack([sn, wfac, inv])
+    if hi:
+        quad, scal = _hi_quad_params(rho, x, w, dtype)
+        params = jnp.stack(base + list(scal))
+    else:
+        asr = jnp.arcsin(rho)
+        sn = jnp.sin(asr * 0.5 * (1.0 + x))
+        wfac = w * asr / (2.0 * _TWO_PI)
+        inv = 1.0 / (1.0 - sn * sn)
+        quad = jnp.stack([sn, wfac, inv])
+        params = jnp.stack(base)
 
     ct_pad = jnp.pad(jnp.asarray(ct_buf, dtype),
                      ((0, buf_rows - buf_len), (0, buf_cols - buf_len)))
 
-    kernel = partial(_day_bwd_kernel, K=K, G=Gq, H=H, W=W, dtype=dtype)
+    kernel = partial(_day_bwd_kernel, K=K, G=Gq, H=H, W=W, dtype=dtype,
+                     hi=hi)
     dh, dmux, dmuy, dcl, dscal = pl.pallas_call(
         kernel,
         grid=(T,),
@@ -446,6 +527,25 @@ def _accumulate_bwd_impl(ct_buf, ct_loss, h_scat, cdf_mu, idx, clipped,
 
 
 
+def _is_hi(Dparams, dtype):
+    """Traced branch predicate: |ρ| ≥ 0.925 selects the Genz high-corr
+    kernel variant (the same threshold as the XLA path's ``lax.switch``,
+    ops/bvn.py ``bvn_upper_grid``)."""
+    return jnp.abs(jnp.asarray(Dparams[2], dtype)) >= 0.925
+
+
+def _accumulate_dispatch(h_scat, cdf_mu, idx, clipped, Dparams, cell,
+                         K, G, buf_len, interpret):
+    ops = (h_scat, cdf_mu, idx, clipped, Dparams, cell)
+    return lax.cond(
+        _is_hi(Dparams, h_scat.dtype),
+        lambda o: _accumulate_impl(*o, K=K, G=G, buf_len=buf_len,
+                                   interpret=interpret, hi=True),
+        lambda o: _accumulate_impl(*o, K=K, G=G, buf_len=buf_len,
+                                   interpret=interpret, hi=False),
+        ops)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def pallas_accumulate_day(h_scat, cdf_mu, idx, clipped, Dparams, cell,
                           K: int, G: int, buf_len: int,
@@ -454,24 +554,34 @@ def pallas_accumulate_day(h_scat, cdf_mu, idx, clipped, Dparams, cell,
     custom VJP: Mosaic kernels have no autodiff, so the backward pass is a
     second Pallas kernel (``_day_bwd_kernel``) built from the closed-form
     BVN CDF derivatives — gradient users (MAP, NUTS) keep both the fast
-    Pallas primal *and* a device-rate backward."""
-    return _accumulate_impl(h_scat, cdf_mu, idx, clipped, Dparams, cell,
-                            K, G, buf_len, interpret)
+    Pallas primal *and* a device-rate backward.
+
+    ρ is a traced scalar: a ``lax.cond`` on |ρ| ≥ 0.925 selects between the
+    Drezner–Wesolowsky low-corr kernel and the Genz high-corr variant
+    (asymptotic series + tail quadrature) — only the taken branch executes,
+    so prior-typical proposals pay nothing for the high-|ρ| coverage."""
+    return _accumulate_dispatch(h_scat, cdf_mu, idx, clipped, Dparams, cell,
+                                K, G, buf_len, interpret)
 
 
 def _accumulate_fwd(h_scat, cdf_mu, idx, clipped, Dparams, cell,
                     K, G, buf_len, interpret):
-    out = _accumulate_impl(h_scat, cdf_mu, idx, clipped, Dparams, cell,
-                           K, G, buf_len, interpret)
+    out = _accumulate_dispatch(h_scat, cdf_mu, idx, clipped, Dparams, cell,
+                               K, G, buf_len, interpret)
     return out, (h_scat, cdf_mu, idx, clipped, Dparams, cell)
 
 
 def _accumulate_bwd(K, G, buf_len, interpret, res, ct):
     h_scat, cdf_mu, idx, clipped, Dparams, cell = res
     ct_buf, ct_loss = ct
-    dh, dmu, dcl, dD, dc = _accumulate_bwd_impl(
-        ct_buf, ct_loss, h_scat, cdf_mu, idx, clipped, Dparams, cell,
-        K, G, buf_len, interpret)
+    ops = (ct_buf, ct_loss, h_scat, cdf_mu, idx, clipped, Dparams, cell)
+    dh, dmu, dcl, dD, dc = lax.cond(
+        _is_hi(Dparams, h_scat.dtype),
+        lambda o: _accumulate_bwd_impl(*o, K=K, G=G, buf_len=buf_len,
+                                       interpret=interpret, hi=True),
+        lambda o: _accumulate_bwd_impl(*o, K=K, G=G, buf_len=buf_len,
+                                       interpret=interpret, hi=False),
+        ops)
     didx = np.zeros(idx.shape, jax.dtypes.float0)   # integer arg
     dc = jnp.asarray(dc, jnp.result_type(cell))
     return dh, dmu, didx, dcl, dD, dc
