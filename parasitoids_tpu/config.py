@@ -89,6 +89,10 @@ class Params:
         # (SURVEY.md section 7 step 3: "f64 flag for validation"); the
         # reference CPU path is f64 (CalcSol.py), its GPU path f32
         self.use_f64 = False
+        # emulate the reference's cdf_eps=0.001 per-minute kernel
+        # truncation (ParasitoidModel.py:329,348) — a parity tool (see
+        # ops/daily_kernel.KernelConfig.ref_trunc), not for production
+        self.ref_trunc = False
 
         self.default_chg()
 
@@ -316,6 +320,8 @@ class Params:
                 self.use_pallas = self._parse_bool(val)
             elif arg == 'use_f64':
                 self.use_f64 = self._parse_bool(val)
+            elif arg == 'ref_trunc':
+                self.ref_trunc = self._parse_bool(val)
             elif arg in ('sprd_factor', 'use_sprd_factor'):
                 # restore/override after a preset change reset it (presets
                 # re-apply my_datasets, which defaults this to False)

@@ -95,7 +95,8 @@ def setup_forward(params: Params, dtype=None) -> ForwardSetup:
     kcfg = KernelConfig(rad_res=int(rad_res), periods=T,
                         K=int(K), K_local=int(Kl),
                         G=params.quad_nodes, pallas=bool(use_pallas),
-                        interpret=interpret)
+                        interpret=interpret,
+                        ref_trunc=bool(getattr(params, 'ref_trunc', False)))
     scfg = SolverConfig.for_domain(int(rad_res))
     if (not params.PROB_MODEL) and params.r_start is not None:
         start_idx = int(params.r_start * T)

@@ -155,31 +155,71 @@ def propagate_prob(kernels, config: SolverConfig):
     return jnp.concatenate([kernels[:1], rest], axis=0)
 
 
-@partial(jax.jit, static_argnames=('config',))
-def propagate_prob_logdepth(kernels, config: SolverConfig):
+@partial(jax.jit, static_argnames=('config', 'segment'))
+def propagate_prob_logdepth(kernels, config: SolverConfig, segment=None):
     """Log-depth variant of :func:`propagate_prob` via
     ``lax.associative_scan`` over per-day kernel spectra (SURVEY.md
     section 5: convolution is associative, so the day chain need not be
     sequential).
 
-    Semantics differ from the default in one way: there is no daily
-    absorbing-boundary truncation — the chain is the pure convolution
-    product, so mass that leaves the domain mid-run can wrap through the
-    pad if it exceeds the alias-free budget.  Outputs are thresholded and
-    renormalized per day exactly like the default.  Use when day count is
-    large and per-day boundary interaction is negligible; parity with the
-    sequential solver holds whenever no mass reaches the pad.
+    ``segment=None`` (pure mode) applies NO absorbing-boundary truncation
+    between days — the chain is the raw convolution product, so mass that
+    leaves the domain mid-run is not absorbed, and day-k composes k kernel
+    spectra (support up to k·rad_res) against a fixed 2·dom_len − 1 pad:
+    once composite spread exceeds that budget the output aliases.  Parity
+    with the sequential solver holds only while no mass reaches the pad
+    (tests/test_solver.py probes the violating regime explicitly).
 
-    Because day-k of the product composes k kernel spectra (support up to
-    k·rad_res), this path keeps the conservative 2·dom_len − 1 pad rather
-    than the single-kernel D + rad_res pad the sequential solvers use.
+    ``segment=s`` (segmented absorption) re-imposes the absorbing boundary
+    every ``s`` days: within a segment the prefix products run at log
+    depth (batched ``associative_scan`` over segments), and segment
+    boundaries truncate the carried field to the domain — the same physics
+    as the sequential solver applied at s-day granularity, with an
+    *honestly sized* alias-free pad ``next_fast_len(D + s·rad_res)``
+    (composite in-segment support is at most s·rad_res).  ``segment=1``
+    reproduces :func:`propagate_prob` exactly.  Depth is
+    O(n/s + log s); pick s to trade pad size (FFT cost per point) against
+    sequential depth.
+
+    Outputs are thresholded and renormalized per day exactly like the
+    default in both modes.
     """
     D = config.dom_len
-    P = max(config.fft_len, next_fast_len(2 * D - 1))
-    k_hat = filter_fft(kernels[1:], P)                    # (n-1, P, Ph)
-    prefix = lax.associative_scan(jnp.multiply, k_hat, axis=0)
-    sol_hat = signal_fft(kernels[0], P)[None] * prefix
-    fields = _irfft(sol_hat, P)[:, :D, :D]
+    n = kernels.shape[0]
+    if segment is None or segment >= n - 1:
+        P = max(config.fft_len, next_fast_len(2 * D - 1))
+        k_hat = filter_fft(kernels[1:], P)                # (n-1, P, Ph)
+        prefix = lax.associative_scan(jnp.multiply, k_hat, axis=0)
+        sol_hat = signal_fft(kernels[0], P)[None] * prefix
+        fields = _irfft(sol_hat, P)[:, :D, :D]
+        rest = jax.vmap(lambda f: r_small_vals_dense(f, prob_model=True))(
+            fields)
+        return jnp.concatenate([kernels[:1], rest], axis=0)
+
+    s = int(segment)
+    rad_res = (D - 1) // 2
+    P = next_fast_len(D + s * rad_res)
+    m = -(-(n - 1) // s)                                  # segments
+    pad_days = m * s - (n - 1)
+    # pad the tail with identity kernels (delta at center -> all-ones
+    # spectrum) so segments are uniform; padded outputs are dropped
+    if pad_days:
+        delta = jnp.zeros((pad_days, D, D), kernels.dtype)
+        delta = delta.at[:, D // 2, D // 2].set(1.0)
+        k_rest = jnp.concatenate([kernels[1:], delta], axis=0)
+    else:
+        k_rest = kernels[1:]
+    k_hat = filter_fft(k_rest, P).reshape(m, s, P, P // 2 + 1)
+    prefix = lax.associative_scan(jnp.multiply, k_hat, axis=1)
+
+    def seg_step(dom, pref):
+        # dom: the absorbed (domain-truncated) field at segment start
+        sol_hat = signal_fft(dom, P)[None] * pref          # (s, P, Ph)
+        fields = _irfft(sol_hat, P)[:, :D, :D]             # absorbed daily
+        return fields[-1], fields
+
+    _, fields = lax.scan(seg_step, kernels[0], prefix)
+    fields = fields.reshape(m * s, D, D)[:n - 1]
     rest = jax.vmap(lambda f: r_small_vals_dense(f, prob_model=True))(
         fields)
     return jnp.concatenate([kernels[:1], rest], axis=0)

@@ -39,7 +39,7 @@ from .bvn import bvn_cell_masses
 from .flight import h_flight_prob
 
 __all__ = ['KernelConfig', 'build_daily_kernel', 'day_scatter_inputs',
-           'finish_day', 'r_small_vals_dense']
+           'finish_day', 'r_small_vals_dense', 'ring_truncate']
 
 _SECONDS_PER_DAY = 3600 * 24
 _NEGVAL = 1e-8  # sparsity threshold, ref CalcSol.py:112
@@ -59,6 +59,15 @@ class KernelConfig(NamedTuple):
     chunk: int = 240      # minutes per accumulation chunk (bounds memory)
     pallas: bool = False       # fused Pallas accumulate (TPU hot path)
     interpret: bool = False    # Pallas interpret mode (tests off-TPU)
+    # emulate the reference's adaptive ring-expansion stopping rule
+    # (cdf_eps=0.001, ParasitoidModel.py:329,348): truncate every
+    # per-minute block (and the local-diffusion kernel) to the smallest
+    # centered square holding > 0.999 mass, the tail folding into the
+    # stay-local remainder exactly as the reference's accounting does.
+    # A PARITY TOOL (closes the e2e residual attribution loop, PARITY.md)
+    # — not for production runs, where the full window is strictly more
+    # accurate.  XLA path only (forces the scatter accumulate).
+    ref_trunc: bool = False
 
 
 def r_small_vals_dense(field, prob_model=False, negval=_NEGVAL):
@@ -77,6 +86,25 @@ def r_small_vals_dense(field, prob_model=False, negval=_NEGVAL):
         # annihilating all mass
         kept = jnp.where(n_keep > 0, kept, field)
     return kept
+
+
+def ring_truncate(block, K: int, cdf_eps: float = 0.001):
+    """Truncate a (2K+1)² BVN block to the smallest centered square of
+    cells whose cumulative mass exceeds ``1 - cdf_eps`` — the reference's
+    adaptive ring-expansion stopping rule (ParasitoidModel.py:329-348:
+    ``while 1 - val_sum >= cdf_eps: h += 1``).  If no square reaches the
+    threshold inside the window (a boundary-straddling block), the whole
+    window is kept, matching the reference's behavior of scattering
+    whatever its (there: unbounded) expansion produced."""
+    n = 2 * K + 1
+    i = jnp.arange(n)
+    cheb = jnp.maximum(jnp.abs(i - K)[:, None], jnp.abs(i - K)[None, :])
+    ring_sums = jax.ops.segment_sum(block.ravel(), cheb.ravel(),
+                                    num_segments=K + 1)
+    cum = jnp.cumsum(ring_sums)
+    meets = cum > (1.0 - cdf_eps)
+    h_star = jnp.where(jnp.any(meets), jnp.argmax(meets), K)
+    return jnp.where(cheb <= h_star, block, 0.0)
 
 
 def _advection_means(wind_flat, wind_cumsum, day_idx, n_periods, periods,
@@ -107,9 +135,11 @@ def _advection_means(wind_flat, wind_cumsum, day_idx, n_periods, periods,
     return mu_v * scale
 
 
-@partial(jax.jit, static_argnames=('K', 'G', 'buf_len', 'chunk'))
+@partial(jax.jit, static_argnames=('K', 'G', 'buf_len', 'chunk',
+                                   'ref_trunc'))
 def xla_accumulate_day(h_scat, cdf_mu, idx, clipped, Dparams, cell,
-                       K: int, G: int, buf_len: int, chunk: int = 240):
+                       K: int, G: int, buf_len: int, chunk: int = 240,
+                       ref_trunc: bool = False):
     """Accumulate all per-minute BVN blocks of one day (XLA path): chunked
     ``vmap`` block build + ``lax.scatter_add`` with CLIP mode.  Same
     contract as ``ops.pallas_kernel.pallas_accumulate_day`` (whose backward
@@ -120,8 +150,13 @@ def xla_accumulate_day(h_scat, cdf_mu, idx, clipped, Dparams, cell,
     dtype = h_scat.dtype
     T = h_scat.shape[0]
     sig_x, sig_y, rho = Dparams
-    build_block = jax.vmap(
-        lambda mu: bvn_cell_masses(mu, sig_x, sig_y, rho, cell, K, G))
+    if ref_trunc:
+        build_block = jax.vmap(
+            lambda mu: ring_truncate(
+                bvn_cell_masses(mu, sig_x, sig_y, rho, cell, K, G), K))
+    else:
+        build_block = jax.vmap(
+            lambda mu: bvn_cell_masses(mu, sig_x, sig_y, rho, cell, K, G))
 
     C = min(chunk, T)
     n_chunks = -(-T // C)
@@ -229,6 +264,10 @@ def finish_day(buf, outside_loss, clip_loss, Dlparams, config: KernelConfig,
     sl_x, sl_y, sl_rho = Dlparams
     local = bvn_cell_masses(jnp.zeros(2, dtype), sl_x, sl_y, sl_rho, cell,
                             Kl, G)
+    if config.ref_trunc:
+        # the reference builds Sl's kernel with the same ring expansion
+        # (ParasitoidModel.py:581-584)
+        local = ring_truncate(local, Kl)
     stay = jnp.where(total_flight_prob < 0.99999,
                      1.0 - total_flight_prob, 0.0)
     pmf = lax.dynamic_update_slice(
@@ -274,7 +313,7 @@ def build_daily_kernel(wind_flat, wind_cumsum, day_idx, hparams, Dparams,
         wind_flat, wind_cumsum, day_idx, hparams, mu_r, n_periods,
         start_idx, config, rad_dist)
 
-    if config.pallas:
+    if config.pallas and not config.ref_trunc:
         # fused on-chip build+accumulate (ops/pallas_kernel.py); its
         # backward rule is a dedicated Pallas kernel (_day_bwd_kernel),
         # gradient-parity-tested against the XLA path below
@@ -283,9 +322,13 @@ def build_daily_kernel(wind_flat, wind_cumsum, day_idx, hparams, Dparams,
             h_scat, cdf_mu, idx, clip_f, Dparams, cell,
             K, G, D + 4 * K, config.interpret)
     else:
+        # ref_trunc (the cdf_eps parity-emulation mode) always takes the
+        # XLA scatter path — truncation is a per-block mask on top of the
+        # vmapped block build
         buf, clip_loss = xla_accumulate_day(
             h_scat, cdf_mu, idx, clip_f, Dparams, cell,
-            K, G, D + 4 * K, chunk=min(config.chunk, T))
+            K, G, D + 4 * K, chunk=min(config.chunk, T),
+            ref_trunc=config.ref_trunc)
 
     return finish_day(buf, outside_loss, clip_loss, Dlparams, config,
                       rad_dist)

@@ -21,8 +21,14 @@ reference's back_solve re-FFT crashes on Fourier-boundary events,
 CalcSol.py:105 — a latent reference bug; keep ndays small enough that no
 event triggers there).
 
+With ``--emulate`` our kernel builder truncates every per-minute block at
+the reference's own cdf_eps=0.001 ring-stopping rule (KernelConfig
+.ref_trunc): the remaining residual is then pure algorithm/precision,
+closing the attribution loop — without emulation the ~3e-3 rel-to-peak
+difference is the reference's truncation, not ours.
+
 Usage: python scripts/check_e2e_parity.py [ndays] [--prob] [--f64]
-       [--carnarvon]
+       [--carnarvon] [--emulate]
 """
 
 import os
@@ -73,6 +79,8 @@ def main():
     p.ndays = ndays
     if '--f64' in sys.argv:
         p.use_f64 = True
+    if '--emulate' in sys.argv:
+        p.ref_trunc = True
 
     # ---- ours: one fused device program --------------------------------
     setup = setup_forward(p)

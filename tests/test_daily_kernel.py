@@ -122,6 +122,54 @@ def test_parity_with_reference(day_offset, n_per):
     assert np.abs(got - want).sum() < 1e-2
 
 
+def test_ring_truncate_semantics():
+    """``ring_truncate`` keeps exactly the smallest centered square with
+    > 1 - cdf_eps mass (the reference's stopping rule) and keeps the full
+    window when the threshold is never reached."""
+    from parasitoids_tpu.ops.daily_kernel import ring_truncate
+
+    K = 4
+    n = 2 * K + 1
+    # synthetic block: center 0.9, first ring 0.08 total, second 0.019,
+    # rest tiny -> cumulative 0.9, 0.98, 0.999+ ... stops at h=2
+    block = np.full((n, n), 1e-5, np.float32)
+    block[K, K] = 0.9
+    for (i, j) in [(K - 1, K), (K + 1, K), (K, K - 1), (K, K + 1)]:
+        block[i, j] = 0.02
+    block[K - 2, K] = 0.0191
+    got = np.asarray(ring_truncate(jnp.asarray(block), K))
+    i = np.arange(n)
+    cheb = np.maximum(np.abs(i - K)[:, None], np.abs(i - K)[None, :])
+    assert np.all(got[cheb > 2] == 0.0)
+    np.testing.assert_array_equal(got[cheb <= 2], block[cheb <= 2])
+    # threshold unreachable: everything kept
+    small = jnp.asarray(block * 1e-3)
+    np.testing.assert_array_equal(np.asarray(ring_truncate(small, K)),
+                                  np.asarray(small))
+
+
+def test_emulation_parity_with_reference():
+    """With ``ref_trunc`` (the cdf_eps emulation mode) the per-day kernel
+    matches the UNPATCHED reference stopping rule to near float precision —
+    the closed-loop attribution of the ~1e-3 residual the fixed-window
+    builder shows against the ring-truncating reference (VERDICT r1
+    item 4)."""
+    if ref_oracle.load_reference() is None:
+        pytest.skip('reference tree unavailable')
+    interp, rad_res, rad_dist = 2, 60, 12000.0
+    wind_data, days, flat, cs, cfg = _setup(interp, rad_res, rad_dist)
+    cfg = cfg._replace(ref_trunc=True)
+    day = days[0]
+    want = ref_oracle.ref_prob_mass(day, wind_data, HPARAMS, DPARAMS,
+                                    DLPARAMS, MU_R, N_PERIODS, rad_dist,
+                                    rad_res)
+    got, _ = _build(flat, cs, cfg, day=0, rad_dist=rad_dist)
+    # two orders tighter than the untruncated comparison above (3e-3):
+    # the residual is now BVN quadrature + f32 accumulation only
+    assert np.abs(got - want).max() < 4e-5
+    assert np.abs(got - want).sum() < 4e-4
+
+
 def test_parity_with_reference_start_time():
     if ref_oracle.load_reference() is None:
         pytest.skip('reference tree unavailable')

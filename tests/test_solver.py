@@ -87,6 +87,58 @@ def test_propagate_prob_logdepth_matches_sequential():
     np.testing.assert_allclose(par, seq, atol=3e-5)
 
 
+def _drift_kernel(D, shift, support=5):
+    """A pmf kernel whose mass sits ``shift`` cells off-center — repeated
+    convolution marches the solution into the boundary."""
+    k = np.zeros((D, D))
+    c, h = D // 2, support // 2
+    block = RNG.uniform(0.2, 1.0, (2 * h + 1, 2 * h + 1))
+    k[c - h:c + h + 1, c - h + shift:c + h + 1 + shift] = block
+    return k / k.sum()
+
+
+def test_propagate_prob_logdepth_pure_mode_diverges_at_boundary():
+    """DOCUMENTED divergence of the pure (unsegmented) log-depth chain
+    (VERDICT r1 item 8): without the daily absorbing boundary, mass that
+    the sequential solver absorbs keeps spreading in the convolution
+    product, so once mass reaches the domain edge the two solvers
+    genuinely differ — while segmented absorption (segment=1) reproduces
+    the sequential solver exactly in the same regime."""
+    from parasitoids_tpu.models.solver import propagate_prob_logdepth
+    D, ndays = 31, 8
+    cfg = SolverConfig.for_domain(D // 2)
+    # 2 cells of drift/day with +-4 cells of spread: by day ~6 substantial
+    # mass straddles the boundary, and un-absorbed outside mass diffuses
+    # BACK into the domain in pure mode (absorption differs from
+    # view-truncation exactly when mass can re-enter)
+    kernels = np.stack([_drift_kernel(D, 2, support=9)
+                        for _ in range(ndays)])
+    seq = np.asarray(propagate_prob(jnp.asarray(kernels), cfg))
+    pure = np.asarray(propagate_prob_logdepth(jnp.asarray(kernels), cfg))
+    seg1 = np.asarray(propagate_prob_logdepth(jnp.asarray(kernels), cfg,
+                                              segment=1))
+    # the boundary-interacting days diverge in pure mode (measured ~8e-4)...
+    assert np.abs(pure[-1] - seq[-1]).max() > 5e-4
+    # ...and match under segmented absorption
+    np.testing.assert_allclose(seg1, seq, atol=3e-5)
+
+
+@pytest.mark.parametrize('segment', [1, 2, 3])
+def test_propagate_prob_logdepth_segmented_matches_sequential(segment):
+    """Segmented absorption at s=1 equals the sequential solver exactly;
+    for s > 1 with confined kernels (no boundary interaction) all
+    variants agree — including a non-dividing segment length (ndays-1=6
+    with s=2/3 has no/one remainder; s sizes its own alias-free pad)."""
+    from parasitoids_tpu.models.solver import propagate_prob_logdepth
+    D, ndays = 31, 7
+    cfg = SolverConfig.for_domain(D // 2)
+    kernels = np.stack([_random_kernel(D, 5) for _ in range(ndays)])
+    seq = np.asarray(propagate_prob(jnp.asarray(kernels), cfg))
+    seg = np.asarray(propagate_prob_logdepth(jnp.asarray(kernels), cfg,
+                                             segment=segment))
+    np.testing.assert_allclose(seg, seq, atol=3e-5)
+
+
 @pytest.mark.parametrize('r_dur', [1, 3])
 def test_propagate_pop_conservation(r_dur):
     """Population totals stay within 1% of the release number
