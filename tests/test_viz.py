@@ -105,6 +105,30 @@ def test_compare_emergence_and_fit(tmp_path, fields, viz_params, locinfo):
     assert os.path.exists(out) and os.path.getsize(out) > 0
 
 
+def test_compare_3d_figures(tmp_path, fields, viz_params, locinfo):
+    """The reference's publication 3-D figure classes
+    (CompareToData.py:124-132 paired emergence histograms, :363-443 fit
+    surfaces with clipping + per-effort separation) render headless with
+    3-D axes and nonzero content."""
+    out = compare.compare_emergence_3d(
+        fields, list(range(1, NDAYS + 1)), viz_params, locinfo,
+        outfile=str(tmp_path / 'ce3.png'))
+    assert os.path.exists(out) and os.path.getsize(out) > 10000
+    out = compare.assess_fit_3d(
+        fields, list(range(1, NDAYS + 1)), viz_params, locinfo,
+        outfile=str(tmp_path / 'af3.png'))
+    assert os.path.exists(out) and os.path.getsize(out) > 10000
+    # bw variants exercise the grayscale styling branches
+    out = compare.compare_emergence_3d(
+        fields, list(range(1, NDAYS + 1)), viz_params, locinfo,
+        outfile=str(tmp_path / 'ce3bw.png'), bw=True)
+    assert os.path.exists(out)
+    out = compare.assess_fit_3d(
+        fields, list(range(1, NDAYS + 1)), viz_params, locinfo,
+        outfile=str(tmp_path / 'af3bw.png'), bw=True)
+    assert os.path.exists(out)
+
+
 def test_banner(tmp_path, fields, viz_params, locinfo):
     out = compare.banner(fields, list(range(1, NDAYS + 1)), viz_params,
                          locinfo, outfile=str(tmp_path / 'banner.png'))
