@@ -54,7 +54,7 @@ def _param_names(setup):
 
 def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
             thin=5, seed=0, verbose=False, sampler='am', max_depth=6,
-            stepwise=False):
+            stepwise=False, steps_per_call=25):
     """SBC rank statistics for a sampler (``'am'`` or ``'nuts'``).
 
     Returns ``{'ranks': (R, dim) int array, 'L': draws per replicate,
@@ -118,7 +118,8 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
             if stepwise:
                 out = nuts_sample_stepwise(
                     logpdf, z_true[None], random.split(k_chain, 1),
-                    ncfg, logpdf_args=(obs_r,))
+                    ncfg, logpdf_args=(obs_r,),
+                    steps_per_call=steps_per_call)
                 zdraws, logp = out['samples'][0], out['logp'][0]
             else:
                 out = jax.block_until_ready(nuts_sample(
@@ -176,6 +177,23 @@ def sbc_uniformity(ranks, L, n_bins=None):
         counts, _ = np.histogram(ranks[:, j], bins=edges)
         pvals[j] = stats.chisquare(counts).pvalue
     return pvals
+
+
+def sbc_ecdf_pvals(ranks, L, seed=0):
+    """Kolmogorov–Smirnov uniformity p-value per parameter via the
+    randomized PIT: under H0 the rank r is uniform on {0..L}, so
+    (r + u)/(L + 1) with u ~ U(0,1) is exactly Uniform(0,1) — the KS test
+    then applies without discreteness corrections.  Complements the
+    binned chi-square (``sbc_uniformity``): KS is sensitive to ECDF-scale
+    drift (skew/shift), chi-square to local bin anomalies."""
+    from scipy import stats
+
+    ranks = np.asarray(ranks)
+    rng = np.random.default_rng(seed)
+    u = rng.uniform(size=ranks.shape)
+    pit = (ranks + u) / (L + 1)
+    return np.array([stats.kstest(pit[:, j], 'uniform').pvalue
+                     for j in range(ranks.shape[1])])
 
 
 def plot_sbc(out, outfile, n_bins=None):
@@ -237,9 +255,11 @@ def main(argv=None):
                          'n_periods = 30 (the NUTS target)')
     ap.add_argument('--max-depth', type=int, default=6)
     ap.add_argument('--stepwise', action='store_true',
-                    help='dispatch each NUTS transition as its own bounded '
-                         'device program (required at full scale on hosted/'
+                    help='dispatch NUTS transitions as bounded device '
+                         'programs (required at full scale on hosted/'
                          'tunneled accelerators)')
+    ap.add_argument('--steps-per-call', type=int, default=25,
+                    help='stepwise NUTS: transitions per device program')
     ap.add_argument('-o', '--outname', default='sbc')
     ap.add_argument('overrides', nargs='*')
     args = ap.parse_args(argv)
@@ -255,12 +275,15 @@ def main(argv=None):
     out = run_sbc(setup, args.replicates, random.PRNGKey(args.seed),
                   n_samples=args.samples, burn=args.burn, thin=args.thin,
                   seed=args.seed, verbose=True, sampler=args.sampler,
-                  max_depth=args.max_depth, stepwise=args.stepwise)
+                  max_depth=args.max_depth, stepwise=args.stepwise,
+                  steps_per_call=args.steps_per_call)
     print('SBC finished: {:.1f} s'.format(time.time() - tic))
     pvals = sbc_uniformity(out['ranks'], out['L'])
-    for n, p in zip(out['names'], pvals):
-        flag = '  <-- check' if p < 0.01 else ''
-        print('  {:>18s}: p = {:.3f}{}'.format(n, p, flag))
+    ks = sbc_ecdf_pvals(out['ranks'], out['L'], seed=args.seed)
+    for n, p, pk in zip(out['names'], pvals, ks):
+        flag = '  <-- check' if min(p, pk) < 0.01 else ''
+        print('  {:>18s}: chi2 p = {:.3f}  KS p = {:.3f}{}'.format(
+            n, p, pk, flag))
     np.savez(args.outname + '_ranks',
              ranks=out['ranks'], L=out['L'], truths=out['truths'],
              names=np.asarray(out['names']))

@@ -224,6 +224,21 @@ def test_sbc_mechanics(setup, tmp_path):
     assert os.path.getsize(p) > 0
 
 
+def test_sbc_ecdf_pvals_calibrated():
+    """The randomized-PIT KS check is exact under H0 (uniform ranks) and
+    flags a grossly skewed rank distribution."""
+    from parasitoids_tpu.bayes.sbc import sbc_ecdf_pvals
+
+    rng = np.random.default_rng(0)
+    L = 80
+    uniform = rng.integers(0, L + 1, size=(200, 3))
+    skewed = rng.integers(0, L // 3, size=(200, 1))   # crushed low
+    p_u = sbc_ecdf_pvals(uniform, L, seed=1)
+    p_s = sbc_ecdf_pvals(skewed, L, seed=1)
+    assert (p_u > 0.01).all()
+    assert (p_s < 1e-6).all()
+
+
 @pytest.mark.slow
 def test_sbc_nuts_mechanics(setup):
     """NUTS-mode SBC: truths conditioned on n_periods=30, ranks over the
