@@ -769,7 +769,8 @@ def run_analyze(args):
     has_ev = (('betas' in extras and 'loglik' in extras)
               or 'logz_path' in extras)
     menu = ('[s] posterior summary + R-hat/ESS   [p] diagnostic plots '
-            '(./diagnostics/)   '
+            '(./diagnostics/)   [t] trace window / per-variable plots   '
+            '[g] write diagnostics/gelman-rubin.txt   '
             + ('[e] log-evidence   ' if has_ev else '')
             + '[r] resume hint   [q] quit')
     while True:
@@ -785,6 +786,43 @@ def run_analyze(args):
         elif ans == 'p':
             from ..viz.bayes_plot import main as bayes_plot_main
             bayes_plot_main([path])
+        elif ans == 't':
+            # trace-window / per-variable plotting (the reference's
+            # start/stop + variable-selection menu, Bayes_Run.py:540-702
+            # via Bayes_Plot.plot_traces)
+            from ..viz.bayes_plot import _param_names, plot_traces
+            names = _param_names(traces.shape[-1])
+            print('parameters: {}'.format(' '.join(names)))
+            try:
+                sel = input('variables (space-separated, empty = all)'
+                            '> ').split()
+                win = input('window start [stop] (empty = full)> ').split()
+            except EOFError:
+                continue
+            start = int(win[0]) if win else 0
+            stop = int(win[1]) if len(win) > 1 else None
+            try:
+                written = plot_traces(traces, start=start, stop=stop,
+                                      select=sel or None)
+            except ValueError as e:
+                print(e)
+                continue
+            print('wrote {} plot(s) to ./diagnostics/'.format(len(written)))
+        elif ans == 'g':
+            # gelman-rubin.txt export (ref Bayes_Run.py:685-692)
+            if traces.shape[0] < 2:
+                print('need >= 2 chains for Gelman-Rubin; this store has '
+                      '{}'.format(traces.shape[0]))
+                continue
+            os.makedirs('diagnostics', exist_ok=True)
+            from ..viz.bayes_plot import _param_names
+            names = _param_names(traces.shape[-1])[:-1]
+            rhat = np.atleast_1d(gelman_rubin(traces[:, :, :len(names)]))
+            out_path = os.path.join('diagnostics', 'gelman-rubin.txt')
+            with open(out_path, 'w') as f:
+                for n, r in zip(names, rhat):
+                    f.write('{}: {:.4f}\n'.format(n, r))
+            print('wrote', out_path)
         elif ans == 'e' and has_ev:
             if extras.get('loglik') is not None \
                     and extras['loglik'].ndim == 2:   # PT store: (T, steps)

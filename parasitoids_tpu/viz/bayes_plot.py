@@ -36,15 +36,27 @@ def _flatten(traces):
     return traces
 
 
-def plot_traces(traces, outdir='./diagnostics', start=0):
+def plot_traces(traces, outdir='./diagnostics', start=0, stop=None,
+                select=None):
     """Per-parameter trace plot + Geweke z-scores
-    (ref Bayes_Plot.py:28-143)."""
+    (ref Bayes_Plot.py:28-143).
+
+    ``start``/``stop`` window the trace (the reference menus' start/stop
+    arguments, Bayes_Run.py:540-702); ``select`` optionally names a subset
+    of parameters to plot (per-variable selection from the same menus)."""
     plt = _mpl()
     os.makedirs(outdir, exist_ok=True)
-    traces = _flatten(traces)[:, start:, :]
+    traces = _flatten(traces)[:, start:stop, :]
     names = _param_names(traces.shape[-1])
+    if select:
+        unknown = sorted(set(select) - set(names))
+        if unknown:
+            raise ValueError('unknown parameter name(s) {}; known: {}'
+                             .format(unknown, names))
     written = []
     for i, name in enumerate(names):
+        if select and name not in select:
+            continue
         fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(8, 6), sharex=False)
         for c in range(traces.shape[0]):
             ax1.plot(traces[c, :, i], lw=0.6)

@@ -102,6 +102,39 @@ def test_analyze_menu(tmp_path, monkeypatch, capsys):
     assert (tmp_path / 'diagnostics' / 'gelman-rubin.txt').exists()
 
 
+def test_analyze_menu_trace_window_and_gr_export(tmp_path, monkeypatch,
+                                                 capsys):
+    """The [t] action plots a trace window for selected variables and the
+    [g] action exports gelman-rubin.txt (the remaining breadth of the
+    reference menus: Bayes_Run.py:540-702 trace windows, per-variable
+    selection, gelman-rubin.txt)."""
+    from parasitoids_tpu.bayes import run as bayes_run
+    from parasitoids_tpu.bayes.priors import (MODEL_PARAM_NAMES,
+                                              OBS_PARAM_NAMES)
+
+    n_sent = 4
+    dim = len(MODEL_PARAM_NAMES) + len(OBS_PARAM_NAMES) + n_sent + 1
+    rng = np.random.default_rng(1)
+    db = str(tmp_path / 'an2_store')
+    np.savez(db, traces=rng.normal(size=(2, 60, dim)))
+
+    answers = iter(['t', 'sig_x g_aw', '10 50',     # windowed selection
+                    't', 'not_a_param', '',          # bad name -> error msg
+                    'g', 'q'])
+    monkeypatch.setattr('builtins.input', lambda *_: next(answers))
+    monkeypatch.chdir(tmp_path)
+    bayes_run.main(['--analyze', db])
+    out = capsys.readouterr().out
+    assert 'wrote 2 plot(s)' in out
+    assert (tmp_path / 'diagnostics' / 'trace_sig_x.png').exists()
+    assert (tmp_path / 'diagnostics' / 'trace_g_aw.png').exists()
+    assert not (tmp_path / 'diagnostics' / 'trace_lam.png').exists()
+    assert 'unknown parameter name' in out
+    assert (tmp_path / 'diagnostics' / 'gelman-rubin.txt').exists()
+    gr = (tmp_path / 'diagnostics' / 'gelman-rubin.txt').read_text()
+    assert 'sig_x' in gr
+
+
 def test_plot_result_menu(tmp_path, monkeypatch, capsys):
     """The interactive loader (ref Plot_Result.py:491-595): prompts for
     day numbers until quit."""
