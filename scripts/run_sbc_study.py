@@ -1,0 +1,110 @@
+"""Run the recorded SBC study (VERDICT r1 item 7) and write docs data.
+
+Executes simulation-based calibration for BOTH samplers at an honest
+reduced config — the full Kalbar model (18 wind days, every prior, every
+observation block) on a coarser 201x201 @ 50 m grid — and records
+rank-uniformity results (chi-square + randomized-PIT KS p-values) to
+``sbc_study/``: one ranks npz + rank-histogram png per sampler and a
+machine-readable summary JSON that docs/SBC.md quotes.
+
+Usage:  python scripts/run_sbc_study.py [--replicates 100] [--sampler both]
+(TPU strongly recommended; the AM study takes minutes, NUTS ~1-2 h.)
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.chdir(REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--replicates', type=int, default=100)
+    ap.add_argument('--sampler', choices=['am', 'nuts', 'both'],
+                    default='both')
+    ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--outdir', default='sbc_study')
+    # AM: 200 burn + 400 kept, thin 5 -> L = 80 rank levels
+    ap.add_argument('--am-samples', type=int, default=400)
+    ap.add_argument('--am-burn', type=int, default=200)
+    # NUTS: shorter chains are honest (each draw is far less correlated)
+    ap.add_argument('--nuts-samples', type=int, default=240)
+    ap.add_argument('--nuts-burn', type=int, default=150)
+    ap.add_argument('--nuts-thin', type=int, default=3)
+    ap.add_argument('--max-depth', type=int, default=5)
+    ap.add_argument('--steps-per-call', type=int, default=25)
+    args = ap.parse_args()
+
+    from jax import random
+
+    from parasitoids_tpu.bayes.run import build_setup
+    from parasitoids_tpu.bayes.sbc import (plot_sbc, run_sbc,
+                                           sbc_ecdf_pvals, sbc_uniformity)
+    from parasitoids_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    os.makedirs(args.outdir, exist_ok=True)
+
+    # honest reduced config: the FULL Kalbar model at half resolution
+    setup = build_setup(['domain_info=(10000.0,100)'])
+    summary = {'replicates': args.replicates,
+               'config': 'kalbar, 201x201 @ 50 m, 18 days, full model',
+               'date': time.strftime('%Y-%m-%d'),
+               'samplers': {}}
+
+    plans = []
+    if args.sampler in ('am', 'both'):
+        plans.append(('am', dict(n_samples=args.am_samples,
+                                 burn=args.am_burn, thin=5)))
+    if args.sampler in ('nuts', 'both'):
+        plans.append(('nuts', dict(n_samples=args.nuts_samples,
+                                   burn=args.nuts_burn,
+                                   thin=args.nuts_thin,
+                                   max_depth=args.max_depth,
+                                   stepwise=True,
+                                   steps_per_call=args.steps_per_call)))
+
+    for name, kw in plans:
+        print('=== SBC [{}]: {} replicates ==='.format(
+            name, args.replicates), flush=True)
+        tic = time.time()
+        out = run_sbc(setup, args.replicates, random.PRNGKey(args.seed),
+                      seed=args.seed, verbose=True, sampler=name, **kw)
+        dt = time.time() - tic
+        chi2 = sbc_uniformity(out['ranks'], out['L'])
+        ks = sbc_ecdf_pvals(out['ranks'], out['L'], seed=args.seed)
+        base = os.path.join(args.outdir, 'sbc_{}'.format(name))
+        np.savez(base + '_ranks', ranks=out['ranks'], L=out['L'],
+                 truths=out['truths'], names=np.asarray(out['names']))
+        plot_sbc(out, base + '.png')
+        n_flag = int(np.sum(np.minimum(chi2, ks) < 0.01))
+        summary['samplers'][name] = {
+            'wall_s': round(dt, 1),
+            'L': int(out['L']),
+            'dim': int(out['ranks'].shape[1]),
+            'chi2_pvals': {n: round(float(p), 4)
+                           for n, p in zip(out['names'], chi2)},
+            'ks_pvals': {n: round(float(p), 4)
+                         for n, p in zip(out['names'], ks)},
+            'min_chi2_p': round(float(chi2.min()), 4),
+            'min_ks_p': round(float(ks.min()), 4),
+            'n_flagged_p_lt_0.01': n_flag,
+        }
+        print('[{}] done in {:.1f}s: min chi2 p {:.3f}, min KS p {:.3f}, '
+              '{} flagged'.format(name, dt, chi2.min(), ks.min(), n_flag),
+              flush=True)
+
+    with open(os.path.join(args.outdir, 'summary.json'), 'w') as f:
+        json.dump(summary, f, indent=1)
+    print('wrote', os.path.join(args.outdir, 'summary.json'))
+
+
+if __name__ == '__main__':
+    main()
