@@ -1,0 +1,180 @@
+"""Recorded Carnarvon fit: MAP -> AM -> NUTS -> diagnostics (VERDICT r1
+item 5 "Done" criterion).
+
+Runs the full inference stack on the carnarvon site (r_dur=5 cohort
+likelihood; observations simulated from the documented truth in
+data/carnarvon_truth.json) and writes ``carn_study/``:
+
+* ``map.json`` — MAP estimate + logp
+* ``am.npz`` / ``nuts.npz`` — posterior traces (store format)
+* ``summary.json`` — posterior mean/sd vs truth per parameter, R-hat,
+  ESS, truth z-scores (|mean - truth| / sd), wall times
+
+Usage: python scripts/run_carnarvon_fit.py [--am-samples 4000]
+       [--nuts-samples 150] [--domain '(10000.0,200)']
+(TPU recommended; the AM chain is minutes, NUTS tens of minutes.)
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.chdir(REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--am-samples', type=int, default=4000)
+    ap.add_argument('--am-burn', type=int, default=1000)
+    ap.add_argument('--nuts-samples', type=int, default=150)
+    ap.add_argument('--nuts-burn', type=int, default=150)
+    ap.add_argument('--max-depth', type=int, default=5)
+    ap.add_argument('--steps-per-call', type=int, default=4)
+    ap.add_argument('--chains', type=int, default=2)
+    ap.add_argument('--domain', default='(10000.0,200)')
+    ap.add_argument('--outdir', default='carn_study')
+    ap.add_argument('--seed', type=int, default=0)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    from jax import random
+
+    from parasitoids_tpu.bayes.diagnostics import (effective_sample_size,
+                                                   gelman_rubin)
+    from parasitoids_tpu.bayes.map_fit import map_fit
+    from parasitoids_tpu.bayes.model import BayesSetup
+    from parasitoids_tpu.bayes.nuts import (NUTSConfig,
+                                            make_transformed_logpdf,
+                                            nuts_sample_stepwise)
+    from parasitoids_tpu.bayes.priors import (MODEL_PARAM_NAMES,
+                                              OBS_PARAM_NAMES)
+    from parasitoids_tpu.bayes.sampler import (MCMCConfig, init_chain_state,
+                                               run_mcmc)
+    from parasitoids_tpu.config import Params
+    from parasitoids_tpu.utils.cache import enable_compilation_cache
+    import jax
+
+    enable_compilation_cache()
+    os.makedirs(args.outdir, exist_ok=True)
+
+    p = Params()
+    p.cmd_line_chg(['--carnarvon', 'domain_info=' + args.domain])
+    p.PLOT = False
+    p.OUTPUT = False
+    p.PROB_MODEL = False
+    setup = BayesSetup(p)
+
+    with open('data/carnarvon_truth.json') as f:
+        truth = json.load(f)
+    truth_vec = np.array([truth['model'][n] for n in MODEL_PARAM_NAMES]
+                         + truth['obs'])
+    names = (list(MODEL_PARAM_NAMES) + list(OBS_PARAM_NAMES)
+             + ['sent_obs_prob_{}'.format(k)
+                for k in setup.locinfo.sent_ids])
+    summary = {'date': time.strftime('%Y-%m-%d'), 'domain': args.domain,
+               'r_dur': setup.r_dur, 'truth': dict(zip(names, truth_vec))}
+
+    # ---- MAP -----------------------------------------------------------
+    print('=== MAP ===', flush=True)
+    tic = time.time()
+    fit = map_fit(setup, n_steps=300, use_sprd=False)
+    t_map = time.time() - tic
+    print('MAP logp {:.2f} in {:.1f}s'.format(fit['logp'], t_map),
+          flush=True)
+    with open(os.path.join(args.outdir, 'map.json'), 'w') as f:
+        json.dump({'logp': float(fit['logp']), 'wall_s': round(t_map, 1),
+                   'theta': {n: float(v) for n, v in
+                             zip(names, np.concatenate(
+                                 [fit['model'], fit['obs']]))}},
+                  f, indent=1)
+
+    # ---- AM ------------------------------------------------------------
+    print('=== AM: {} chains x ({} burn + {} samples) ==='.format(
+        args.chains, args.am_burn, args.am_samples), flush=True)
+    tic = time.time()
+    cfg = MCMCConfig(n_samples=args.am_burn + args.am_samples)
+    traces = []
+    for c in range(args.chains):
+        state = init_chain_state(setup, random.PRNGKey(args.seed + c))
+        _, tr = jax.block_until_ready(run_mcmc(setup, state, cfg))
+        traces.append(np.asarray(tr))
+        print('  chain {} done ({:.1f}s)'.format(c, time.time() - tic),
+              flush=True)
+    t_am = time.time() - tic
+    am = np.stack(traces)[:, args.am_burn:, :]
+    np.savez(os.path.join(args.outdir, 'am'), traces=am, sampler='am')
+
+    # ---- NUTS (stepwise, chunked) ---------------------------------------
+    print('=== NUTS: {} chains x ({} warmup + {} draws), depth {} ==='
+          .format(args.chains, args.nuts_burn, args.nuts_samples,
+                  args.max_depth), flush=True)
+    logpdf, constrain, _ = make_transformed_logpdf(setup)
+    z0 = jnp.asarray(fit['z'], jnp.float32)   # same z-packing as map_fit
+    z0s = (jnp.broadcast_to(z0, (args.chains,) + z0.shape)
+           + 0.01 * random.normal(random.PRNGKey(args.seed + 7),
+                                  (args.chains,) + z0.shape))
+    ncfg = NUTSConfig(num_warmup=args.nuts_burn,
+                      num_samples=args.nuts_samples,
+                      max_depth=args.max_depth, dense_mass=True)
+    tic = time.time()
+
+    def progress(phase, i, total):
+        print('  {} {}/{} ({:.1f}s)'.format(phase, i, total,
+                                            time.time() - tic), flush=True)
+
+    out = nuts_sample_stepwise(
+        logpdf, z0s, random.split(random.PRNGKey(args.seed + 13),
+                                  args.chains),
+        ncfg, progress=progress, steps_per_call=args.steps_per_call,
+        checkpoint_path=os.path.join(args.outdir, 'nuts.ckpt.npz'))
+    t_nuts = time.time() - tic
+    theta = np.asarray(jax.vmap(jax.vmap(
+        lambda z: jnp.concatenate(constrain(z)[:2])))(
+            jnp.asarray(out['samples'])))
+    logp = np.asarray(out['logp'])[..., None]
+    np.savez(os.path.join(args.outdir, 'nuts'),
+             traces=np.concatenate([theta, logp], axis=-1),
+             sampler='nuts')
+
+    # ---- diagnostics vs truth -------------------------------------------
+    for name, tr, wall in (('am', am[:, :, :len(names)], t_am),
+                           ('nuts', theta, t_nuts)):
+        rhat = np.atleast_1d(gelman_rubin(tr))
+        flat = tr.reshape(-1, tr.shape[-1])
+        mean, sd = flat.mean(0), flat.std(0)
+        z = np.abs(mean - truth_vec) / np.maximum(sd, 1e-12)
+        ess = [float(effective_sample_size(flat[:, j]))
+               for j in (names.index('sig_x'), names.index('g_aw'),
+                         names.index('mu_r'))]
+        summary[name] = {
+            'wall_s': round(wall, 1),
+            'draws': int(flat.shape[0]),
+            'max_rhat': round(float(np.nanmax(rhat)), 3),
+            'ess_sig_x_g_aw_mu_r': [round(e, 1) for e in ess],
+            'truth_z': {n: round(float(v), 2)
+                        for n, v in zip(names, z)},
+            'frac_within_2sd': round(float(np.mean(z < 2)), 3),
+            'posterior_mean': {n: round(float(v), 4)
+                               for n, v in zip(names, mean)},
+        }
+        if name == 'nuts':
+            summary[name]['accept_rate'] = round(
+                float(np.mean(out['accept_rate'])), 3)
+            summary[name]['n_divergent'] = int(np.sum(out['n_divergent']))
+        print('[{}] max R-hat {:.3f}, {}/{} params within 2 posterior sd '
+              'of truth'.format(name, summary[name]['max_rhat'],
+                                int(np.sum(z < 2)), len(z)), flush=True)
+
+    with open(os.path.join(args.outdir, 'summary.json'), 'w') as f:
+        json.dump(summary, f, indent=1)
+    print('wrote', os.path.join(args.outdir, 'summary.json'))
+
+
+if __name__ == '__main__':
+    main()
