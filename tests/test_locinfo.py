@@ -111,11 +111,13 @@ def test_card_observations(locinfo):
         assert (card >= 0).all()
 
 
-def test_other_sites_not_implemented():
-    # Carnarvon observation parsing is unimplemented, as in the reference
-    # (Data_Import.py:491-492); the missing fields file errors first.
+def test_unknown_sites_fail_loudly():
+    # The reference raises NotImplementedError for anything but Kalbar
+    # (Data_Import.py:491-492).  Here Carnarvon is a real site
+    # (data/carnarvonsite.json, tests/test_carnarvon.py); a site with no
+    # spec and no data must still fail loudly, not silently load nothing.
     with pytest.raises((NotImplementedError, FileNotFoundError)):
-        LocInfo('carnarvon', (-24.851614, 113.731267), DOMAIN)
+        LocInfo('no_such_site', (-24.851614, 113.731267), DOMAIN)
 
 
 def test_latlong_to_xy():
