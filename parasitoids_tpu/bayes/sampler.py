@@ -130,6 +130,57 @@ def _proposal_chol(state, adapt_start):
     return jnp.linalg.cholesky(cov)
 
 
+def _obs_sweep(setup: BayesSetup, key, o_vec, prior_o, ll_cur, proj,
+               beta, cfg: MCMCConfig, obs_mask=None, obs=None):
+    """One Metropolis-within-Gibbs sweep over the observation block,
+    reusing cached forward projections (only the Poisson rates recompute
+    — PyMC's per-stochastic step methods, Bayes_Run.py:486-487).
+
+    The proposal is a relative-scale random walk: coordinate ``j`` moves
+    by ``N(0, s(o_j)²)`` with ``s(x) = max(|x|, 1e-3) * cfg.obs_scale``.
+    Because the scale depends on the *current* state, the proposal is
+    asymmetric and the accept ratio needs the Metropolis–Hastings
+    correction ``log q(o|o') - log q(o'|o)``; without it the walk's
+    invariant measure picks up a ~1/s(x) factor, biasing every
+    observation probability toward 0 and dragging xi up the xi*p
+    likelihood ridge (found by the round-2 SBC study: all obs-block rank
+    histograms skewed with p < 1e-4 while the symmetric-proposal model
+    block stayed uniform).
+
+    Returns ``(key, o_vec, prior_o, ll_cur, n_accepts)``.
+    """
+    n_sent = setup.n_sent
+    n_obs = 4 + n_sent
+    acc_o = jnp.zeros((), jnp.float32)
+    for j in range(n_obs):
+        key, k1, k2 = random.split(key, 3)
+        s_fwd = jnp.maximum(jnp.abs(o_vec[j]), 1e-3) * cfg.obs_scale
+        step = s_fwd * random.normal(k1)
+        o_prop = o_vec.at[j].add(step)
+        s_rev = jnp.maximum(jnp.abs(o_prop[j]), 1e-3) * cfg.obs_scale
+        o_p = _as_obs(o_prop, n_sent)
+        prior_p = log_prior_obs(o_p, setup.field_areas,
+                                setup.min_field_area)
+
+        ll_p = lax.cond(
+            jnp.isfinite(prior_p),
+            lambda _: setup.log_likelihood(proj, o_p, obs_mask, obs),
+            lambda _: jnp.asarray(-jnp.inf, ll_cur.dtype), operand=None)
+        # reverse move draws from N(o', s_rev²): the log-normal-density
+        # difference is the Hastings term for the state-dependent scale
+        hastings = (jnp.log(s_fwd) - jnp.log(s_rev)
+                    + step ** 2 / (2.0 * s_fwd ** 2)
+                    - step ** 2 / (2.0 * s_rev ** 2))
+        ratio = ((prior_p + beta * ll_p)
+                 - (prior_o + beta * ll_cur) + hastings)
+        acc = jnp.log(random.uniform(k2)) < ratio
+        o_vec = jnp.where(acc, o_prop, o_vec)
+        prior_o = jnp.where(acc, prior_p, prior_o)
+        ll_cur = jnp.where(acc, ll_p, ll_cur)
+        acc_o = acc_o + acc
+    return key, o_vec, prior_o, ll_cur, acc_o
+
+
 def _mcmc_step(setup: BayesSetup, state: ChainState, cfg: MCMCConfig,
                beta=1.0, obs_mask=None, obs=None):
     """One AM transition targeting ``prior + beta * loglik``.
@@ -192,29 +243,10 @@ def _mcmc_step(setup: BayesSetup, state: ChainState, cfg: MCMCConfig,
         accept.astype(jnp.float32) - 0.234)
 
     # ---- observation-parameter sweep (cached projections) ------------
-    o_vec = state.o
-    prior_o = state.prior_o
-    ll_cur = ll_new
-    acc_o = state.accepts_o
-    n_obs = 4 + n_sent
-    scales = jnp.maximum(jnp.abs(o_vec), 1e-3) * cfg.obs_scale
-    for j in range(n_obs):
-        key, k1, k2 = random.split(key, 3)
-        o_prop = o_vec.at[j].add(scales[j] * random.normal(k1))
-        o_p = _as_obs(o_prop, n_sent)
-        prior_p = log_prior_obs(o_p, setup.field_areas,
-                                setup.min_field_area)
-
-        ll_p = lax.cond(
-            jnp.isfinite(prior_p),
-            lambda _: setup.log_likelihood(proj_new, o_p, obs_mask, obs),
-            lambda _: jnp.asarray(-jnp.inf, ll_cur.dtype), operand=None)
-        ratio = (prior_p + beta * ll_p) - (prior_o + beta * ll_cur)
-        acc = jnp.log(random.uniform(k2)) < ratio
-        o_vec = jnp.where(acc, o_prop, o_vec)
-        prior_o = jnp.where(acc, prior_p, prior_o)
-        ll_cur = jnp.where(acc, ll_p, ll_cur)
-        acc_o = acc_o + acc
+    key, o_vec, prior_o, ll_cur, acc_sweep = _obs_sweep(
+        setup, key, state.o, state.prior_o, ll_new, proj_new, beta, cfg,
+        obs_mask, obs)
+    acc_o = state.accepts_o + acc_sweep
 
     new_state = ChainState(
         m=m_new, o=o_vec, loglik=ll_cur, prior_m=prior_m_new,

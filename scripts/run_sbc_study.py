@@ -54,10 +54,16 @@ def main():
 
     # honest reduced config: the FULL Kalbar model at half resolution
     setup = build_setup(['domain_info=(10000.0,100)'])
+    summary_path = os.path.join(args.outdir, 'summary.json')
     summary = {'replicates': args.replicates,
                'config': 'kalbar, 201x201 @ 50 m, 18 days, full model',
                'date': time.strftime('%Y-%m-%d'),
                'samplers': {}}
+    if os.path.exists(summary_path):
+        # merge with an earlier partial study (sessions can be preempted
+        # mid-run; each sampler's block is written as soon as it finishes)
+        with open(summary_path) as f:
+            summary['samplers'] = json.load(f).get('samplers', {})
 
     plans = []
     if args.sampler in ('am', 'both'):
@@ -100,10 +106,9 @@ def main():
         print('[{}] done in {:.1f}s: min chi2 p {:.3f}, min KS p {:.3f}, '
               '{} flagged'.format(name, dt, chi2.min(), ks.min(), n_flag),
               flush=True)
-
-    with open(os.path.join(args.outdir, 'summary.json'), 'w') as f:
-        json.dump(summary, f, indent=1)
-    print('wrote', os.path.join(args.outdir, 'summary.json'))
+        with open(summary_path, 'w') as f:
+            json.dump(summary, f, indent=1)
+        print('wrote', summary_path, flush=True)
 
 
 if __name__ == '__main__':
