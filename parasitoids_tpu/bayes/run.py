@@ -52,6 +52,12 @@ group.add_argument('--analyze', metavar='db_name',
                         'R-hat/ESS diagnostics, plot generation.')
 parser.add_argument('--chains', type=int, default=1,
                     help='number of parallel chains (vmapped/sharded)')
+parser.add_argument('--obs-sweeps', type=int, default=1,
+                    help='AM: Metropolis-within-Gibbs sweeps over the '
+                         'observation block per model-block step; extra '
+                         'sweeps reuse the cached forward projections '
+                         '(~free) and shorten the autocorrelation time '
+                         'along the xi x obs-prob likelihood ridge')
 parser.add_argument('--sampler', choices=['am', 'nuts', 'pt', 'smc', 'vi'],
                     default='am',
                     help='adaptive Metropolis (reference-equivalent), '
@@ -922,7 +928,9 @@ def main(argv=None):
         done = 0
         while done < total:
             n = min(chunk, total - done)
-            states, tr = run_chains(setup, states, MCMCConfig(n), mesh)
+            states, tr = run_chains(
+                setup, states,
+                MCMCConfig(n, obs_sweeps=args.obs_sweeps), mesh)
             tr = np.asarray(tr)
             all_tr = tr if all_tr is None else append_traces(all_tr, tr)
             done += n
@@ -955,7 +963,9 @@ def main(argv=None):
         done = 0
         while done < n_samples:
             n = min(chunk, n_samples - done)
-            states, tr = run_chains(setup, states, MCMCConfig(n), mesh)
+            states, tr = run_chains(
+                setup, states,
+                MCMCConfig(n, obs_sweeps=args.obs_sweeps), mesh)
             traces = append_traces(traces, np.asarray(tr))
             done += n
             meta = dict(meta or {})

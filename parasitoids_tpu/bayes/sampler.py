@@ -53,6 +53,14 @@ class MCMCConfig(NamedTuple):
     n_samples: int
     adapt_start: int = _ADAPT_START
     obs_scale: float = 0.05       # relative RW scale for obs parameters
+    # Metropolis-within-Gibbs sweeps over the obs block per model-block
+    # step.  Obs updates reuse the cached forward projections (only the
+    # Poisson rates recompute), so extra sweeps cost ~nothing next to the
+    # full forward simulation of the model block — but they directly
+    # shorten the autocorrelation time along the weakly-identified
+    # xi x obs-prob likelihood ridge (where one sweep per step leaves
+    # finite-chain rank bias visible in SBC).
+    obs_sweeps: int = 1
 
 
 class ChainState(NamedTuple):
@@ -242,11 +250,14 @@ def _mcmc_step(setup: BayesSetup, state: ChainState, cfg: MCMCConfig,
     log_scale = state.log_scale + gamma * (
         accept.astype(jnp.float32) - 0.234)
 
-    # ---- observation-parameter sweep (cached projections) ------------
-    key, o_vec, prior_o, ll_cur, acc_sweep = _obs_sweep(
-        setup, key, state.o, state.prior_o, ll_new, proj_new, beta, cfg,
-        obs_mask, obs)
-    acc_o = state.accepts_o + acc_sweep
+    # ---- observation-parameter sweeps (cached projections) -----------
+    o_vec, prior_o, ll_cur = state.o, state.prior_o, ll_new
+    acc_o = state.accepts_o
+    for _ in range(cfg.obs_sweeps):
+        key, o_vec, prior_o, ll_cur, acc_sweep = _obs_sweep(
+            setup, key, o_vec, prior_o, ll_cur, proj_new, beta, cfg,
+            obs_mask, obs)
+        acc_o = acc_o + acc_sweep
 
     new_state = ChainState(
         m=m_new, o=o_vec, loglik=ll_cur, prior_m=prior_m_new,

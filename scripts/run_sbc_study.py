@@ -31,9 +31,17 @@ def main():
                     default='both')
     ap.add_argument('--seed', type=int, default=0)
     ap.add_argument('--outdir', default='sbc_study')
-    # AM: 200 burn + 400 kept, thin 5 -> L = 80 rank levels
-    ap.add_argument('--am-samples', type=int, default=400)
-    ap.add_argument('--am-burn', type=int, default=200)
+    # AM: 600 burn + 2400 kept, thin 30 -> L = 80 rank levels.  The first
+    # study ran 200+400/thin 5: its ranks showed clean U-shapes on the
+    # xi x obs-prob ridge — the finite-chain autocorrelation artifact of
+    # Talts et al. §5.1, not sampler error (the directional skew that WAS
+    # sampler error — the missing Hastings correction — is fixed and
+    # regression-tested in tests/test_obs_sweep.py).  The longer window +
+    # extra obs sweeps bring the draw set much closer to independence.
+    ap.add_argument('--am-samples', type=int, default=2400)
+    ap.add_argument('--am-burn', type=int, default=600)
+    ap.add_argument('--am-thin', type=int, default=30)
+    ap.add_argument('--obs-sweeps', type=int, default=8)
     # NUTS: shorter chains are honest (each draw is far less correlated)
     ap.add_argument('--nuts-samples', type=int, default=240)
     ap.add_argument('--nuts-burn', type=int, default=150)
@@ -68,7 +76,8 @@ def main():
     plans = []
     if args.sampler in ('am', 'both'):
         plans.append(('am', dict(n_samples=args.am_samples,
-                                 burn=args.am_burn, thin=5)))
+                                 burn=args.am_burn, thin=args.am_thin,
+                                 obs_sweeps=args.obs_sweeps)))
     if args.sampler in ('nuts', 'both'):
         plans.append(('nuts', dict(n_samples=args.nuts_samples,
                                    burn=args.nuts_burn,
@@ -92,6 +101,7 @@ def main():
         plot_sbc(out, base + '.png')
         n_flag = int(np.sum(np.minimum(chi2, ks) < 0.01))
         summary['samplers'][name] = {
+            'chain_config': kw,
             'wall_s': round(dt, 1),
             'L': int(out['L']),
             'dim': int(out['ranks'].shape[1]),
