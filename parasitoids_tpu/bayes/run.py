@@ -52,12 +52,14 @@ group.add_argument('--analyze', metavar='db_name',
                         'R-hat/ESS diagnostics, plot generation.')
 parser.add_argument('--chains', type=int, default=1,
                     help='number of parallel chains (vmapped/sharded)')
-parser.add_argument('--obs-sweeps', type=int, default=1,
-                    help='AM: Metropolis-within-Gibbs sweeps over the '
-                         'observation block per model-block step; extra '
-                         'sweeps reuse the cached forward projections '
-                         '(~free) and shorten the autocorrelation time '
-                         'along the xi x obs-prob likelihood ridge')
+parser.add_argument('--obs-sweeps', type=int, default=None,
+                    help='AM/PT/SMC: Metropolis-within-Gibbs sweeps over '
+                         'the observation block per model-block step '
+                         '(default 1; an AM --resume inherits the stored '
+                         'run\'s value unless overridden).  Extra sweeps '
+                         'reuse the cached forward projections (~free) '
+                         'and shorten the autocorrelation time along the '
+                         'xi x obs-prob likelihood ridge')
 parser.add_argument('--sampler', choices=['am', 'nuts', 'pt', 'smc', 'vi'],
                     default='am',
                     help='adaptive Metropolis (reference-equivalent), '
@@ -438,7 +440,8 @@ def run_pt_cli(args, setup):
     done = 0
     while done < rounds:
         n = min(chunk, rounds - done)
-        cfg = PTConfig(n_rounds=n, swap_every=se)
+        cfg = PTConfig(n_rounds=n, swap_every=se,
+                       obs_sweeps=args.obs_sweeps or 1)
         if sharded:
             states, tr, stats = run_pt_sharded(
                 setup, states, betas, swap_key, cfg, mesh,
@@ -545,6 +548,7 @@ def _save_smc(db, payload, seed, cfg):
                meta={'sampler': 'smc', 'seed': seed,
                      'n_moves': cfg.n_moves, 'ess_target': cfg.ess_target,
                      'obs_scale': cfg.obs_scale,
+                     'obs_sweeps': cfg.obs_sweeps,
                      'min_accepts': cfg.min_accepts,
                      'max_move_rounds': cfg.max_move_rounds,
                      'beta': payload['beta'], 'logz': payload['logz'],
@@ -583,6 +587,7 @@ def run_smc_cli(args, setup):
                         n_moves=int(meta['n_moves']),
                         ess_target=float(meta['ess_target']),
                         obs_scale=float(meta.get('obs_scale', 0.05)),
+                        obs_sweeps=int(meta.get('obs_sweeps', 1)),
                         max_stages=args.max_stages,
                         min_accepts=float(meta.get('min_accepts', 2.0)),
                         max_move_rounds=int(meta.get('max_move_rounds',
@@ -606,7 +611,8 @@ def run_smc_cli(args, setup):
                         ess_target=args.ess_target,
                         max_stages=args.max_stages,
                         min_accepts=args.min_accepts,
-                        max_move_rounds=args.max_move_rounds)
+                        max_move_rounds=args.max_move_rounds,
+                        obs_sweeps=args.obs_sweeps or 1)
         payload = None
 
     mesh = None
@@ -913,6 +919,7 @@ def main(argv=None):
 
     if args.new is not None:
         n_samples, burn, db = int(args.new[0]), int(args.new[1]), args.new[2]
+        obs_sweeps = args.obs_sweeps or 1
         key = random.PRNGKey(args.seed)
         print('Initializing {} chain(s)...'.format(args.chains))
         states = init_chains(setup, key, args.chains)
@@ -930,14 +937,15 @@ def main(argv=None):
             n = min(chunk, total - done)
             states, tr = run_chains(
                 setup, states,
-                MCMCConfig(n, obs_sweeps=args.obs_sweeps), mesh)
+                MCMCConfig(n, obs_sweeps=obs_sweeps), mesh)
             tr = np.asarray(tr)
             all_tr = tr if all_tr is None else append_traces(all_tr, tr)
             done += n
             kept = all_tr[..., burn:, :] if done > burn else all_tr[..., :0, :]
             save_chain(db, kept, states,
                        meta={'n_samples': max(done - burn, 0), 'burn': burn,
-                             'chains': args.chains})
+                             'chains': args.chains,
+                             'obs_sweeps': obs_sweeps})
             if done < total:
                 print('  checkpoint: {}/{} steps done'.format(done, total))
         traces = all_tr[..., burn:, :]
@@ -955,6 +963,8 @@ def main(argv=None):
             raise SystemExit('{} was written by --sampler {}; pass the same '
                              '--sampler to resume it'.format(
                                  db, meta['sampler']))
+        obs_sweeps = (args.obs_sweeps if args.obs_sweeps is not None
+                      else int(meta.get('obs_sweeps', 1)))
         chunk = max(1, min(args.checkpoint_every, n_samples))
         print('Sampling {} more steps (chunks of {})...'.format(
             n_samples, chunk))
@@ -965,7 +975,7 @@ def main(argv=None):
             n = min(chunk, n_samples - done)
             states, tr = run_chains(
                 setup, states,
-                MCMCConfig(n, obs_sweeps=args.obs_sweeps), mesh)
+                MCMCConfig(n, obs_sweeps=obs_sweeps), mesh)
             traces = append_traces(traces, np.asarray(tr))
             done += n
             meta = dict(meta or {})

@@ -68,6 +68,7 @@ class SMCConfig(NamedTuple):
     resample_ess: float = 0.5   # resample when ESS/N falls below this
     max_stages: int = 200       # hard cap on annealing stages
     obs_scale: float = 0.05     # as MCMCConfig
+    obs_sweeps: int = 1         # as MCMCConfig (ridge-mixing knob)
     # adaptive rejuvenation: repeat ``n_moves``-step move rounds until the
     # average particle has accepted >= ``min_accepts`` jumps this stage
     # (or ``max_move_rounds`` is hit).  Resampling collapses the population
@@ -164,12 +165,12 @@ def _init_prog(setup, mesh):
 
 
 @lru_cache(maxsize=None)
-def _move_prog(setup, n_moves, obs_scale, mesh):
+def _move_prog(setup, n_moves, obs_scale, mesh, obs_sweeps=1):
     """``n_moves`` AM transitions at inverse temperature ``beta`` on every
     particle; ``beta`` and ``obs_mask`` are traced operands so every stage
     (and every cross-validation fold) reuses one compiled program."""
     mcfg = MCMCConfig(n_samples=n_moves, adapt_start=_ADAPT_START,
-                      obs_scale=obs_scale)
+                      obs_scale=obs_scale, obs_sweeps=obs_sweeps)
 
     def particle_fn(s, beta, obs_mask):
         def step(st, _):
@@ -262,7 +263,8 @@ def run_smc(setup: BayesSetup, key, cfg: SMCConfig, mesh=None, seed=0,
     if mesh is not None and N % mesh.devices.size != 0:
         raise ValueError('n_particles must divide evenly over the mesh '
                          '({} over {} devices)'.format(N, mesh.devices.size))
-    move = _move_prog(setup, cfg.n_moves, cfg.obs_scale, mesh)
+    move = _move_prog(setup, cfg.n_moves, cfg.obs_scale, mesh,
+                      cfg.obs_sweeps)
 
     if resume is not None:
         states = resume['states']

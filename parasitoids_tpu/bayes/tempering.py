@@ -56,6 +56,7 @@ class PTConfig(NamedTuple):
     swap_every: int = 10      # AM steps between swap attempts
     adapt_start: int = 500    # as MCMCConfig
     obs_scale: float = 0.05
+    obs_sweeps: int = 1       # as MCMCConfig (ridge-mixing knob)
 
 
 def geometric_ladder(n_temps, beta_min=0.1):
@@ -202,7 +203,7 @@ def init_pt_states(setup: BayesSetup, key, n_temps, jitter=0.05):
 def _advance(setup, state, beta, cfg: PTConfig):
     """``swap_every`` tempered AM steps on one replica."""
     mcfg = MCMCConfig(n_samples=cfg.swap_every, adapt_start=cfg.adapt_start,
-                      obs_scale=cfg.obs_scale)
+                      obs_scale=cfg.obs_scale, obs_sweeps=cfg.obs_sweeps)
 
     def step(s, _):
         s, sample = mcmc_step(setup, s, mcfg, beta=beta)

@@ -32,6 +32,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--am-samples', type=int, default=4000)
     ap.add_argument('--am-burn', type=int, default=1000)
+    ap.add_argument('--am-chunk', type=int, default=500,
+                    help='AM steps per device program (the hosted tunnel '
+                         'kills monolithic multi-thousand-step programs)')
+    ap.add_argument('--obs-sweeps', type=int, default=4)
     ap.add_argument('--nuts-samples', type=int, default=150)
     ap.add_argument('--nuts-burn', type=int, default=150)
     ap.add_argument('--max-depth', type=int, default=5)
@@ -95,15 +99,26 @@ def main():
                   f, indent=1)
 
     # ---- AM ------------------------------------------------------------
-    print('=== AM: {} chains x ({} burn + {} samples) ==='.format(
-        args.chains, args.am_burn, args.am_samples), flush=True)
+    # chunked like bayes/run.py: one monolithic multi-thousand-step scan
+    # exceeds the hosted-TPU tunnel's single-execution limit (observed:
+    # UNAVAILABLE device error mid-run); same math, state carried across
+    # bounded programs that all share one compile
+    print('=== AM: {} chains x ({} burn + {} samples, chunks of {}) ==='
+          .format(args.chains, args.am_burn, args.am_samples,
+                  args.am_chunk), flush=True)
     tic = time.time()
-    cfg = MCMCConfig(n_samples=args.am_burn + args.am_samples)
+    total = args.am_burn + args.am_samples
+    cfg = MCMCConfig(n_samples=args.am_chunk, obs_sweeps=args.obs_sweeps)
     traces = []
     for c in range(args.chains):
         state = init_chain_state(setup, random.PRNGKey(args.seed + c))
-        _, tr = jax.block_until_ready(run_mcmc(setup, state, cfg))
-        traces.append(np.asarray(tr))
+        trs = []
+        done = 0
+        while done < total:
+            state, tr = jax.block_until_ready(run_mcmc(setup, state, cfg))
+            trs.append(np.asarray(tr))
+            done += args.am_chunk
+        traces.append(np.concatenate(trs, axis=0)[:total])
         print('  chain {} done ({:.1f}s)'.format(c, time.time() - tic),
               flush=True)
     t_am = time.time() - tic
