@@ -33,6 +33,13 @@ from .priors import MODEL_PARAM_NAMES
 from .sampler import MCMCConfig
 from .store import append_traces, load_chain, save_chain
 
+def _positive_int(s):
+    v = int(s)
+    if v < 1:
+        raise argparse.ArgumentTypeError('must be >= 1, got {}'.format(v))
+    return v
+
+
 parser = argparse.ArgumentParser(prog='parasitoids_tpu.bayes.run')
 group = parser.add_mutually_exclusive_group(required=True)
 group.add_argument('--new', nargs=3,
@@ -52,11 +59,12 @@ group.add_argument('--analyze', metavar='db_name',
                         'R-hat/ESS diagnostics, plot generation.')
 parser.add_argument('--chains', type=int, default=1,
                     help='number of parallel chains (vmapped/sharded)')
-parser.add_argument('--obs-sweeps', type=int, default=None,
+parser.add_argument('--obs-sweeps', type=_positive_int, default=None,
                     help='AM/PT/SMC: Metropolis-within-Gibbs sweeps over '
                          'the observation block per model-block step '
-                         '(default 1; an AM --resume inherits the stored '
-                         'run\'s value unless overridden).  Extra sweeps '
+                         '(default 1; an AM/PT/SMC --resume inherits the '
+                         'stored run\'s value unless overridden).  Extra '
+                         'sweeps '
                          'reuse the cached forward projections (~free) '
                          'and shorten the autocorrelation time along the '
                          'xi x obs-prob likelihood ridge')
@@ -128,13 +136,6 @@ parser.add_argument('--gibbs-n', action='store_true',
                          '(Gibbs-within-NUTS) instead of holding it fixed '
                          'at 30 — full parity with the AM sampler\'s '
                          'parameter set')
-def _positive_int(s):
-    v = int(s)
-    if v < 1:
-        raise argparse.ArgumentTypeError('must be >= 1, got {}'.format(v))
-    return v
-
-
 parser.add_argument('--n-step', type=_positive_int, default=1,
                     help='NUTS --gibbs-n: n_periods proposal is a '
                          'symmetric +/-U{1..n_step} walk')
@@ -391,6 +392,8 @@ def run_pt_cli(args, setup):
         att = np.asarray(ex['swap_attempts'])
         acc = np.asarray(ex['swap_accepts'])
         n_tuned = int(meta.get('tuned', 0))
+        obs_sweeps = (args.obs_sweeps if args.obs_sweeps is not None
+                      else int(meta.get('obs_sweeps', 1)))
         # 0 extra iterations is the evidence-recompute path: skip straight
         # to the report from the stored loglik traces
         rounds = -(-n_more // se)
@@ -398,6 +401,7 @@ def run_pt_cli(args, setup):
         n_samples, burn, db = int(args.new[0]), int(args.new[1]), args.new[2]
         se = args.swap_every
         seed = args.seed
+        obs_sweeps = args.obs_sweeps or 1
         if args.temps < 2:
             raise SystemExit('--sampler pt needs --temps >= 2')
         if not 0.0 <= args.beta_min < 1.0:
@@ -440,8 +444,7 @@ def run_pt_cli(args, setup):
     done = 0
     while done < rounds:
         n = min(chunk, rounds - done)
-        cfg = PTConfig(n_rounds=n, swap_every=se,
-                       obs_sweeps=args.obs_sweeps or 1)
+        cfg = PTConfig(n_rounds=n, swap_every=se, obs_sweeps=obs_sweeps)
         if sharded:
             states, tr, stats = run_pt_sharded(
                 setup, states, betas, swap_key, cfg, mesh,
@@ -486,7 +489,7 @@ def run_pt_cli(args, setup):
                    states,
                    meta={'sampler': 'pt', 'swap_every': se, 'burn': burn,
                          'rounds_done': rounds_done + done, 'seed': seed,
-                         'tuned': n_tuned,
+                         'tuned': n_tuned, 'obs_sweeps': obs_sweeps,
                          'n_samples': 0 if kept is None else kept.shape[-2]},
                    extra={'betas': betas, 'loglik': lls,
                           'swap_attempts': att, 'swap_accepts': acc})
@@ -587,7 +590,9 @@ def run_smc_cli(args, setup):
                         n_moves=int(meta['n_moves']),
                         ess_target=float(meta['ess_target']),
                         obs_scale=float(meta.get('obs_scale', 0.05)),
-                        obs_sweeps=int(meta.get('obs_sweeps', 1)),
+                        obs_sweeps=(args.obs_sweeps
+                                    if args.obs_sweeps is not None
+                                    else int(meta.get('obs_sweeps', 1))),
                         max_stages=args.max_stages,
                         min_accepts=float(meta.get('min_accepts', 2.0)),
                         max_move_rounds=int(meta.get('max_move_rounds',
@@ -811,8 +816,13 @@ def run_analyze(args):
                 win = input('window start [stop] (empty = full)> ').split()
             except EOFError:
                 continue
-            start = int(win[0]) if win else 0
-            stop = int(win[1]) if len(win) > 1 else None
+            try:
+                start = int(win[0]) if win else 0
+                stop = int(win[1]) if len(win) > 1 else None
+            except ValueError:
+                print('window must be one or two integers, got: '
+                      '{!r}'.format(' '.join(win)))
+                continue
             try:
                 written = plot_traces(traces, start=start, stop=stop,
                                       select=sel or None)
@@ -980,6 +990,9 @@ def main(argv=None):
             done += n
             meta = dict(meta or {})
             meta['n_samples'] = int(traces.shape[-2])
+            # record the kernel actually used: a later plain --resume must
+            # inherit this run's obs_sweeps, not the pre-override value
+            meta['obs_sweeps'] = obs_sweeps
             save_chain(db, traces, states, meta=meta)
             if done < n_samples:
                 print('  checkpoint: {}/{} steps done'.format(done,

@@ -79,6 +79,8 @@ def setup_forward(params: Params, dtype=None) -> ForwardSetup:
     # the fused Pallas accumulate is the TPU hot path (validated on a real
     # v5e chip: matches the XLA scatter path to 2e-7, ~8x faster); elsewhere
     # (CPU tests, virtual multi-chip dry runs) the XLA scatter path is used.
+    from ..ops.pallas_kernel import pallas_available
+    on_tpu = pallas_available()
     if dtype == jnp.float64:
         # the Mosaic kernel is f32-only (Pallas TPU tiling/SMEM layout);
         # f64 validation mode always takes the XLA scatter path
@@ -86,12 +88,10 @@ def setup_forward(params: Params, dtype=None) -> ForwardSetup:
     elif getattr(params, 'use_pallas', None) is not None:
         use_pallas = params.use_pallas
     else:
-        from ..ops.pallas_kernel import pallas_available
-        use_pallas = pallas_available()
+        use_pallas = on_tpu
     # a user-forced Pallas path off-TPU (use_pallas=True on a CPU host)
     # runs in interpret mode — slow, but functional for development
-    from ..ops.pallas_kernel import pallas_available as _on_tpu
-    interpret = bool(use_pallas) and not _on_tpu()
+    interpret = bool(use_pallas) and not on_tpu
     kcfg = KernelConfig(rad_res=int(rad_res), periods=T,
                         K=int(K), K_local=int(Kl),
                         G=params.quad_nodes, pallas=bool(use_pallas),

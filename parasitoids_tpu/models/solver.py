@@ -186,7 +186,9 @@ def propagate_prob_logdepth(kernels, config: SolverConfig, segment=None):
     """
     D = config.dom_len
     n = kernels.shape[0]
-    if segment is None or segment >= n - 1:
+    if segment is not None and n == 1:
+        return kernels                       # day-0 kernel only; nothing to do
+    if segment is None:
         P = max(config.fft_len, next_fast_len(2 * D - 1))
         k_hat = filter_fft(kernels[1:], P)                # (n-1, P, Ph)
         prefix = lax.associative_scan(jnp.multiply, k_hat, axis=0)
@@ -196,7 +198,12 @@ def propagate_prob_logdepth(kernels, config: SolverConfig, segment=None):
             fields)
         return jnp.concatenate([kernels[:1], rest], axis=0)
 
-    s = int(segment)
+    # a segment can't be longer than the day chain; clamping (rather than
+    # falling back to pure mode) keeps the segmented guarantee: the pad
+    # below is sized for the actual in-segment composite support, so a
+    # caller who asked for segmented (alias-free) mode never gets pure
+    # mode's smaller 2D-1 pad
+    s = int(min(segment, n - 1))
     rad_res = (D - 1) // 2
     P = next_fast_len(D + s * rad_res)
     m = -(-(n - 1) // s)                                  # segments

@@ -252,8 +252,6 @@ def assess_fit_3d(fields, days, params, locinfo, outfile=None, bw=False,
     samples = locinfo.grid_data['samples'].to_numpy(float)
     max_eff = samples.max()
     xmax, ymax = np.abs(gx).max() * 1.2, np.abs(gy).max() * 1.2
-    xcellrad = int(np.ceil(xmax / res))
-    ycellrad = int(np.ceil(ymax / res))
     xmesh = np.arange(0, xmax + res, res)
     xmesh = np.concatenate((-xmesh[:0:-1], xmesh))
     ymesh = np.arange(0, ymax + res, res)
@@ -274,15 +272,13 @@ def assess_fit_3d(fields, days, params, locinfo, outfile=None, bw=False,
     obs_dates = locinfo.grid_obs_datesPR
     fig = plt.figure(figsize=(5.5 * len(obs_dates), 6))
     scale_10m2 = (10.0 / res) ** 2
+    # exact field indices for each mesh coordinate (row decreases with +y),
+    # clipped to the domain
+    rr = np.clip(center - np.round(ymesh / res).astype(int), 0, 2 * center)
+    cc = np.clip(center + np.round(xmesh / res).astype(int), 0, 2 * center)
     for d, date in enumerate(obs_dates):
         ax = fig.add_subplot(1, len(obs_dates), d + 1, projection='3d')
         obs_day = min(date.days - 1, fields_np.shape[0] - 1)
-        # exact field indices for each mesh coordinate (row decreases
-        # with +y), clipped to the domain
-        rr = np.clip(center - np.round(ymesh / res).astype(int),
-                     0, 2 * center)
-        cc = np.clip(center + np.round(xmesh / res).astype(int),
-                     0, 2 * center)
         model_grid = np.minimum(
             fields_np[obs_day][np.ix_(rr, cc)], clipval) * scale_10m2
 

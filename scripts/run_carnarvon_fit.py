@@ -44,6 +44,9 @@ def main():
     ap.add_argument('--domain', default='(10000.0,200)')
     ap.add_argument('--outdir', default='carn_study')
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--predictive-draws', type=int, default=16,
+                    help='posterior-predictive draws per sampler '
+                         '(0 disables the check)')
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -185,6 +188,29 @@ def main():
         print('[{}] max R-hat {:.3f}, {}/{} params within 2 posterior sd '
               'of truth'.format(name, summary[name]['max_rhat'],
                                 int(np.sum(z < 2)), len(z)), flush=True)
+
+    # ---- posterior-predictive checks ---------------------------------
+    # (VERDICT r1 item 5's "predictive checks" criterion): p-values per
+    # observation channel and statistic + overlay plots, from the same
+    # machinery as `python -m parasitoids_tpu.bayes.predictive`
+    if args.predictive_draws > 0:
+        from parasitoids_tpu.bayes.predictive import (plot_predictive,
+                                                      posterior_predictive,
+                                                      predictive_pvalues,
+                                                      pvalue_report)
+        for name, tr in (('am', am), ('nuts', theta)):
+            pred = posterior_predictive(setup, tr,
+                                        n_draws=args.predictive_draws,
+                                        seed=args.seed)
+            pv = predictive_pvalues(setup, pred)
+            summary[name]['predictive_pvalues'] = pv
+            png = plot_predictive(
+                setup, pred,
+                os.path.join(args.outdir, 'predictive_{}.png'.format(name)),
+                label='posterior ({})'.format(name))
+            print('=== predictive [{}] -> {} ==='.format(name, png),
+                  flush=True)
+            print(pvalue_report(pv), flush=True)
 
     with open(os.path.join(args.outdir, 'summary.json'), 'w') as f:
         json.dump(summary, f, indent=1)

@@ -139,6 +139,42 @@ def test_propagate_prob_logdepth_segmented_matches_sequential(segment):
     np.testing.assert_allclose(seg, seq, atol=3e-5)
 
 
+def test_propagate_prob_logdepth_segment_clamped_stays_alias_free():
+    """A segment length >= ndays-1 must CLAMP (one honest-pad segment),
+    not silently fall back to pure mode's 2D-1 pad: with wide drifting
+    kernels the composite support overruns the pure pad and wraps back
+    into the domain, while the clamped segmented call matches a
+    full-support NumPy convolution oracle."""
+    from parasitoids_tpu.models.solver import propagate_prob_logdepth
+    D, ndays = 31, 10
+    rad = D // 2
+    cfg = SolverConfig.for_domain(rad)
+    kernels = np.stack([_drift_kernel(D, 2, support=9)
+                        for _ in range(ndays)])
+
+    # oracle: raw full-size convolution product (no intermediate
+    # absorption — one-segment semantics), domain crop, then the same
+    # threshold+redistribution the solver applies per emitted day
+    sol = kernels[0]
+    want = [kernels[0]]
+    for n, k in enumerate(kernels[1:], start=1):
+        sol = signal.fftconvolve(sol, k, mode='full')
+        crop = sol[n * rad:n * rad + D, n * rad:n * rad + D]
+        keep = crop >= 1e-8
+        out = np.where(keep, crop, 0.0)
+        out += np.where(keep, (1 - out.sum()) / keep.sum(), 0.0)
+        want.append(out)
+    want = np.stack(want)
+
+    big = np.asarray(propagate_prob_logdepth(jnp.asarray(kernels), cfg,
+                                             segment=ndays + 50))
+    np.testing.assert_allclose(big, want, atol=3e-5)
+    # the pure-mode pad genuinely aliases in this regime — the clamp is
+    # load-bearing, not cosmetic
+    pure = np.asarray(propagate_prob_logdepth(jnp.asarray(kernels), cfg))
+    assert np.abs(pure[-1] - want[-1]).max() > 1e-4
+
+
 @pytest.mark.parametrize('r_dur', [1, 3])
 def test_propagate_pop_conservation(r_dur):
     """Population totals stay within 1% of the release number
