@@ -54,7 +54,7 @@ def _param_names(setup):
 
 def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
             thin=5, seed=0, verbose=False, sampler='am', max_depth=6,
-            stepwise=False, steps_per_call=25, obs_sweeps=1):
+            stepwise=False, steps_per_call=25, obs_sweeps=1, chains=1):
     """SBC rank statistics for a sampler (``'am'`` or ``'nuts'``).
 
     Returns ``{'ranks': (R, dim) int array, 'L': draws per replicate,
@@ -62,6 +62,15 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
     initialized at the replicate's own truth — SBC permits any
     initialization, and starting in the typical set keeps the required
     burn-in honest for short validation chains.
+
+    ``chains``: AM only — pool each replicate's L rank draws from this
+    many independent chains ((burn + n_samples) steps each, same truth
+    init, different keys).  A single short random-walk chain's thinned
+    draws sit on ONE excursion, so when a parameter's autocorrelation
+    time approaches the window the truth's rank piles at the edges even
+    for an exact sampler (the finite-chain artifact of Talts et al.
+    §5.1); pooling independent excursions attacks exactly that failure
+    mode at the same cost per kept draw.
 
     ``sampler='nuts'`` validates the gradient path: the NUTS target holds
     the discrete ``n_periods`` fixed at 30 (like the reference's MAP), so
@@ -97,6 +106,8 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
     ranks = np.zeros((n_replicates, dim), np.int64)
     truths = np.zeros((n_replicates, dim))
     L = len(range(burn, burn + n_samples, thin))
+    if sampler != 'nuts':
+        L = L * int(chains)
     cfg = MCMCConfig(n_samples=burn + n_samples, obs_sweeps=obs_sweeps)
     for r in range(n_replicates):
         k_r = random.fold_in(key, r)
@@ -136,11 +147,15 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
             # in as HLO constants — a full XLA recompile per replicate,
             # ~40 s each at full config)
             obs_r = setup.obs_pytree(y)
-            state = init_chain_state(setup, k_chain, m0=m_star,
-                                     o0=o_star, obs=obs_r)
-            _, trace = jax.block_until_ready(
-                run_mcmc(setup, state, cfg, obs=obs_r))
-            draws = np.asarray(trace)[burn:burn + n_samples:thin, :dim]
+            parts = []
+            for j in range(int(chains)):
+                state = init_chain_state(setup, random.fold_in(k_chain, j),
+                                         m0=m_star, o0=o_star, obs=obs_r)
+                _, trace = jax.block_until_ready(
+                    run_mcmc(setup, state, cfg, obs=obs_r))
+                parts.append(
+                    np.asarray(trace)[burn:burn + n_samples:thin, :dim])
+            draws = np.concatenate(parts, axis=0)
             metric = 'loglik* {:.1f}'.format(float(state.loglik))
         truth = np.concatenate([m_star, o_star])
         truths[r] = truth
@@ -253,6 +268,10 @@ def main(argv=None):
                          '(cheap; shortens the xi x obs-prob ridge '
                          'autocorrelation that otherwise shows up as '
                          'U-shaped finite-chain rank histograms)')
+    ap.add_argument('--chains', type=int, default=1,
+                    help='AM: pool each replicate\'s ranks from this many '
+                         'independent chains (breaks the single-excursion '
+                         'edge-piling of short windows)')
     ap.add_argument('--seed', type=int, default=0)
     ap.add_argument('--sampler', choices=['am', 'nuts'], default='am',
                     help='which sampler to calibrate; nuts validates the '
@@ -282,7 +301,7 @@ def main(argv=None):
                   seed=args.seed, verbose=True, sampler=args.sampler,
                   max_depth=args.max_depth, stepwise=args.stepwise,
                   steps_per_call=args.steps_per_call,
-                  obs_sweeps=args.obs_sweeps)
+                  obs_sweeps=args.obs_sweeps, chains=args.chains)
     print('SBC finished: {:.1f} s'.format(time.time() - tic))
     pvals = sbc_uniformity(out['ranks'], out['L'])
     ks = sbc_ecdf_pvals(out['ranks'], out['L'], seed=args.seed)

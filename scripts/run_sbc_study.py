@@ -41,6 +41,11 @@ def main():
     ap.add_argument('--am-samples', type=int, default=2400)
     ap.add_argument('--am-burn', type=int, default=600)
     ap.add_argument('--am-thin', type=int, default=30)
+    ap.add_argument('--am-chains', type=int, default=1,
+                    help='independent chains pooled per replicate: draws '
+                         'from several excursions instead of one, removing '
+                         'the edge-piled ranks a near-window '
+                         'autocorrelation time produces')
     ap.add_argument('--obs-sweeps', type=int, default=8)
     # NUTS: shorter chains are honest (each draw is far less correlated)
     ap.add_argument('--nuts-samples', type=int, default=240)
@@ -77,7 +82,8 @@ def main():
     if args.sampler in ('am', 'both'):
         plans.append(('am', dict(n_samples=args.am_samples,
                                  burn=args.am_burn, thin=args.am_thin,
-                                 obs_sweeps=args.obs_sweeps)))
+                                 obs_sweeps=args.obs_sweeps,
+                                 chains=args.am_chains)))
     if args.sampler in ('nuts', 'both'):
         plans.append(('nuts', dict(n_samples=args.nuts_samples,
                                    burn=args.nuts_burn,

@@ -223,6 +223,13 @@ def test_sbc_mechanics(setup, tmp_path):
     import os
     assert os.path.getsize(p) > 0
 
+    # pooled-chain replicates: L multiplies, ranks stay bounded, and the
+    # first chain's draws are the chains=1 draws (same fold_in key path)
+    out3 = run_sbc(setup, 2, random.PRNGKey(0), n_samples=20, burn=10,
+                   thin=2, seed=3, chains=3)
+    assert out3['L'] == 30
+    assert (out3['ranks'] >= 0).all() and (out3['ranks'] <= 30).all()
+
 
 def test_sbc_ecdf_pvals_calibrated():
     """The randomized-PIT KS check is exact under H0 (uniform ranks) and
