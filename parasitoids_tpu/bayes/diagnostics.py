@@ -9,7 +9,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ['geweke', 'gelman_rubin', 'effective_sample_size']
+__all__ = ['geweke', 'gelman_rubin', 'effective_sample_size',
+           'truth_diagnostics']
 
 
 def _spectral_var_0(x):
@@ -98,3 +99,45 @@ def effective_sample_size(trace, max_lag=None):
             break
         s += pair
     return float(n / (1.0 + 2.0 * s))
+
+
+def truth_diagnostics(traces, names, truth_vec,
+                      ess_params=('sig_x', 'g_aw', 'mu_r')):
+    """Posterior-vs-known-truth summary block for recorded fits.
+
+    The one source of truth for the per-sampler diagnostics written to
+    study summary JSONs (scripts/run_carnarvon_fit.py and
+    scripts/analyze_carn_trace.py both call this).
+
+    Args:
+        traces: (n_chains, n_samples, >= len(names)) trace array; a
+            single chain reports R-hat as None (needs >= 2 chains).
+        names: parameter names, in trace-column order.
+        truth_vec: true parameter values, aligned with ``names``.
+    Returns:
+        dict with draws, max_rhat, ESS for ``ess_params``, per-parameter
+        truth z-scores (|mean - truth| / sd), frac_within_2sd, and
+        posterior means.
+    """
+    tr = np.asarray(traces, float)
+    if tr.ndim == 2:
+        tr = tr[None]
+    tr = tr[:, :, :len(names)]
+    rhat = (np.atleast_1d(gelman_rubin(tr)) if tr.shape[0] > 1
+            else np.full(len(names), np.nan))
+    flat = tr.reshape(-1, tr.shape[-1])
+    mean, sd = flat.mean(0), flat.std(0)
+    z = np.abs(mean - np.asarray(truth_vec, float)) / np.maximum(sd, 1e-12)
+    names = list(names)
+    ess = [float(effective_sample_size(flat[:, names.index(p)]))
+           for p in ess_params]
+    return {
+        'draws': int(flat.shape[0]),
+        'max_rhat': (round(float(np.nanmax(rhat)), 3)
+                     if np.isfinite(rhat).any() else None),
+        'ess_' + '_'.join(ess_params): [round(e, 1) for e in ess],
+        'truth_z': {n: round(float(v), 2) for n, v in zip(names, z)},
+        'frac_within_2sd': round(float(np.mean(z < 2)), 3),
+        'posterior_mean': {n: round(float(v), 4)
+                           for n, v in zip(names, mean)},
+    }

@@ -894,6 +894,11 @@ def main(argv=None):
     if args.analyze is not None:
         return run_analyze(args)
 
+    if args.obs_sweeps is not None and args.sampler in ('nuts', 'vi'):
+        # the obs block is inside the (gradient) target for these
+        # samplers, so there is no Metropolis-within-Gibbs sweep to repeat
+        parser.error('--obs-sweeps only applies to the am/pt/smc samplers'
+                     ' (nuts/vi update the observation block jointly)')
     print('devices: {}'.format(jax.devices()))
     setup = build_setup(args.overrides)
     if args.shard_forward:

@@ -139,7 +139,8 @@ def _proposal_chol(state, adapt_start):
 
 
 def _obs_sweep(setup: BayesSetup, key, o_vec, prior_o, ll_cur, proj,
-               beta, cfg: MCMCConfig, obs_mask=None, obs=None):
+               beta, cfg: MCMCConfig, obs_mask=None, obs=None,
+               n_sweeps=1):
     """One Metropolis-within-Gibbs sweep over the observation block,
     reusing cached forward projections (only the Poisson rates recompute
     — PyMC's per-stochastic step methods, Bayes_Run.py:486-487).
@@ -156,11 +157,18 @@ def _obs_sweep(setup: BayesSetup, key, o_vec, prior_o, ll_cur, proj,
     block stayed uniform).
 
     Returns ``(key, o_vec, prior_o, ll_cur, n_accepts)``.
+
+    The coordinate loop (and the ``n_sweeps`` repetitions) run as one
+    ``lax.scan`` over the coordinate index, so the compiled program holds
+    a single likelihood subgraph no matter how many sweeps are requested
+    — a Python-unrolled loop at obs_sweeps=8 x ~19 coordinates was
+    inlining ~152 copies and multiplying compile time accordingly.
     """
     n_sent = setup.n_sent
     n_obs = 4 + n_sent
-    acc_o = jnp.zeros((), jnp.float32)
-    for j in range(n_obs):
+
+    def body(carry, j):
+        key, o_vec, prior_o, ll_cur, acc_o = carry
         key, k1, k2 = random.split(key, 3)
         s_fwd = jnp.maximum(jnp.abs(o_vec[j]), 1e-3) * cfg.obs_scale
         step = s_fwd * random.normal(k1)
@@ -185,7 +193,11 @@ def _obs_sweep(setup: BayesSetup, key, o_vec, prior_o, ll_cur, proj,
         o_vec = jnp.where(acc, o_prop, o_vec)
         prior_o = jnp.where(acc, prior_p, prior_o)
         ll_cur = jnp.where(acc, ll_p, ll_cur)
-        acc_o = acc_o + acc
+        return (key, o_vec, prior_o, ll_cur, acc_o + acc), None
+
+    j_seq = jnp.tile(jnp.arange(n_obs), n_sweeps)
+    carry0 = (key, o_vec, prior_o, ll_cur, jnp.zeros((), jnp.float32))
+    (key, o_vec, prior_o, ll_cur, acc_o), _ = lax.scan(body, carry0, j_seq)
     return key, o_vec, prior_o, ll_cur, acc_o
 
 
@@ -251,13 +263,10 @@ def _mcmc_step(setup: BayesSetup, state: ChainState, cfg: MCMCConfig,
         accept.astype(jnp.float32) - 0.234)
 
     # ---- observation-parameter sweeps (cached projections) -----------
-    o_vec, prior_o, ll_cur = state.o, state.prior_o, ll_new
-    acc_o = state.accepts_o
-    for _ in range(cfg.obs_sweeps):
-        key, o_vec, prior_o, ll_cur, acc_sweep = _obs_sweep(
-            setup, key, o_vec, prior_o, ll_cur, proj_new, beta, cfg,
-            obs_mask, obs)
-        acc_o = acc_o + acc_sweep
+    key, o_vec, prior_o, ll_cur, acc_sweeps = _obs_sweep(
+        setup, key, state.o, state.prior_o, ll_new, proj_new, beta, cfg,
+        obs_mask, obs, n_sweeps=cfg.obs_sweeps)
+    acc_o = state.accepts_o + acc_sweeps
 
     new_state = ChainState(
         m=m_new, o=o_vec, loglik=ll_cur, prior_m=prior_m_new,

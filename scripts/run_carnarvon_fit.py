@@ -52,8 +52,7 @@ def main():
     import jax.numpy as jnp
     from jax import random
 
-    from parasitoids_tpu.bayes.diagnostics import (effective_sample_size,
-                                                   gelman_rubin)
+    from parasitoids_tpu.bayes.diagnostics import truth_diagnostics
     from parasitoids_tpu.bayes.map_fit import map_fit
     from parasitoids_tpu.bayes.model import BayesSetup
     from parasitoids_tpu.bayes.nuts import (NUTSConfig,
@@ -161,33 +160,18 @@ def main():
              sampler='nuts')
 
     # ---- diagnostics vs truth -------------------------------------------
-    for name, tr, wall in (('am', am[:, :, :len(names)], t_am),
-                           ('nuts', theta, t_nuts)):
-        rhat = np.atleast_1d(gelman_rubin(tr))
-        flat = tr.reshape(-1, tr.shape[-1])
-        mean, sd = flat.mean(0), flat.std(0)
-        z = np.abs(mean - truth_vec) / np.maximum(sd, 1e-12)
-        ess = [float(effective_sample_size(flat[:, j]))
-               for j in (names.index('sig_x'), names.index('g_aw'),
-                         names.index('mu_r'))]
-        summary[name] = {
-            'wall_s': round(wall, 1),
-            'draws': int(flat.shape[0]),
-            'max_rhat': round(float(np.nanmax(rhat)), 3),
-            'ess_sig_x_g_aw_mu_r': [round(e, 1) for e in ess],
-            'truth_z': {n: round(float(v), 2)
-                        for n, v in zip(names, z)},
-            'frac_within_2sd': round(float(np.mean(z < 2)), 3),
-            'posterior_mean': {n: round(float(v), 4)
-                               for n, v in zip(names, mean)},
-        }
+    for name, tr, wall in (('am', am, t_am), ('nuts', theta, t_nuts)):
+        block = truth_diagnostics(tr, names, truth_vec)
+        block['wall_s'] = round(wall, 1)
+        summary[name] = block
         if name == 'nuts':
-            summary[name]['accept_rate'] = round(
+            block['accept_rate'] = round(
                 float(np.mean(out['accept_rate'])), 3)
-            summary[name]['n_divergent'] = int(np.sum(out['n_divergent']))
-        print('[{}] max R-hat {:.3f}, {}/{} params within 2 posterior sd '
-              'of truth'.format(name, summary[name]['max_rhat'],
-                                int(np.sum(z < 2)), len(z)), flush=True)
+            block['n_divergent'] = int(np.sum(out['n_divergent']))
+        n_in = sum(v < 2 for v in block['truth_z'].values())
+        print('[{}] max R-hat {}, {}/{} params within 2 posterior sd '
+              'of truth'.format(name, block['max_rhat'], n_in,
+                                len(names)), flush=True)
 
     # ---- posterior-predictive checks ---------------------------------
     # (VERDICT r1 item 5's "predictive checks" criterion): p-values per

@@ -68,15 +68,19 @@ def main():
     # honest reduced config: the FULL Kalbar model at half resolution
     setup = build_setup(['domain_info=(10000.0,100)'])
     summary_path = os.path.join(args.outdir, 'summary.json')
-    summary = {'replicates': args.replicates,
-               'config': 'kalbar, 201x201 @ 50 m, 18 days, full model',
-               'date': time.strftime('%Y-%m-%d'),
+    summary = {'config': 'kalbar, 201x201 @ 50 m, 18 days, full model',
                'samplers': {}}
     if os.path.exists(summary_path):
         # merge with an earlier partial study (sessions can be preempted
-        # mid-run; each sampler's block is written as soon as it finishes)
-        with open(summary_path) as f:
-            summary['samplers'] = json.load(f).get('samplers', {})
+        # mid-run; each sampler's block is written as soon as it finishes).
+        # An unreadable file (kill landed mid-write) must not brick the
+        # retry — treat it as empty and let this run rewrite it.
+        try:
+            with open(summary_path) as f:
+                summary['samplers'] = json.load(f).get('samplers', {})
+        except (json.JSONDecodeError, OSError) as e:
+            print('ignoring unreadable {}: {}'.format(summary_path, e),
+                  flush=True)
 
     plans = []
     if args.sampler in ('am', 'both'):
@@ -106,7 +110,12 @@ def main():
                  truths=out['truths'], names=np.asarray(out['names']))
         plot_sbc(out, base + '.png')
         n_flag = int(np.sum(np.minimum(chi2, ks) < 0.01))
+        # provenance lives in the sampler block, not at top level: merged
+        # summaries may hold blocks from runs with different settings
         summary['samplers'][name] = {
+            'replicates': args.replicates,
+            'seed': args.seed,
+            'date': time.strftime('%Y-%m-%d'),
             'chain_config': kw,
             'wall_s': round(dt, 1),
             'L': int(out['L']),
@@ -122,8 +131,10 @@ def main():
         print('[{}] done in {:.1f}s: min chi2 p {:.3f}, min KS p {:.3f}, '
               '{} flagged'.format(name, dt, chi2.min(), ks.min(), n_flag),
               flush=True)
-        with open(summary_path, 'w') as f:
+        tmp = summary_path + '.tmp'
+        with open(tmp, 'w') as f:
             json.dump(summary, f, indent=1)
+        os.replace(tmp, summary_path)
         print('wrote', summary_path, flush=True)
 
 
