@@ -38,6 +38,8 @@ parallelism inside a replicate follows the normal sampler paths.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .model import BayesSetup
@@ -54,7 +56,8 @@ def _param_names(setup):
 
 def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
             thin=5, seed=0, verbose=False, sampler='am', max_depth=6,
-            stepwise=False, steps_per_call=25, obs_sweeps=1, chains=1):
+            stepwise=False, steps_per_call=25, obs_sweeps=1, chains=1,
+            checkpoint_path=None):
     """SBC rank statistics for a sampler (``'am'`` or ``'nuts'``).
 
     Returns ``{'ranks': (R, dim) int array, 'L': draws per replicate,
@@ -71,6 +74,13 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
     for an exact sampler (the finite-chain artifact of Talts et al.
     §5.1); pooling independent excursions attacks exactly that failure
     mode at the same cost per kept draw.
+
+    ``checkpoint_path``: persist (ranks, truths, completed count) after
+    every replicate and resume from it on restart.  Replicate ``r``'s RNG
+    derives only from (key, seed, r) — ``fold_in(key, r)`` and
+    ``default_rng([seed, r])`` — so a resumed study is bit-identical to
+    an uninterrupted one.  Long arms (NUTS is ~8 min/replicate at the
+    study config) survive bounded-session kills this way.
 
     ``sampler='nuts'`` validates the gradient path: the NUTS target holds
     the discrete ``n_periods`` fixed at 30 (like the reference's MAP), so
@@ -109,7 +119,22 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
     if sampler != 'nuts':
         L = L * int(chains)
     cfg = MCMCConfig(n_samples=burn + n_samples, obs_sweeps=obs_sweeps)
-    for r in range(n_replicates):
+    start = 0
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        with np.load(checkpoint_path) as d:
+            if (int(d['L']) == L and d['ranks'].shape[1] == dim
+                    and int(d['seed']) == seed
+                    and str(d['sampler']) == sampler):
+                start = min(int(d['done']), n_replicates)
+                ranks[:start] = d['ranks'][:start]
+                truths[:start] = d['truths'][:start]
+                if verbose and start:
+                    print('  SBC resume: {} replicate(s) from {}'.format(
+                        start, checkpoint_path), flush=True)
+            elif verbose:
+                print('  SBC checkpoint {} mismatches this config; '
+                      'starting fresh'.format(checkpoint_path), flush=True)
+    for r in range(start, n_replicates):
         k_r = random.fold_in(key, r)
         k_m, k_o, k_chain = random.split(k_r, 3)
         m_star = np.array(sample_prior_model(k_m))   # writable host copy
@@ -169,8 +194,14 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
                   '[{} .. {}] of {}'.format(
                       r + 1, n_replicates, metric,
                       ranks[r].min(), ranks[r].max(), L), flush=True)
+        if checkpoint_path:
+            tmp = checkpoint_path + '.tmp.npz'
+            np.savez(tmp, ranks=ranks, truths=truths, done=r + 1, L=L,
+                     seed=seed, sampler=sampler,
+                     names=np.asarray(_param_names(setup)))
+            os.replace(tmp, checkpoint_path)
     return {'ranks': ranks, 'L': L, 'names': _param_names(setup),
-            'truths': truths}
+            'truths': truths, 'resumed_at': start}
 
 
 def sbc_uniformity(ranks, L, n_bins=None):

@@ -99,9 +99,13 @@ def main():
     for name, kw in plans:
         print('=== SBC [{}]: {} replicates ==='.format(
             name, args.replicates), flush=True)
+        # per-replicate checkpoint: a killed/timed-out arm resumes exactly
+        # (replicate RNG depends only on the index) instead of restarting
+        ckpt = os.path.join(args.outdir, 'sbc_{}.ckpt.npz'.format(name))
         tic = time.time()
         out = run_sbc(setup, args.replicates, random.PRNGKey(args.seed),
-                      seed=args.seed, verbose=True, sampler=name, **kw)
+                      seed=args.seed, verbose=True, sampler=name,
+                      checkpoint_path=ckpt, **kw)
         dt = time.time() - tic
         chi2 = sbc_uniformity(out['ranks'], out['L'])
         ks = sbc_ecdf_pvals(out['ranks'], out['L'], seed=args.seed)
@@ -118,6 +122,7 @@ def main():
             'date': time.strftime('%Y-%m-%d'),
             'chain_config': kw,
             'wall_s': round(dt, 1),
+            'resumed_at_replicate': out['resumed_at'] or None,
             'L': int(out['L']),
             'dim': int(out['ranks'].shape[1]),
             'chi2_pvals': {n: round(float(p), 4)
@@ -136,6 +141,8 @@ def main():
             json.dump(summary, f, indent=1)
         os.replace(tmp, summary_path)
         print('wrote', summary_path, flush=True)
+        if os.path.exists(ckpt):
+            os.remove(ckpt)    # arm complete; partial state superseded
 
 
 if __name__ == '__main__':

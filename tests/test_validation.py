@@ -231,6 +231,27 @@ def test_sbc_mechanics(setup, tmp_path):
     assert (out3['ranks'] >= 0).all() and (out3['ranks'] <= 30).all()
 
 
+@pytest.mark.slow
+def test_sbc_checkpoint_resume_exact(setup, tmp_path):
+    """A killed-and-resumed SBC arm must be bit-identical to an
+    uninterrupted one (replicate RNG depends only on the index)."""
+    from parasitoids_tpu.bayes.sbc import run_sbc
+
+    kw = dict(n_samples=20, burn=10, thin=5, seed=3, sampler='am')
+    full = run_sbc(setup, 3, random.PRNGKey(0), **kw)
+    ck = str(tmp_path / 'sbc.ckpt.npz')
+    run_sbc(setup, 2, random.PRNGKey(0), checkpoint_path=ck, **kw)
+    resumed = run_sbc(setup, 3, random.PRNGKey(0), checkpoint_path=ck, **kw)
+    assert resumed['resumed_at'] == 2
+    np.testing.assert_array_equal(full['ranks'], resumed['ranks'])
+    np.testing.assert_allclose(full['truths'], resumed['truths'])
+
+    # a checkpoint from a different config must be ignored, not merged
+    fresh = run_sbc(setup, 3, random.PRNGKey(0), n_samples=40, burn=10,
+                    thin=5, seed=3, sampler='am', checkpoint_path=ck)
+    assert fresh['resumed_at'] == 0
+
+
 def test_sbc_ecdf_pvals_calibrated():
     """The randomized-PIT KS check is exact under H0 (uniform ranks) and
     flags a grossly skewed rank distribution."""
