@@ -40,7 +40,46 @@ import jax.numpy as jnp
 from jax import lax, random
 
 __all__ = ['NUTSConfig', 'nuts_sample', 'nuts_sample_stepwise',
-           'make_transformed_logpdf']
+           'make_transformed_logpdf', 'inv_mass_from_hessian',
+           'psd_clip_covariance']
+
+
+def inv_mass_from_hessian(H, lam_floor=1e-2, lam_ceil=1e12):
+    """Dense inverse mass matrix (= covariance estimate) from a Hessian of
+    the NEGATIVE log posterior at a point in the typical set.
+
+    Symmetrizes, takes |eigenvalue| (a saddle direction's curvature scale
+    is still the right preconditioner scale — the SoftAbs trick of Betancourt
+    2013 without the smoothing), and clips to ``[lam_floor, lam_ceil]``:
+    the floor bounds any flat/near-flat direction's implied posterior sd at
+    ``1/sqrt(lam_floor)`` (the unconstrained-space priors are ~unit scale,
+    so sd 10 is already generous), the ceil keeps deliberately-frozen slots
+    (fixed n_periods, unused sprd — exactly-zero Hessian rows regularized
+    upstream) pinned without hurting conditioning of the rest.  Non-finite
+    input falls back to the identity.
+    """
+    H = jnp.asarray(H)
+    Hs = 0.5 * (H + H.T)
+    lam, V = jnp.linalg.eigh(Hs)
+    lam = jnp.clip(jnp.abs(lam), lam_floor, lam_ceil)
+    inv = (V * (1.0 / lam)) @ V.T
+    inv = 0.5 * (inv + inv.T)
+    ok = jnp.all(jnp.isfinite(inv))
+    return jnp.where(ok, inv, jnp.eye(H.shape[0], dtype=H.dtype))
+
+
+def psd_clip_covariance(cov, eig_min=1e-12, eig_max=100.0):
+    """Project a covariance estimate (e.g. a Laplace ``cov_z``) onto the
+    PSD cone with eigenvalues clipped to ``[eig_min, eig_max]`` — the
+    sanitizer for using it as a NUTS inverse mass matrix."""
+    cov = jnp.asarray(cov)
+    Cs = 0.5 * (cov + cov.T)
+    lam, V = jnp.linalg.eigh(Cs)
+    lam = jnp.clip(jnp.abs(lam), eig_min, eig_max)
+    out = (V * lam) @ V.T
+    out = 0.5 * (out + out.T)
+    ok = jnp.all(jnp.isfinite(out))
+    return jnp.where(ok, out, jnp.eye(cov.shape[0], dtype=cov.dtype))
 
 
 class NUTSConfig(NamedTuple):
@@ -58,6 +97,14 @@ class NUTSConfig(NamedTuple):
     # Gibbs-within-NUTS discrete move (``gibbs_n=`` in the stepwise
     # driver): the n_periods proposal is a symmetric +/-U{1..n_step} walk
     n_step: int = 1
+    # keep the mass matrix FIXED at its initial value (identity, or the
+    # ``init_inv_mass`` operand): warmup adapts the step size only.  The
+    # lever for warm-started runs — a Laplace covariance (map_fit
+    # laplace_approximation) or a per-replicate Hessian (bayes/sbc.py)
+    # already encodes the posterior geometry, so the Welford window (and
+    # the ~60% of warmup spent feeding it) is dead weight, and the
+    # preconditioned trajectories need far shallower trees
+    fixed_mass: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -352,16 +399,19 @@ def _find_reasonable_eps(lpg, z, lp, grad, inv_mass, key, eps0,
     return jnp.clip(eps, 1e-6, 50.0), key
 
 
-def _warmup_init(lpg, z0, key, config: NUTSConfig):
+def _warmup_init(lpg, z0, key, config: NUTSConfig, inv_mass0=None):
     dtype = z0.dtype
     dim = z0.shape[0]
     lp0, grad0 = lpg(z0)
     if config.dense_mass:
-        inv_mass0 = jnp.eye(dim, dtype=dtype)
+        if inv_mass0 is None:
+            inv_mass0 = jnp.eye(dim, dtype=dtype)
         wf_m2_0 = jnp.zeros((dim, dim), dtype)
     else:
-        inv_mass0 = jnp.ones(dim, dtype)
+        if inv_mass0 is None:
+            inv_mass0 = jnp.ones(dim, dtype)
         wf_m2_0 = jnp.zeros(dim, dtype)
+    inv_mass0 = jnp.asarray(inv_mass0, dtype)
     eps0, key = _find_reasonable_eps(lpg, z0, lp0, grad0, inv_mass0, key,
                                      config.init_step_size)
     key, kw = random.split(key)
@@ -395,6 +445,13 @@ def _warm_step(lpg, config: NUTSConfig, carry, i):
     log_eps = mu - jnp.sqrt(t) / gamma * h_bar
     eta = t ** (-kappa)
     log_eps_bar = eta * log_eps + (1 - eta) * log_eps_bar
+
+    # fixed-mass mode: the metric never changes, so the Welford window and
+    # the window-close metric switch are skipped entirely (static branch —
+    # the compiled warmup step is just NUTS + dual averaging)
+    if config.fixed_mass:
+        return (z, lp, grad, key, log_eps, log_eps_bar, h_bar, inv_mass,
+                wf_n, wf_mean, wf_m2, mu, i0)
 
     # Welford over the middle window (vector mean; m2 is a vector of
     # variances or the full scatter matrix per config.dense_mass)
@@ -448,7 +505,8 @@ def _draw_step(lpg, config: NUTSConfig, step_size, inv_mass, carry):
 
 
 @partial(jax.jit, static_argnames=('logpdf', 'config'))
-def nuts_sample(logpdf, z0, key, config: NUTSConfig, logpdf_args=()):
+def nuts_sample(logpdf, z0, key, config: NUTSConfig, logpdf_args=(),
+                init_inv_mass=None):
     """Run warmup + sampling from ``z0``.  Returns a dict of device arrays:
     ``samples`` (num_samples, dim), ``logp`` (num_samples,), plus
     ``step_size``, ``inv_mass``, ``accept_rate``, ``n_divergent``.
@@ -466,13 +524,19 @@ def nuts_sample(logpdf, z0, key, config: NUTSConfig, logpdf_args=()):
     these operands (e.g. the SBC replicate datasets via
     ``make_transformed_logpdf(traced_obs=True)``) reuses ONE compiled
     program instead of recompiling per closure.
+
+    ``init_inv_mass``: optional starting inverse mass matrix ((d,) diagonal
+    or (d, d) dense, matching ``config.dense_mass``).  With
+    ``config.fixed_mass=True`` the metric stays at this value for the whole
+    run (warmup adapts the step size only) — the warm-start path for a
+    Laplace/Hessian covariance.
     """
     z0 = jnp.asarray(z0)
 
     def lpg(z):
         return jax.value_and_grad(lambda zz: logpdf(zz, *logpdf_args))(z)
 
-    init = _warmup_init(lpg, z0, key, config)
+    init = _warmup_init(lpg, z0, key, config, init_inv_mass)
     carry, _ = lax.scan(lambda c, i: (_warm_step(lpg, config, c, i), None),
                         init, jnp.arange(config.num_warmup))
     z, lp, grad, key, step_size, inv_mass = _warmup_final(carry)
@@ -486,11 +550,15 @@ def nuts_sample(logpdf, z0, key, config: NUTSConfig, logpdf_args=()):
 
 
 @partial(jax.jit, static_argnames=('logpdf', 'config'))
-def _warm_init_mapped(logpdf, config, z0s, keys, args=()):
+def _warm_init_mapped(logpdf, config, z0s, keys, args=(), inv_mass0s=None):
     def lpg(z):
         return jax.value_and_grad(lambda zz: logpdf(zz, *args))(z)
-    return lax.map(lambda zk: _warmup_init(lpg, zk[0], zk[1], config),
-                   (z0s, keys))
+    if inv_mass0s is None:
+        return lax.map(lambda zk: _warmup_init(lpg, zk[0], zk[1], config),
+                       (z0s, keys))
+    return lax.map(lambda zk: _warmup_init(lpg, zk[0], zk[1], config,
+                                           zk[2]),
+                   (z0s, keys, inv_mass0s))
 
 
 @partial(jax.jit, static_argnames=('logpdf', 'config', 'n_steps'))
@@ -589,7 +657,7 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
                          progress=None, checkpoint_path=None,
                          checkpoint_every=25, resume=False, mesh=None,
                          gibbs_n=None, n0=30.0, logpdf_args=(),
-                         steps_per_call=1):
+                         steps_per_call=1, init_inv_mass=None):
     """Host-dispatched NUTS over stacked chains (leading axis of
     ``z0s``/``keys``): same math as :func:`nuts_sample`, but each transition
     is its own bounded device program.  Long monolithic sampler programs can
@@ -632,6 +700,13 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
     once.  Constant for the whole run and NOT checkpointed: a ``resume``
     must pass the same values.  Incompatible with ``gibbs_n`` (the Gibbs
     target owns the second argument slot).
+
+    ``init_inv_mass``: optional per-chain starting inverse mass matrix,
+    shape (chains, d) diagonal or (chains, d, d) dense (matching
+    ``config.dense_mass``); with ``config.fixed_mass=True`` the metric
+    stays at this value and warmup adapts the step size only (the
+    Laplace/Hessian warm-start path).  Not checkpointed — a ``resume``
+    continues from the checkpointed carry, which already holds the metric.
 
     ``steps_per_call``: transitions batched into each device program (an
     inner ``lax.scan``).  The stepwise driver pays one host dispatch+sync
@@ -682,7 +757,8 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
                                                      logpdf_args)
     if mesh is None:
         warm_init = lambda z, k: _warm_init_mapped(logpdf, warm_cfg, z, k,
-                                                   logpdf_args)
+                                                   logpdf_args,
+                                                   init_inv_mass)
         warm_steps = lambda c, i, n: _warm_steps_mapped(
             logpdf, warm_cfg, c, i, n, logpdf_args)
         draw_steps = draw_inner
@@ -692,10 +768,21 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
         cs, rep = P('chains'), P()
         # logpdf_args ride inside the shard-mapped closures as constants of
         # the traced program (replicated — they are chain-independent data)
-        warm_init = jax.jit(shard_map(
-            lambda z, k: _warm_init_mapped(logpdf, warm_cfg, z, k,
-                                           logpdf_args),
-            mesh=mesh, in_specs=(cs, cs), out_specs=cs, check_vma=False))
+        if init_inv_mass is None:
+            warm_init = jax.jit(shard_map(
+                lambda z, k: _warm_init_mapped(logpdf, warm_cfg, z, k,
+                                               logpdf_args),
+                mesh=mesh, in_specs=(cs, cs), out_specs=cs,
+                check_vma=False))
+        else:
+            warm_init = jax.jit(shard_map(
+                lambda z, k, im: _warm_init_mapped(logpdf, warm_cfg, z, k,
+                                                   logpdf_args, im),
+                mesh=mesh, in_specs=(cs, cs, cs), out_specs=cs,
+                check_vma=False))
+            _warm_init_3 = warm_init
+            warm_init = lambda z, k: _warm_init_3(
+                z, k, jnp.asarray(init_inv_mass))
         # chunk size is static to the traced program: one shard_map wrapper
         # per size, cached (steps_per_call + at most one remainder)
         _warm_cache, _draw_cache = {}, {}
@@ -726,11 +813,13 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
                           config.max_depth, np.asarray(z0s).shape[0],
                           np.asarray(z0s).shape[1],
                           int(bool(config.dense_mass)), int(gibbs),
-                          int(draw_cfg.n_step)])   # canonical: 1 unless gibbs
+                          int(draw_cfg.n_step),     # canonical: 1 unless gibbs
+                          int(bool(config.fixed_mass))])
     # default value of each optional trailing signature field (appended
-    # over time: dense_mass, gibbs, n_step) — an older, shorter signature
-    # is a valid continuation iff this run uses the defaults for the rest
-    _sig_tail_defaults = {5: 0, 6: 0, 7: 1}
+    # over time: dense_mass, gibbs, n_step, fixed_mass) — an older, shorter
+    # signature is a valid continuation iff this run uses the defaults for
+    # the rest
+    _sig_tail_defaults = {5: 0, 6: 0, 7: 1, 8: 0}
     samples, logps, astats, divs = [], [], [], []
     ns, naccs = [], []
     start_w, start_d = 0, 0
@@ -753,7 +842,7 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
                 raise ValueError(
                     'checkpoint config {} does not match requested {} '
                     '(num_warmup num_samples max_depth chains dim '
-                    'dense_mass gibbs n_step)'.format(
+                    'dense_mass gibbs n_step fixed_mass)'.format(
                         old_sig.tolist(), cfg_sig.tolist()))
             phase = str(d['phase'])
             if phase == 'warmup':

@@ -130,6 +130,24 @@ parser.add_argument('--steps-per-call', type=int, default=1,
                          'under the hosted-tunnel execution limit '
                          '(full-scale chains: ~2 s/chain-sweep, 5-10 is '
                          'safe).  Math/RNG identical for every value.')
+parser.add_argument('--mass', choices=['adapt', 'laplace'],
+                    default='adapt',
+                    help="NUTS mass matrix: 'adapt' = Stan-style warmup "
+                         "estimation (diagonal, or dense with "
+                         "--dense-mass); 'laplace' = FIXED dense matrix "
+                         "from the Laplace covariance at the MAP "
+                         "(map_fit.laplace_approximation) — warmup then "
+                         "only adapts the step size, so burn-in can drop "
+                         "to ~50 transitions and the preconditioned "
+                         "trajectories U-turn at much shallower depth "
+                         "(the ESS/hr lever; implies --init map)")
+parser.add_argument('--max-program-steps', type=int, default=800,
+                    help='PT: cap on total replica-steps (temps x steps) '
+                         'dispatched as one device program — long '
+                         'monolithic programs crash the hosted-TPU tunnel '
+                         'worker (observed at ~4000 replica-steps / '
+                         '~3 min on carnarvon 401^2); chunks checkpoint '
+                         'and continue, mathematically a no-op')
 parser.add_argument('--gibbs-n', action='store_true',
                     help='NUTS: sample the discrete n_periods by a '
                          'Metropolis move after each NUTS transition '
@@ -277,20 +295,48 @@ def run_nuts(args, setup):
         dense = bool(sig[5]) if len(sig) > 5 else False
         gibbs = bool(sig[6]) if len(sig) > 6 else False
         n_step = sig[7] if len(sig) > 7 else 1
+        fixed_mass = bool(sig[8]) if len(sig) > 8 else False
         n_samples = ns
         cfg = NUTSConfig(num_warmup=nw, num_samples=ns, max_depth=md,
-                         dense_mass=dense, n_step=n_step)
+                         dense_mass=dense, n_step=n_step,
+                         fixed_mass=fixed_mass)
         args.chains = nch
         logpdf, constrain, z0 = make_transformed_logpdf(setup)
+        init_inv_mass = None    # the checkpointed carry holds the metric
     else:
         n_samples, burn, db = int(args.new[0]), int(args.new[1]), args.new[2]
         ckpt = db.removesuffix('.npz') + '.ckpt.npz'
         gibbs = args.gibbs_n
         logpdf, constrain, z0 = make_transformed_logpdf(setup)
-        z0 = _nuts_init_point(args, setup, z0)
+        if args.mass == 'laplace':
+            # warm start: MAP fit -> Laplace covariance as a FIXED dense
+            # metric (PSD-projected); warmup only adapts the step size
+            from .nuts import psd_clip_covariance
+            from .map_fit import laplace_approximation, map_fit
+            print('NUTS init: MAP fit ({} steps) + Laplace metric...'
+                  .format(args.init_map_steps), flush=True)
+            fit = map_fit(setup, n_steps=args.init_map_steps,
+                          use_sprd=False)
+            print('NUTS init: MAP logp = {:.2f}'.format(fit['logp']),
+                  flush=True)
+            lap = laplace_approximation(setup, fit)
+            inv0 = np.asarray(psd_clip_covariance(
+                jnp.asarray(lap['cov_z'], jnp.float32)))
+            if args.init == 'map':
+                z0 = jnp.asarray(fit['z'], jnp.float32)
+            else:
+                z0 = _nuts_init_point(args, setup, z0)
+            init_inv_mass = np.broadcast_to(
+                inv0, (args.chains,) + inv0.shape)
+        else:
+            z0 = _nuts_init_point(args, setup, z0)
+            init_inv_mass = None
         cfg = NUTSConfig(num_warmup=max(burn, 10), num_samples=n_samples,
                          max_depth=args.max_depth,
-                         dense_mass=args.dense_mass, n_step=args.n_step)
+                         dense_mass=(args.dense_mass
+                                     or args.mass == 'laplace'),
+                         n_step=args.n_step,
+                         fixed_mass=args.mass == 'laplace')
     logpdf_n = (make_transformed_logpdf(setup, free_n=True)[0]
                 if gibbs else None)
     keys = random.split(random.PRNGKey(args.seed), args.chains)
@@ -326,7 +372,7 @@ def run_nuts(args, setup):
         logpdf, z0s, keys, cfg, progress=progress, checkpoint_path=ckpt,
         checkpoint_every=max(1, min(args.checkpoint_every, 25)),
         resume=resume, mesh=mesh, gibbs_n=logpdf_n,
-        steps_per_call=args.steps_per_call)
+        steps_per_call=args.steps_per_call, init_inv_mass=init_inv_mass)
     samples = np.asarray(out['samples'])     # (chains, n, dim) z-space
     dt = time.time() - tic
     print('NUTS finished: {:.1f} s ({:.3f} s/sample/chain); accept {:.2f}, '
@@ -439,7 +485,13 @@ def run_pt_cli(args, setup):
         T, rounds, se, ' (resuming at round {})'.format(rounds_done)
         if rounds_done else ''))
 
-    chunk = max(1, min(args.checkpoint_every // se, rounds)) if rounds else 1
+    # two bounds on rounds per device program: the checkpoint cadence, and
+    # the hosted-tunnel execution limit — one program runs T*se*rounds
+    # sequential model steps (lax.map over replicas), and the worker was
+    # observed crashing at ~4000 replica-steps (~3 min) on carnarvon 401^2
+    chunk = (max(1, min(args.checkpoint_every // se,
+                        args.max_program_steps // (se * T), rounds))
+             if rounds else 1)
     tic = time.time()
     done = 0
     while done < rounds:

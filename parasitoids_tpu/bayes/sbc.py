@@ -57,7 +57,7 @@ def _param_names(setup):
 def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
             thin=5, seed=0, verbose=False, sampler='am', max_depth=6,
             stepwise=False, steps_per_call=25, obs_sweeps=1, chains=1,
-            checkpoint_path=None):
+            checkpoint_path=None, warm_start=False):
     """SBC rank statistics for a sampler (``'am'`` or ``'nuts'``).
 
     Returns ``{'ranks': (R, dim) int array, 'L': draws per replicate,
@@ -91,6 +91,19 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
     (:func:`nuts_sample_stepwise`) — required at full scale on hosted/
     tunneled accelerators, where one monolithic replicate program exceeds
     single-execution limits.
+
+    ``warm_start`` (NUTS only): precondition each replicate's chain with a
+    dense mass matrix from the Hessian of its own log posterior at the
+    replicate truth (``inv_mass_from_hessian``; the truth sits in the
+    typical set of its own posterior, so the local curvature is the right
+    metric), and keep it FIXED — warmup then only adapts the step size, so
+    ``burn`` can drop to ~50 transitions and the preconditioned
+    trajectories U-turn at much shallower tree depth.  This changes the
+    adaptation schedule, never the invariant distribution: every post-
+    warmup draw still comes from an exact NUTS kernel on the same target,
+    so the SBC null (uniform ranks) is unchanged.  The Hessian is
+    evaluated through the XLA path (the Pallas backward admits no forward
+    mode, same constraint as map_fit.laplace_approximation).
     """
     import jax
     import jax.numpy as jnp
@@ -102,8 +115,9 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
 
     if sampler == 'nuts':
         from .map_fit import _make_objective
-        from .nuts import (NUTSConfig, make_transformed_logpdf,
-                           nuts_sample, nuts_sample_stepwise)
+        from .nuts import (NUTSConfig, inv_mass_from_hessian,
+                           make_transformed_logpdf, nuts_sample,
+                           nuts_sample_stepwise)
 
         # one target for every replicate — datasets enter as traced
         # operands below, so the static (logpdf, config) jit key is
@@ -111,6 +125,26 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
         logpdf, constrain, _ = make_transformed_logpdf(
             setup, traced_obs=True)
         _, _, unconstrain = _make_objective(setup, False)
+        hess_fn = None
+        if warm_start:
+            # Hessians need forward-over-reverse; the Pallas day kernel's
+            # custom_vjp has no forward rule, so curvature runs on the XLA
+            # path (primals agree to ~2e-7, map_fit.laplace_approximation
+            # makes the same switch)
+            import copy
+            if setup.setup.kcfg.pallas:
+                params_x = copy.copy(setup.params)
+                params_x.use_pallas = False
+                setup_x = BayesSetup(params_x)
+            else:
+                setup_x = setup
+            logpdf_x, _, _ = make_transformed_logpdf(setup_x,
+                                                     traced_obs=True)
+
+            @jax.jit
+            def hess_fn(z, obs):
+                H = jax.hessian(lambda zz: -logpdf_x(zz, obs))(z)
+                return inv_mass_from_hessian(H)
 
     dim = 15 + 4 + setup.n_sent
     ranks = np.zeros((n_replicates, dim), np.int64)
@@ -122,9 +156,11 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
     start = 0
     if checkpoint_path and os.path.exists(checkpoint_path):
         with np.load(checkpoint_path) as d:
+            old_warm = int(d['warm']) if 'warm' in d.files else 0
             if (int(d['L']) == L and d['ranks'].shape[1] == dim
                     and int(d['seed']) == seed
-                    and str(d['sampler']) == sampler):
+                    and str(d['sampler']) == sampler
+                    and old_warm == int(bool(warm_start))):
                 start = min(int(d['done']), n_replicates)
                 ranks[:start] = d['ranks'][:start]
                 truths[:start] = d['truths'][:start]
@@ -150,16 +186,24 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
                                  jnp.asarray(o_star, jnp.float32),
                                  jnp.float32(0.3))
             ncfg = NUTSConfig(num_warmup=burn, num_samples=n_samples,
-                              max_depth=max_depth)
+                              max_depth=max_depth,
+                              dense_mass=warm_start,
+                              fixed_mass=warm_start)
+            im = None
+            if warm_start:
+                im = jax.block_until_ready(
+                    hess_fn(jnp.asarray(z_true), obs_r))
             if stepwise:
                 out = nuts_sample_stepwise(
                     logpdf, z_true[None], random.split(k_chain, 1),
                     ncfg, logpdf_args=(obs_r,),
-                    steps_per_call=steps_per_call)
+                    steps_per_call=steps_per_call,
+                    init_inv_mass=None if im is None else im[None])
                 zdraws, logp = out['samples'][0], out['logp'][0]
             else:
                 out = jax.block_until_ready(nuts_sample(
-                    logpdf, z_true, k_chain, ncfg, logpdf_args=(obs_r,)))
+                    logpdf, z_true, k_chain, ncfg, logpdf_args=(obs_r,),
+                    init_inv_mass=im))
                 zdraws, logp = out['samples'], out['logp']
             theta = jax.vmap(
                 lambda zz: jnp.concatenate(constrain(zz)[:2]))(
@@ -198,6 +242,7 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
             tmp = checkpoint_path + '.tmp.npz'
             np.savez(tmp, ranks=ranks, truths=truths, done=r + 1, L=L,
                      seed=seed, sampler=sampler,
+                     warm=int(bool(warm_start)),
                      names=np.asarray(_param_names(setup)))
             os.replace(tmp, checkpoint_path)
     return {'ranks': ranks, 'L': L, 'names': _param_names(setup),
@@ -315,6 +360,11 @@ def main(argv=None):
                          'tunneled accelerators)')
     ap.add_argument('--steps-per-call', type=int, default=25,
                     help='stepwise NUTS: transitions per device program')
+    ap.add_argument('--warm-start', action='store_true',
+                    help='NUTS: fixed dense mass matrix from the Hessian '
+                         'at each replicate truth (warmup = step size '
+                         'only; same posterior, far fewer gradient evals '
+                         '— pair with a short --burn ~50)')
     ap.add_argument('-o', '--outname', default='sbc')
     ap.add_argument('overrides', nargs='*')
     args = ap.parse_args(argv)
@@ -332,7 +382,8 @@ def main(argv=None):
                   seed=args.seed, verbose=True, sampler=args.sampler,
                   max_depth=args.max_depth, stepwise=args.stepwise,
                   steps_per_call=args.steps_per_call,
-                  obs_sweeps=args.obs_sweeps, chains=args.chains)
+                  obs_sweeps=args.obs_sweeps, chains=args.chains,
+                  warm_start=args.warm_start)
     print('SBC finished: {:.1f} s'.format(time.time() - tic))
     pvals = sbc_uniformity(out['ranks'], out['L'])
     ks = sbc_ecdf_pvals(out['ranks'], out['L'], seed=args.seed)

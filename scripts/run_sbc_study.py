@@ -49,11 +49,18 @@ def main():
     ap.add_argument('--obs-sweeps', type=int, default=8)
     # NUTS: shorter chains are honest (each draw is far less correlated)
     ap.add_argument('--nuts-samples', type=int, default=240)
-    ap.add_argument('--nuts-burn', type=int, default=150)
+    ap.add_argument('--nuts-burn', type=int, default=None,
+                    help='default 150, or 48 with --warm-start (the fixed '
+                         'Hessian metric leaves only step size to adapt)')
     ap.add_argument('--nuts-thin', type=int, default=3)
     ap.add_argument('--max-depth', type=int, default=5)
     ap.add_argument('--steps-per-call', type=int, default=25)
+    ap.add_argument('--warm-start', action='store_true',
+                    help='NUTS: fixed dense mass matrix from the Hessian '
+                         'at each replicate truth (bayes/sbc.py run_sbc)')
     args = ap.parse_args()
+    if args.nuts_burn is None:
+        args.nuts_burn = 48 if args.warm_start else 150
 
     from jax import random
 
@@ -94,7 +101,8 @@ def main():
                                    thin=args.nuts_thin,
                                    max_depth=args.max_depth,
                                    stepwise=True,
-                                   steps_per_call=args.steps_per_call)))
+                                   steps_per_call=args.steps_per_call,
+                                   warm_start=args.warm_start)))
 
     for name, kw in plans:
         print('=== SBC [{}]: {} replicates ==='.format(

@@ -29,6 +29,20 @@ def main():
     outdir = sys.argv[3] if len(sys.argv) > 3 else os.path.dirname(ckpt)
     from parasitoids_tpu.bayes.sbc import sbc_ecdf_pvals, sbc_uniformity
 
+    if not os.path.exists(ckpt):
+        # a COMPLETED arm deletes its checkpoint after run_sbc_study writes
+        # the final ranks npz + summary block — that is success, not an
+        # error (round-2 chain crashed here: chain4_status.log
+        # FileNotFoundError)
+        final = os.path.join(outdir, 'sbc_{}_ranks.npz'.format(name))
+        if os.path.exists(final):
+            print('no checkpoint at {} but final ranks exist at {} — arm '
+                  'complete, summary already recorded'.format(ckpt, final))
+            return
+        print('no checkpoint at {} and no final ranks — arm never started '
+              'or produced nothing'.format(ckpt))
+        sys.exit(1)
+
     with np.load(ckpt) as d:
         done, L = int(d['done']), int(d['L'])
         seed = int(d['seed'])

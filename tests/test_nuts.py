@@ -91,6 +91,121 @@ def test_nuts_dense_mass_recovers_covariance():
     assert float(out['step_size']) > 0.5 * float(out_d['step_size'])
 
 
+def test_nuts_fixed_mass_warm_start():
+    """fixed_mass + init_inv_mass: the metric must stay exactly at the
+    supplied (Hessian-derived) value, sampling must stay correct, and the
+    preconditioned chain must use shallower trees than an identity-metric
+    one on an anisotropic target."""
+    from parasitoids_tpu.bayes.nuts import inv_mass_from_hessian
+
+    rho, sds = 0.9, np.array([0.2, 5.0])
+    cov = np.array([[sds[0] ** 2, rho * sds[0] * sds[1]],
+                    [rho * sds[0] * sds[1], sds[1] ** 2]])
+    prec = jnp.asarray(np.linalg.inv(cov), jnp.float32)
+
+    def logpdf(z):
+        return -0.5 * z @ prec @ z
+
+    im = inv_mass_from_hessian(prec)
+    np.testing.assert_allclose(np.asarray(im), cov, rtol=1e-3, atol=1e-3)
+
+    cfg = NUTSConfig(num_warmup=100, num_samples=1500, max_depth=8,
+                     dense_mass=True, fixed_mass=True)
+    out = nuts_sample(logpdf, jnp.zeros(2), random.PRNGKey(5), cfg,
+                      init_inv_mass=im)
+    # the metric never moved
+    np.testing.assert_array_equal(np.asarray(out['inv_mass']),
+                                  np.asarray(im))
+    assert int(out['n_divergent']) == 0
+    s = np.asarray(out['samples'])
+    np.testing.assert_allclose(np.cov(s.T), cov, rtol=0.3, atol=0.02)
+    # perfectly preconditioned: step size near 1 in metric units, far
+    # larger than what an identity metric admits on the sd=0.2 direction
+    assert float(out['step_size']) > 0.3
+
+
+def test_inv_mass_from_hessian_guards():
+    """Saddles (negative eigenvalues), flat directions and frozen slots all
+    map to a well-conditioned PSD metric; non-finite input -> identity."""
+    from parasitoids_tpu.bayes.nuts import (inv_mass_from_hessian,
+                                            psd_clip_covariance)
+
+    H = jnp.asarray(np.diag([4.0, -4.0, 0.0, 1e12]), jnp.float32)
+    im = np.asarray(inv_mass_from_hessian(H))
+    assert np.allclose(np.diag(im), [0.25, 0.25, 100.0, 1e-12])
+    ev = np.linalg.eigvalsh(im)
+    assert (ev > 0).all()
+
+    bad = jnp.asarray(np.full((3, 3), np.nan), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(inv_mass_from_hessian(bad)),
+                                  np.eye(3, dtype=np.float32))
+    np.testing.assert_array_equal(np.asarray(psd_clip_covariance(bad)),
+                                  np.eye(3, dtype=np.float32))
+
+    # covariance clip: a negative-eigenvalue "covariance" becomes PSD
+    C = jnp.asarray(np.diag([1.0, -0.5, 1e9]), jnp.float32)
+    pc = np.asarray(psd_clip_covariance(C))
+    assert np.allclose(np.diag(pc), [1.0, 0.5, 100.0])
+
+
+def test_nuts_fixed_mass_stepwise_matches_and_resumes(tmp_path):
+    """Stepwise fixed-mass runs are bitwise-equal to the monolithic program
+    and to an interrupted+resumed run (the cfg_sig now carries
+    fixed_mass)."""
+    from parasitoids_tpu.bayes.nuts import (inv_mass_from_hessian,
+                                            nuts_sample_stepwise)
+
+    prec = jnp.asarray(np.linalg.inv([[1.0, 0.6], [0.6, 2.0]]), jnp.float32)
+
+    def logpdf(z):
+        return -0.5 * z @ prec @ z
+
+    im = inv_mass_from_hessian(prec)
+    cfg = NUTSConfig(num_warmup=30, num_samples=60, max_depth=6,
+                     dense_mass=True, fixed_mass=True)
+    mono = nuts_sample(logpdf, jnp.zeros(2), random.PRNGKey(7), cfg,
+                       init_inv_mass=im)
+    ckpt = str(tmp_path / 'fm.ckpt.npz')
+    step = nuts_sample_stepwise(logpdf, jnp.zeros((1, 2)),
+                                random.PRNGKey(7)[None], cfg,
+                                steps_per_call=13, checkpoint_path=ckpt,
+                                checkpoint_every=20,
+                                init_inv_mass=im[None])
+    np.testing.assert_array_equal(step['samples'][0],
+                                  np.asarray(mono['samples']))
+
+    # interrupt after warmup+some draws, then resume from the checkpoint
+    import os
+    ckpt2 = str(tmp_path / 'fm2.ckpt.npz')
+
+    class _Stop(Exception):
+        pass
+
+    def bomb(phase, i, total):
+        if phase == 'sample' and i >= 26:
+            raise _Stop()
+
+    with pytest.raises(_Stop):
+        nuts_sample_stepwise(logpdf, jnp.zeros((1, 2)),
+                             random.PRNGKey(7)[None], cfg,
+                             steps_per_call=13, checkpoint_path=ckpt2,
+                             checkpoint_every=20, progress=bomb,
+                             init_inv_mass=im[None])
+    assert os.path.exists(ckpt2)
+    # a non-fixed-mass resume against this checkpoint must be refused
+    with pytest.raises(ValueError, match='fixed_mass'):
+        nuts_sample_stepwise(
+            logpdf, jnp.zeros((1, 2)), random.PRNGKey(7)[None],
+            cfg._replace(fixed_mass=False), steps_per_call=13,
+            checkpoint_path=ckpt2, resume=True)
+    res = nuts_sample_stepwise(logpdf, jnp.zeros((1, 2)),
+                               random.PRNGKey(7)[None], cfg,
+                               steps_per_call=13, checkpoint_path=ckpt2,
+                               resume=True)
+    np.testing.assert_array_equal(res['samples'][0],
+                                  np.asarray(mono['samples']))
+
+
 def test_nuts_vmappable_chains():
     cfg = NUTSConfig(num_warmup=50, num_samples=50, max_depth=5)
     keys = random.split(random.PRNGKey(2), 3)

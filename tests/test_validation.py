@@ -252,6 +252,31 @@ def test_sbc_checkpoint_resume_exact(setup, tmp_path):
     assert fresh['resumed_at'] == 0
 
 
+@pytest.mark.slow
+def test_sbc_nuts_warm_start_mechanics(setup, tmp_path):
+    """warm_start SBC: per-replicate Hessian metric runs end to end,
+    deterministically, and its checkpoint is not interchangeable with a
+    non-warm-start arm's."""
+    from parasitoids_tpu.bayes.sbc import run_sbc
+
+    kw = dict(n_samples=8, burn=4, thin=2, seed=3, sampler='nuts',
+              max_depth=4, stepwise=True, steps_per_call=5,
+              warm_start=True)
+    out = run_sbc(setup, 1, random.PRNGKey(0), **kw)
+    dim = 15 + 4 + setup.n_sent
+    assert out['ranks'].shape == (1, dim)
+    assert (out['ranks'] >= 0).all() and (out['ranks'] <= out['L']).all()
+    out2 = run_sbc(setup, 1, random.PRNGKey(0), **kw)
+    np.testing.assert_array_equal(out['ranks'], out2['ranks'])
+
+    # a warm-start checkpoint must not resume a non-warm-start arm
+    ck = str(tmp_path / 'sbc_nuts.ckpt.npz')
+    run_sbc(setup, 1, random.PRNGKey(0), checkpoint_path=ck, **kw)
+    cold = run_sbc(setup, 1, random.PRNGKey(0), checkpoint_path=ck,
+                   **{**kw, 'warm_start': False})
+    assert cold['resumed_at'] == 0
+
+
 def test_sbc_ecdf_pvals_calibrated():
     """The randomized-PIT KS check is exact under H0 (uniform ranks) and
     flags a grossly skewed rank distribution."""
