@@ -399,6 +399,7 @@ class LocInfo:
         df['datePR'] = df['date'] - self.release_date
         df = df.sort_values(['datePR', 'id']).reset_index(drop=True)
         self.sent_DataFrames = [df]
+        self.sent_protocols = ['lab']
 
     def get_releasefield_emergence(self, location):
         """Release-field emergence observations
@@ -425,6 +426,7 @@ class LocInfo:
         df['datePR'] = df['date emerged'] - self.release_date
         df = df[(df['xcoord'] != 0) | (df['ycoord'] != 0)]
         self.release_DataFrames = [df.reset_index(drop=True)]
+        self.release_coll_idx = [0]
 
     def get_grid_observations(self, location):
         """Release-field grid adult counts
@@ -483,11 +485,30 @@ class LocInfo:
         row per (sentinel field id, emergence date, wasps emerged).  Dates
         are ISO strings or integer days post-release; (id, date) duplicates
         are summed and missing combinations filled with 0 so every
-        collection covers the same field set."""
+        collection covers the same field set.
+
+        Each collection may declare a ``"protocol"``:
+
+        * ``"lab"`` (default, the Kalbar protocol, ref Bayes_funcs.py:20-152):
+          plants sit in the field from release until ``collection_date``,
+          then emergence is recorded in the lab on the CSV dates (>= the
+          collection date); expected counts convolve oviposition-day
+          populations with the 19-25-day incubation distribution.
+        * ``"exposure"`` (rotating sentinel plants — the protocol behind
+          short-horizon records like data/carnarvonearlemergence.txt, whose
+          day-1..21 counts are impossible under 19+-day lab incubation):
+          each CSV date's count is the total eventual emergence from plants
+          EXPOSED during the window since the previous CSV date, i.e. a
+          direct count of that window's oviposition; expected counts sum
+          the window's populations with no incubation offset.
+          ``collection_date`` should equal the last CSV date (it only
+          feeds the simulation-horizon check).
+        """
         spec = self._spec
         rd = pd.Timestamp(spec['release_date'])
         self.release_date = rd
         self.collection_datesPR = []
+        self.sent_protocols = []
         raw = []
         for coll in spec['collections']:
             df = self._read_obs_csv(coll['sentinel_csv'])
@@ -496,6 +517,15 @@ class LocInfo:
             raw.append(df)
             self.collection_datesPR.append(
                 _parse_day(coll['collection_date'], rd) - rd)
+            proto = str(coll.get('protocol', 'lab'))
+            if proto not in ('lab', 'exposure'):
+                raise ValueError(
+                    "collection protocol {!r} unknown — use 'lab' "
+                    "(collect once, count lab emergence through the "
+                    "incubation distribution) or 'exposure' (rotating "
+                    "plants; counts attribute to the exposure window's "
+                    "oviposition)".format(proto))
+            self.sent_protocols.append(proto)
         ids = sorted(set().union(*[set(df['id']) for df in raw]))
         self.sent_DataFrames = []
         for df in raw:
@@ -518,7 +548,17 @@ class LocInfo:
         rd = self.release_date
         self.releasefield_id = spec.get('releasefield_id', 'A')
         self.release_DataFrames = []
-        for coll in spec['collections']:
+        # collections without a release_csv contribute no release-channel
+        # frame (a site may have sentinel records only — e.g. the real
+        # carnarvon-early data has no spatial release-field sampling);
+        # this index maps each kept frame back to its collection entry so
+        # the observation projections pair it with the right
+        # collection_date/protocol
+        self.release_coll_idx = []
+        for ncoll, coll in enumerate(spec['collections']):
+            if not coll.get('release_csv'):
+                continue
+            self.release_coll_idx.append(ncoll)
             df = self._read_obs_csv(coll['release_csv'])
             df = df.assign(x=df['x'].astype(float), y=df['y'].astype(float),
                            date=[_parse_day(v, rd) for v in df['date']])

@@ -54,6 +54,26 @@ def _emergence_weights(collection_day, obs_cols, ndays):
     return M @ B
 
 
+def _exposure_weights(obs_days, ndays):
+    """W[day, obs_col] for the rotating-sentinel ('exposure') protocol:
+    observation column ``col`` (dated ``obs_days[col]`` days post-release)
+    counts the eventual emergence from plants exposed during
+    ``(obs_days[col-1], obs_days[col]]`` — a direct census of that
+    window's oviposition, so each window day contributes its population
+    with weight 1 and no incubation offset (day index i = day i+1
+    post-release, the same convention as ``_emergence_weights``)."""
+    W = np.zeros((ndays, len(obs_days)))
+    prev = 0
+    for col, d in enumerate(obs_days):
+        if d <= prev:
+            raise ValueError('exposure-protocol observation dates must be '
+                             'strictly increasing and after the release '
+                             '(got day {} after day {})'.format(d, prev))
+        W[prev:min(d, ndays), col] = 1.0
+        prev = d
+    return W
+
+
 class _Projection(NamedTuple):
     point_rows: np.ndarray     # flattened gather index (row*D + col)
     weights: np.ndarray        # (ndays, n_obs_cols)
@@ -88,14 +108,28 @@ class ObservationOps:
                     ndays, max(need)), RuntimeWarning, stacklevel=2)
 
         ### release-field grid emergence (per collection)
+        # generic sites may skip the release channel on some collections
+        # (release_coll_idx maps kept frames to collection entries) and may
+        # use the rotating-sentinel 'exposure' protocol instead of the
+        # Kalbar lab-incubation one (LocInfo._generic_sentinel)
+        rel_idx = getattr(locinfo, 'release_coll_idx', None)
+        if rel_idx is None:
+            rel_idx = list(range(len(locinfo.release_DataFrames)))
+        protocols = getattr(locinfo, 'sent_protocols', None)
+        if protocols is None:
+            protocols = ['lab'] * len(locinfo.sent_DataFrames)
         self.release_proj = []
         for nframe, dframe in enumerate(locinfo.release_DataFrames):
-            cd = locinfo.collection_datesPR[nframe].days
+            ncoll = rel_idx[nframe]
+            cd = locinfo.collection_datesPR[ncoll].days
             obs = [int(d / np.timedelta64(1, 'D'))
                    for d in dframe['datePR'].unique()]
             idx = np.array([r * D + c for r, c in
                             locinfo.emerg_grids[nframe]], np.int32)
-            W = _emergence_weights(cd, obs, ndays)
+            if protocols[ncoll] == 'exposure':
+                W = _exposure_weights(obs, ndays)
+            else:
+                W = _emergence_weights(cd, obs, ndays)
             self.release_proj.append(_Projection(
                 idx, np.asarray(W, np.float32)))
 
@@ -115,8 +149,11 @@ class ObservationOps:
             cd = locinfo.collection_datesPR[nframe].days
             obs = [int(d / np.timedelta64(1, 'D'))
                    for d in dframe['datePR'].unique()]
-            self.sentinel_W.append(np.asarray(
-                _emergence_weights(cd, obs, ndays), np.float32))
+            if protocols[nframe] == 'exposure':
+                W = _exposure_weights(obs, ndays)
+            else:
+                W = _emergence_weights(cd, obs, ndays)
+            self.sentinel_W.append(np.asarray(W, np.float32))
 
         ### grid adult counts: end-of-day density at sampled cells
         # (ref Bayes_funcs.py:167-173: modelsol[date.days-1])

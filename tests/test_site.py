@@ -503,3 +503,111 @@ def test_card_direction_validation(tmp_path):
     li = _demo_variant(ok, mutate_ok)
     assert li.card_obs[0].shape == (4, 1)
     np.testing.assert_array_equal(li.card_obs[0][:, 0], [3, 2, 1, 0])
+
+
+# ----------------------------------------------------------------------
+# rotating-sentinel ('exposure') protocol + sentinel-only collections —
+# the ingestion path for the real data/carnarvonearlemergence.txt record
+# (ref ParasitoidModel.py:28-60), whose day-1..21 counts are impossible
+# under the Kalbar lab protocol's 19-25-day incubation offset
+# ----------------------------------------------------------------------
+
+def test_exposure_weights_unit():
+    from parasitoids_tpu.models.observe import _exposure_weights
+    W = _exposure_weights([2, 5, 9], 7)
+    # col 0 <- days 1..2 (idx 0..1); col 1 <- days 3..5 (idx 2..4);
+    # col 2 <- days 6..9 truncated to the 7-day horizon (idx 5..6)
+    expect = np.zeros((7, 3))
+    expect[0:2, 0] = 1.0
+    expect[2:5, 1] = 1.0
+    expect[5:7, 2] = 1.0
+    np.testing.assert_array_equal(W, expect)
+    # windows partition the covered days: no day feeds two columns
+    assert (W.sum(axis=1) <= 1.0).all()
+    with pytest.raises(ValueError, match='strictly increasing'):
+        _exposure_weights([2, 2, 5], 7)
+    with pytest.raises(ValueError, match='strictly increasing'):
+        _exposure_weights([0, 3], 7)
+
+
+def test_exposure_protocol_sentinel_only(tmp_path):
+    """A collection may declare protocol='exposure' and omit release_csv:
+    LocInfo records the protocol and keeps no release frame, and
+    ObservationOps builds the sentinel weights from the exposure windows
+    (no incubation convolution)."""
+    from parasitoids_tpu.models.observe import (ObservationOps,
+                                                _exposure_weights)
+
+    def mutate(d):
+        with open(d / 'demosite.json') as f:
+            spec = json.load(f)
+        spec['collections'] = [{'collection_date': 9,
+                                'sentinel_csv': 'demo_sentinel.csv',
+                                'protocol': 'exposure'}]
+        del spec['grid_obs_csv']
+        del spec['cardinal']
+        (d / 'demo_sentinel.csv').write_text(
+            'id,date,count\nF1,3,4\nF2,3,1\nF1,6,2\nF2,6,0\nF1,9,1\n')
+        with open(d / 'demosite.json', 'w') as f:
+            json.dump(spec, f)
+
+    li = _demo_variant(tmp_path, mutate)
+    assert li.sent_protocols == ['exposure']
+    assert li.release_DataFrames == [] and li.release_coll_idx == []
+    assert li.sentinel_emerg[0].shape == (2, 3)        # F2 day-9 zero-filled
+    np.testing.assert_allclose(li.sentinel_emerg[0],
+                               [[4.0, 2.0, 1.0], [1.0, 0.0, 0.0]])
+    ndays = 10
+    oo = ObservationOps(li, DEMO_DOMAIN, ndays)
+    assert oo.release_proj == []
+    np.testing.assert_array_equal(oo.sentinel_W[0],
+                                  _exposure_weights([3, 6, 9], ndays))
+
+
+def test_mixed_protocols_pair_release_with_its_collection(tmp_path):
+    """Two collections — a lab one with a release CSV and a later
+    sentinel-only exposure one: release_coll_idx must map the single kept
+    release frame back to collection 0, so its emergence weights use
+    collection 0's date (not the exposure collection's)."""
+    from parasitoids_tpu.models.observe import (ObservationOps,
+                                                _emergence_weights)
+
+    def mutate(d):
+        with open(d / 'demosite.json') as f:
+            spec = json.load(f)
+        spec['collections'] = [
+            {'collection_date': 5, 'sentinel_csv': 'demo_sentinel.csv',
+             'release_csv': 'demo_release.csv'},
+            {'collection_date': 9, 'sentinel_csv': 'exp_sentinel.csv',
+             'protocol': 'exposure'},
+        ]
+        (d / 'exp_sentinel.csv').write_text(
+            'id,date,count\nF1,3,4\nF2,3,1\nF1,9,2\nF2,9,0\n')
+        with open(d / 'demosite.json', 'w') as f:
+            json.dump(spec, f)
+
+    li = _demo_variant(tmp_path, mutate)
+    assert li.sent_protocols == ['lab', 'exposure']
+    assert len(li.release_DataFrames) == 1 and li.release_coll_idx == [0]
+    ndays = 28
+    oo = ObservationOps(li, DEMO_DOMAIN, ndays)
+    assert len(oo.release_proj) == 1
+    np.testing.assert_array_equal(
+        oo.release_proj[0].weights,
+        np.asarray(_emergence_weights(5, [22, 26], ndays), np.float32))
+    # lab sentinel weights untouched; exposure frame uses window weights
+    assert (np.asarray(oo.sentinel_W[0]) != 0).any()
+    np.testing.assert_array_equal(
+        oo.sentinel_W[1][:, 0], np.asarray([1.0] * 3 + [0.0] * 25,
+                                           np.float32))
+
+
+def test_unknown_protocol_raises(tmp_path):
+    def mutate(d):
+        with open(d / 'demosite.json') as f:
+            spec = json.load(f)
+        spec['collections'][0]['protocol'] = 'overnight'
+        with open(d / 'demosite.json', 'w') as f:
+            json.dump(spec, f)
+    with pytest.raises(ValueError, match='overnight'):
+        _demo_variant(tmp_path, mutate)
