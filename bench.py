@@ -111,12 +111,17 @@ def measure(n_iters=20):
     return dt, s.ndays
 
 
-def measure_am(n_steps=1000):
-    """Adaptive-Metropolis steps/hr at the full reference MCMC config: one
-    compiled program runs ``n_steps`` transitions (chain scan), timed on a
-    second invocation so compile cost is excluded."""
+def measure_am(n_steps=2400):
+    """Adaptive-Metropolis steps/hr AND ESS/hr at the full reference MCMC
+    config: one compiled program runs ``n_steps`` transitions (chain scan),
+    timed on a second invocation so compile cost is excluded.  The timed
+    trace also yields min/median effective-sample-size rates over the
+    25 sampled parameters — steps/hr alone is information-free when the
+    ridge parameters mix slowly (VERDICT r2 item 3), so the bench tracks
+    information per hour, not raw steps."""
     import jax
     import jax.numpy as jnp
+    from parasitoids_tpu.bayes.diagnostics import effective_sample_size
     from parasitoids_tpu.bayes.model import BayesSetup
     from parasitoids_tpu.bayes.sampler import (MCMCConfig, init_chain_state,
                                                run_mcmc)
@@ -132,7 +137,12 @@ def measure_am(n_steps=1000):
     t0 = time.time()
     _, trace = run(state2)
     assert np.isfinite(float(trace[-1, -1]))
-    return (time.time() - t0) / n_steps
+    dt = time.time() - t0
+    tr = np.asarray(trace)[:, :25]            # drop trailing logpost col
+    ess = np.array([effective_sample_size(tr[:, j]) for j in range(25)])
+    return {'s_per_step': dt / n_steps,
+            'min_ess_per_hr': float(ess.min() * 3600.0 / dt),
+            'median_ess_per_hr': float(np.median(ess) * 3600.0 / dt)}
 
 
 def measure_nuts(n_draws=24, n_warmup=32, steps_per_call=4):
@@ -176,6 +186,61 @@ def measure_nuts(n_draws=24, n_warmup=32, steps_per_call=4):
     return (t1 - t0) / (i1 - i0)              # s per transition
 
 
+def measure_nuts_801(n_draws=64, n_warmup=16, map_steps=150,
+                     steps_per_call=4):
+    """NUTS at the FULL 801x801 Bayes config with the Laplace warm start
+    (bayes/run.py --mass laplace): MAP fit -> fixed dense Hessian metric ->
+    step-size-only warmup -> ``n_draws`` transitions.  Reports both the
+    transition rate (sampling phase only, untimed warmup/MAP) and min/
+    median ESS/hr over the 25 sampled parameters — the bench-tracked
+    version of the recorded 801^2 runs (runs/), so the headline inference
+    rate regression-tracks in BENCH_r*.json instead of living only in
+    PERF.md (VERDICT r2 items 3-4)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import random
+    from parasitoids_tpu.bayes.diagnostics import effective_sample_size
+    from parasitoids_tpu.bayes.map_fit import laplace_approximation, map_fit
+    from parasitoids_tpu.bayes.model import BayesSetup
+    from parasitoids_tpu.bayes.nuts import (NUTSConfig,
+                                            make_transformed_logpdf,
+                                            nuts_sample_stepwise,
+                                            psd_clip_covariance)
+    from parasitoids_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    setup = BayesSetup()                      # Bayes_Run config: 801x801
+    logpdf, _, _ = make_transformed_logpdf(setup)
+    fit = map_fit(setup, n_steps=map_steps, use_sprd=False)
+    lap = laplace_approximation(setup, fit)
+    inv0 = np.asarray(psd_clip_covariance(
+        jnp.asarray(lap['cov_z'], jnp.float32)))
+    cfg = NUTSConfig(num_warmup=n_warmup, num_samples=n_draws, max_depth=6,
+                     dense_mass=True, fixed_mass=True)
+    stamps = []
+
+    def progress(phase, i, total):
+        if phase == 'sample':
+            stamps.append((i, time.time()))
+
+    out = nuts_sample_stepwise(
+        logpdf, jnp.asarray(fit['z'], jnp.float32)[None],
+        random.split(random.PRNGKey(0), 1), cfg, progress=progress,
+        steps_per_call=steps_per_call, init_inv_mass=inv0[None])
+    assert np.isfinite(np.asarray(out['logp'])).all()
+    if len(stamps) < 2:
+        raise RuntimeError('not enough timing chunks')
+    (i0, t0), (i1, t1) = stamps[0], stamps[-1]
+    spt = (t1 - t0) / (i1 - i0)
+    z = np.asarray(out['samples'])[0]          # (draws, dim) z-space
+    ess = np.array([effective_sample_size(z[:, j])
+                    for j in range(z.shape[1])])
+    return {'s_per_transition': spt,
+            'min_ess_per_hr': float(ess.min() * 3600.0 / (spt * n_draws)),
+            'median_ess_per_hr': float(np.median(ess) * 3600.0
+                                       / (spt * n_draws))}
+
+
 def _measure_tpu_subprocess(timeout_s):
     """Run the TPU measurement in a bounded child: the hosted-TPU tunnel
     can wedge AFTER device init (a dispatch that never returns), which an
@@ -217,10 +282,13 @@ def main():
         print(json.dumps({'dt': dt, 'ndays': ndays}))
         return
     if '--child-am' in sys.argv:
-        print(json.dumps({'s_per_step': measure_am()}))
+        print(json.dumps(measure_am()))
         return
     if '--child-nuts' in sys.argv:
         print(json.dumps({'s_per_transition': measure_nuts()}))
+        return
+    if '--child-nuts801' in sys.argv:
+        print(json.dumps(measure_nuts_801()))
         return
 
     platform = 'tpu'
@@ -275,8 +343,15 @@ def main():
                 # reference AM step = one full forward sim, single stream
                 'vs_baseline': (round((3600.0 / sps) / (3600.0 / ref_total),
                                       1) if ref_total else None)}
+            extras['am_ess_per_hr'] = {
+                'value': round(am['min_ess_per_hr'], 1),
+                'unit': 'min ESS/hr over 25 params (median {:.0f}), '
+                        '2400-step AM chain, 801x801'.format(
+                            am['median_ess_per_hr']),
+                'vs_baseline': None}   # reference records no ESS anywhere
         else:
             extras['am_steps_per_hr'] = None
+            extras['am_ess_per_hr'] = None
         nuts = _extra_subprocess('--child-nuts', float(os.environ.get(
             'PARA_NUTS_BENCH_TIMEOUT', 1800)))
         if nuts:
@@ -287,6 +362,24 @@ def main():
                 'vs_baseline': None}   # the reference has no NUTS at all
         else:
             extras['nuts_transitions_per_hr_map_domain'] = None
+        n801 = _extra_subprocess('--child-nuts801', float(os.environ.get(
+            'PARA_NUTS801_BENCH_TIMEOUT', 2700)))
+        if n801:
+            spt = n801['s_per_transition']
+            extras['nuts_801_transitions_per_hr'] = {
+                'value': round(3600.0 / spt, 1),
+                'unit': 'NUTS transitions/hr, full 801x801 config, '
+                        'Laplace warm start (fixed dense metric)',
+                'vs_baseline': None}
+            extras['nuts_801_ess_per_hr'] = {
+                'value': round(n801['min_ess_per_hr'], 1),
+                'unit': 'min ESS/hr over params (median {:.0f}), 64-draw '
+                        'warm-started NUTS, 801x801'.format(
+                            n801['median_ess_per_hr']),
+                'vs_baseline': None}
+        else:
+            extras['nuts_801_transitions_per_hr'] = None
+            extras['nuts_801_ess_per_hr'] = None
 
     print(json.dumps({
         'metric': 'kalbar_full_forward_sims_per_hr',

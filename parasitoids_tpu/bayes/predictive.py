@@ -272,8 +272,16 @@ def main(argv=None):
     ap.add_argument('--prior', action='store_true',
                     help='prior-predictive: draw parameters from the joint '
                          'prior instead of a trace')
-    ap.add_argument('--draws', type=int, default=20)
+    ap.add_argument('--draws', type=int, default=100,
+                    help='posterior draws in the predictive ensemble; '
+                         'p-values carry the (1+k)/(1+B) finite-draw '
+                         'correction, so bands tighter than ~1/B need '
+                         'at least that many draws (default 100)')
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--json', action='store_true',
+                    help='also write the p-value table to '
+                         '<trace>_ppc<draws>.json (prior_ppc<draws>.json '
+                         'with --prior) for study summaries')
     ap.add_argument('overrides', nargs='*',
                     help='key=value Params overrides matching the run')
     args = ap.parse_args(argv)
@@ -290,10 +298,23 @@ def main(argv=None):
     if len(jax.devices()) > 1:
         from ..parallel.chains import chain_mesh
         mesh = chain_mesh()
+    def write_json(pv, jpath, n_draws):
+        import json
+        import time as _time
+        payload = {'draws': n_draws, 'seed': args.seed,
+                   'date': _time.strftime('%Y-%m-%d'), 'pvalues': pv}
+        with open(jpath, 'w') as f:
+            json.dump(payload, f, indent=1)
+        print('wrote', jpath)
+
     if args.prior:
         pred = prior_predictive(setup, n_draws=args.draws, seed=args.seed,
                                 mesh=mesh)
-        print(pvalue_report(predictive_pvalues(setup, pred)))
+        pv = predictive_pvalues(setup, pred)
+        print(pvalue_report(pv))
+        if args.json:
+            write_json(pv, 'prior_ppc{}.json'.format(args.draws),
+                       args.draws)
         print('wrote', plot_predictive(setup, pred, 'prior_predictive.png',
                                        label='prior'))
         return
@@ -305,7 +326,11 @@ def main(argv=None):
         pred = posterior_predictive(setup, traces, n_draws=args.draws,
                                     seed=args.seed, mesh=mesh)
         out = path[:-4] + '_predictive.png'
-    print(pvalue_report(predictive_pvalues(setup, pred)))
+    pv = predictive_pvalues(setup, pred)
+    print(pvalue_report(pv))
+    if args.json:
+        write_json(pv, path[:-4] + '_ppc{}.json'.format(args.draws),
+                   args.draws)
     print('wrote', plot_predictive(setup, pred, out))
 
 
