@@ -119,3 +119,58 @@ def test_carnarvon_truth_sidecar_matches_site():
     assert truth['model']['n_periods'] == 30.0
     assert len(truth['sent_ids']) == 11
     assert len(truth['obs']) == 4 + 11
+
+
+# ----------------------------------------------------------------------
+# dataset=carnreal — the REAL Carnarvon-early field record
+# (scripts/make_carnarvon_real_site.py; VERDICT r2 item 6)
+# ----------------------------------------------------------------------
+
+def test_carnreal_site_matches_field_record():
+    """The committed carnreal site must reproduce the reference emergence
+    file exactly: every (station, day) count from
+    data/carnarvonearlemergence.txt (ref ParasitoidModel.py:28-60), under
+    the exposure protocol with no release/grid channels."""
+    from parasitoids_tpu.io.locinfo import LocInfo
+
+    # parse the reference-format record directly
+    with open(os.path.join('data', 'carnarvonearlemergence.txt')) as f:
+        ids = f.readline().split()[1:]
+        rows = [(int(p[0]), [int(v) for v in p[1:]])
+                for p in (line.split() for line in f) if p]
+
+    li = LocInfo('carnreal', (-24.851614, 113.731267), (10000.0, 200))
+    assert li.sent_protocols == ['exposure']
+    assert li.release_DataFrames == []
+    assert li.sent_ids == ['S' + i for i in ids]
+    em = li.sentinel_emerg[0]                      # (stations, dates)
+    assert em.shape == (len(ids), len(rows))
+    for col, (_, counts) in enumerate(rows):
+        np.testing.assert_array_equal(em[:, col], counts)
+    # wind reuse: the preset points at the real carnarvonearl wind file
+    from parasitoids_tpu.config import Params
+    pr = Params()
+    pr.cmd_line_chg(['dataset=carnreal'])
+    assert pr.site_name == 'data/carnarvonearl'
+    assert pr.r_dur == 5 and pr.r_number == 40000
+
+
+def test_carnreal_observation_ops():
+    """Exposure windows partition days 1..21 and the station gathers hit
+    distinct cells (S0 at the release cell, others on the assumed ring)."""
+    from parasitoids_tpu.io.locinfo import LocInfo
+    from parasitoids_tpu.models.observe import ObservationOps
+
+    li = LocInfo('carnreal', (-24.851614, 113.731267), (10000.0, 200))
+    ndays = 30                                    # carnarvonearl wind days
+    oo = ObservationOps(li, (10000.0, 200), ndays)
+    W = np.asarray(oo.sentinel_W[0])
+    assert W.shape == (ndays, 11)
+    # the 11 windows cover exactly days 1..21, once each
+    assert W[:21].sum() == 21.0
+    assert (W[:21].sum(axis=1) == 1.0).all()
+    assert (W[21:] == 0).all()
+    # S0's cells include the release cell (center of the 401^2 grid)
+    c = 200
+    s0 = li.field_cells['S0']
+    assert any((r == c and col == c) for r, col in s0)
