@@ -55,7 +55,7 @@ mkdir -p carn_study/real runs
 if [ ! -f runs/northstar_am.npz ]; then
     run_phase "[1] north-star 10k AM" 1800 runs/northstar_am.log \
         python -m parasitoids_tpu.bayes.run --new 10000 1000 \
-            runs/northstar_am --checkpoint-every 11000 \
+            runs/northstar_am --checkpoint-every 1000 \
         || log "[1] FAILED"
 else
     log "[1] north-star artifact already present"
