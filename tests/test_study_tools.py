@@ -79,3 +79,62 @@ def test_summarizer_keeps_complete_block(tmp_path):
     with open(tmp_path / 'summary.json') as f:
         block = json.load(f)['samplers']['am']
     assert block['replicates'] == 100      # untouched
+
+
+# ----------------------------------------------------------------------
+# analyze_sbc_ranks.py — the artifact-vs-defect discriminator must
+# actually discriminate (synthetic ranks with known structure)
+# ----------------------------------------------------------------------
+
+def _analyze(ranks, L, names):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'analyze_sbc_ranks', os.path.join(REPO, 'scripts',
+                                          'analyze_sbc_ranks.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.analyze(ranks, L, names)
+
+
+def test_rank_analysis_flags_directional_defect():
+    """A biased parameter (ranks piled low across replicates,
+    independently) must show a large mean-shift |z| WITHOUT a large
+    co-occurrence variance ratio."""
+    rng = np.random.default_rng(0)
+    R, dim, L = 200, 10, 80
+    ranks = rng.integers(0, L + 1, (R, dim))
+    ranks[:, 3] = rng.integers(0, L // 3, R)        # defect: skewed low
+    names = ['p{}'.format(j) for j in range(dim)]
+    res = _analyze(ranks, L, names)
+    assert abs(res['mean_rank_shift_z']['p3']) > 6
+    assert all(abs(res['mean_rank_shift_z'][n]) < 4
+               for n in names if n != 'p3')
+    assert res['co_occurrence_var_ratio'] < 2.5
+
+
+def test_rank_analysis_flags_replicate_clustering():
+    """Slow-mixing replicates (whole parameter block pinned at extremes
+    simultaneously, direction random per replicate) must show a large
+    co-occurrence variance ratio with NO directional mean shift."""
+    rng = np.random.default_rng(1)
+    R, dim, L = 200, 10, 80
+    ranks = rng.integers(int(L * 0.15), int(L * 0.85) + 1, (R, dim))
+    stuck = rng.random(R) < 0.2                     # 20% slow replicates
+    for r in np.where(stuck)[0]:
+        side = rng.random() < 0.5                   # random direction
+        ranks[r, :] = (rng.integers(0, 3, dim) if side
+                       else rng.integers(L - 2, L + 1, dim))
+    names = ['p{}'.format(j) for j in range(dim)]
+    res = _analyze(ranks, L, names)
+    assert res['co_occurrence_var_ratio'] > 4
+    assert res['max_abs_shift_z'] < 4
+
+
+def test_rank_analysis_uniform_is_quiet():
+    rng = np.random.default_rng(2)
+    R, dim, L = 200, 10, 80
+    ranks = rng.integers(0, L + 1, (R, dim))
+    res = _analyze(ranks, L, ['p{}'.format(j) for j in range(dim)])
+    assert res['co_occurrence_var_ratio'] < 2.0
+    assert res['max_abs_shift_z'] < 4
+    assert all(v == 'uniform-ish' for v in res['shape'].values())
