@@ -342,6 +342,24 @@ def map_fit_multistart(setup: BayesSetup, n_starts=8, seed=0, n_steps=300,
     }
 
 
+def hessian_columns(f, z):
+    """Full Hessian of scalar ``f`` at ``z`` as SEQUENTIAL Hessian-vector
+    products (``lax.map`` of forward-over-reverse JVPs of the gradient).
+
+    ``jax.hessian`` batches all d JVP columns through the model at once —
+    at the full 801² Bayes config that is d ≈ 31 copies of the forward
+    graph's residuals and overruns a v5e's 16 GB HBM (observed: 23.8 GB
+    requested).  One HVP at a time costs one fwd+grad of memory and d× the
+    time — for a one-time 31-column Hessian, seconds."""
+    grad_fn = jax.grad(f)
+
+    def hvp(v):
+        return jax.jvp(grad_fn, (z,), (v,))[1]
+
+    return jax.jit(lambda: lax.map(hvp, jnp.eye(z.shape[0],
+                                                dtype=z.dtype)))()
+
+
 def laplace_approximation(setup: BayesSetup, fit):
     """Normal approximation around the MAP point (ref pm.NormApprox,
     Bayes_MAP.py:521-569): returns means and the full covariance in the
@@ -358,7 +376,7 @@ def laplace_approximation(setup: BayesSetup, fit):
         setup = BayesSetup(params, sprd_factor=setup.sprd_factor)
     neg_logpost, constrain, _ = _make_objective(setup, fit['use_sprd'])
     z = jnp.asarray(fit['z'])
-    H = jax.jit(jax.hessian(neg_logpost))(z)
+    H = hessian_columns(neg_logpost, z)
     # np.array (copy): np.asarray of a CPU-backend jax array is a read-only
     # zero-copy view, and the regularization below writes in place
     H = np.array(H)

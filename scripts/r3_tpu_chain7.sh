@@ -44,6 +44,41 @@ run_phase() {
 : > "$STATUS"
 log "chain7 start; deadline in $(left) s"
 
+# -- [0] 801^2 warm NUTS (redo of chain6 [3]) ------------------------------
+# chain6's attempt OOMed in the MAP-point Hessian: jax.hessian batches all
+# 31 JVP columns (23.8 GB > 15.75 GB HBM at 801^2); map_fit now computes
+# sequential HVP columns (hessian_columns), so this retries with the fix.
+nuts801() {
+    if [ -f runs/nuts_r3.npz ]; then return 0; fi
+    if [ ! -f runs/nuts_r3.ckpt.npz ]; then
+        run_phase "[0] 801^2 NUTS (new)" 6000 runs/nuts_r3.log \
+            python -m parasitoids_tpu.bayes.run --new 1000 100 \
+                runs/nuts_r3 --sampler nuts --chains 2 --mass laplace \
+                --steps-per-call 4 --checkpoint-every 25 \
+                'domain_info=(10000.0,400)' \
+            && return 0
+    fi
+    for attempt in 1 2; do
+        [ -f runs/nuts_r3.ckpt.npz ] || break
+        run_phase "[0] 801^2 NUTS (resume $attempt)" 6000 runs/nuts_r3.log \
+            python -m parasitoids_tpu.bayes.run --resume runs/nuts_r3 0 \
+                --steps-per-call 4 'domain_info=(10000.0,400)' \
+            && return 0
+    done
+    [ -f runs/nuts_r3.npz ]
+}
+if nuts801; then
+    log "[0] 801^2 NUTS recorded at runs/nuts_r3.npz"
+    if [ ! -f runs/nuts_r3_ppc100.json ]; then
+        run_phase "[0b] PPC kalbar nuts_r3" 2400 runs/nuts_r3_ppc.log \
+            python -m parasitoids_tpu.bayes.predictive runs/nuts_r3.npz \
+                --draws 100 --json 'domain_info=(10000.0,400)' \
+            || log "[0b] FAILED"
+    fi
+else
+    log "[0] FAILED — see runs/nuts_r3.log"
+fi
+
 # -- [1] carnarvon synthetic-truth warm NUTS -------------------------------
 carn_nuts() {
     if [ -f carn_study/nuts_warm.npz ]; then return 0; fi
