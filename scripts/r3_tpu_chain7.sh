@@ -1,15 +1,18 @@
 #!/bin/bash
-# Round-3 TPU chain, phase 7 — takes over from chain6 once its fixed
-# phases ([1] north-star, [2] PT, [3] 801^2 NUTS, [4] real fit, [5] PPC)
-# have run.  The PT run completed crash-free (the --max-program-steps
-# chunking fix) but its ladder swap rates collapsed (0.02-0.26) and the
-# cold chain is unconverged (ESS(g_aw) 18) — so the converged-Carnarvon
-# deliverable (VERDICT r2 item 2) moves to the machinery that already
-# converged the Kalbar 801^2 posterior: Laplace-warm-started NUTS.
-# Remaining queue:
-#  1. carnarvon (synthetic-truth) warm NUTS, 2 chains x (80 + 700)
-#  2. its diagnostics + 100-draw PPC
-#  3. SBC NUTS warm loop to 100 replicates (every remaining minute)
+# Round-3 TPU chain, phase 7 — takes over from chain6.  chain6 outcomes:
+#  [1] north-star 10k AM: OK (runs/northstar_am.npz, committed)
+#  [2] carnarvon PT: ran crash-free under --max-program-steps chunking,
+#      but the tuned ladder's swap rates collapsed (0.02-0.26) and the
+#      cold chain is unconverged (ESS(g_aw) 18) — recorded as evidence;
+#      the converged-posterior deliverable moves to warm NUTS here.
+#  [3] 801^2 warm NUTS and [4] real-carnarvon fit: both OOMed in the
+#      MAP-point Hessian (jax.hessian batches all 31 JVP columns: 23.8 GB
+#      at 801^2, 19.7 GB at carnarvon 401^2 x 30 days, vs 15.75 GB HBM).
+#      map_fit.hessian_columns (sequential HVPs) fixes both; redone here.
+#  [5] 100-draw PPCs: ran for the recorded carnarvon traces.
+# Also fixes a chain6 bug: NUTS --resume invocations must pass
+# --sampler nuts (default is am; the resume retry routed to the AM loader
+# and crashed on the missing traces npz).
 set -u
 cd "$(dirname "$0")/.."
 
@@ -41,33 +44,34 @@ run_phase() {
     return $rc
 }
 
+# nuts_run <tag> <db> <log> <tmo> <new-args...>
+# new run, then checkpoint resumes (with --sampler nuts) until done
+nuts_run() {
+    local tag=$1 db=$2 plog=$3 tmo=$4; shift 4
+    if [ -f "$db.npz" ]; then return 0; fi
+    if [ ! -f "$db.ckpt.npz" ]; then
+        run_phase "$tag (new)" "$tmo" "$plog" \
+            python -m parasitoids_tpu.bayes.run "$@" && return 0
+    fi
+    for attempt in 1 2; do
+        [ -f "$db.ckpt.npz" ] || break
+        run_phase "$tag (resume $attempt)" "$tmo" "$plog" \
+            python -m parasitoids_tpu.bayes.run --resume "$db" 0 \
+                --sampler nuts --steps-per-call 4 "${RESUME_OVERRIDES[@]}" \
+            && return 0
+    done
+    [ -f "$db.npz" ]
+}
+
 : > "$STATUS"
 log "chain7 start; deadline in $(left) s"
 
-# -- [0] 801^2 warm NUTS (redo of chain6 [3]) ------------------------------
-# chain6's attempt OOMed in the MAP-point Hessian: jax.hessian batches all
-# 31 JVP columns (23.8 GB > 15.75 GB HBM at 801^2); map_fit now computes
-# sequential HVP columns (hessian_columns), so this retries with the fix.
-nuts801() {
-    if [ -f runs/nuts_r3.npz ]; then return 0; fi
-    if [ ! -f runs/nuts_r3.ckpt.npz ]; then
-        run_phase "[0] 801^2 NUTS (new)" 6000 runs/nuts_r3.log \
-            python -m parasitoids_tpu.bayes.run --new 1000 100 \
-                runs/nuts_r3 --sampler nuts --chains 2 --mass laplace \
-                --steps-per-call 4 --checkpoint-every 25 \
-                'domain_info=(10000.0,400)' \
-            && return 0
-    fi
-    for attempt in 1 2; do
-        [ -f runs/nuts_r3.ckpt.npz ] || break
-        run_phase "[0] 801^2 NUTS (resume $attempt)" 6000 runs/nuts_r3.log \
-            python -m parasitoids_tpu.bayes.run --resume runs/nuts_r3 0 \
-                --steps-per-call 4 'domain_info=(10000.0,400)' \
-            && return 0
-    done
-    [ -f runs/nuts_r3.npz ]
-}
-if nuts801; then
+# -- [0] 801^2 warm NUTS (redo of chain6 [3] with hessian_columns) ---------
+RESUME_OVERRIDES=('domain_info=(10000.0,400)')
+if nuts_run "[0] 801^2 NUTS" runs/nuts_r3 runs/nuts_r3.log 6000 \
+        --new 1000 100 runs/nuts_r3 --sampler nuts --chains 2 \
+        --mass laplace --steps-per-call 4 --checkpoint-every 25 \
+        'domain_info=(10000.0,400)'; then
     log "[0] 801^2 NUTS recorded at runs/nuts_r3.npz"
     if [ ! -f runs/nuts_r3_ppc100.json ]; then
         run_phase "[0b] PPC kalbar nuts_r3" 2400 runs/nuts_r3_ppc.log \
@@ -80,28 +84,12 @@ else
 fi
 
 # -- [1] carnarvon synthetic-truth warm NUTS -------------------------------
-carn_nuts() {
-    if [ -f carn_study/nuts_warm.npz ]; then return 0; fi
-    if [ ! -f carn_study/nuts_warm.ckpt.npz ]; then
-        run_phase "[1] carn warm NUTS (new)" 7200 carn_study/nuts_warm.log \
-            python -m parasitoids_tpu.bayes.run --new 700 80 \
-                carn_study/nuts_warm --sampler nuts --chains 2 \
-                --mass laplace --steps-per-call 4 --checkpoint-every 25 \
-                dataset=carnarvon 'domain_info=(10000.0,200)' \
-            && return 0
-    fi
-    for attempt in 1 2; do
-        [ -f carn_study/nuts_warm.ckpt.npz ] || break
-        run_phase "[1] carn warm NUTS (resume $attempt)" 7200 \
-            carn_study/nuts_warm.log \
-            python -m parasitoids_tpu.bayes.run --resume \
-                carn_study/nuts_warm 0 --steps-per-call 4 \
-                dataset=carnarvon 'domain_info=(10000.0,200)' \
-            && return 0
-    done
-    [ -f carn_study/nuts_warm.npz ]
-}
-if carn_nuts; then
+RESUME_OVERRIDES=(dataset=carnarvon 'domain_info=(10000.0,200)')
+if nuts_run "[1] carn warm NUTS" carn_study/nuts_warm \
+        carn_study/nuts_warm.log 7200 \
+        --new 700 80 carn_study/nuts_warm --sampler nuts --chains 2 \
+        --mass laplace --steps-per-call 4 --checkpoint-every 25 \
+        dataset=carnarvon 'domain_info=(10000.0,200)'; then
     run_phase "[1b] carn warm NUTS diagnostics" 1800 \
         carn_study/analyze_nuts_warm.log \
         python scripts/analyze_carn_trace.py carn_study/nuts_warm.npz \
@@ -117,20 +105,35 @@ else
     log "[1] FAILED — see carn_study/nuts_warm.log"
 fi
 
-# -- [2] SBC NUTS warm loop to 100 replicates ------------------------------
+# -- [2] REAL carnarvon fit (redo of chain6 [4]) ---------------------------
+RESUME_OVERRIDES=(dataset=carnreal 'domain_info=(10000.0,200)')
+if nuts_run "[2] real-carnarvon NUTS" carn_study/real/nuts \
+        carn_study/real/nuts.log 4800 \
+        --new 600 80 carn_study/real/nuts --sampler nuts --chains 2 \
+        --mass laplace --steps-per-call 8 --checkpoint-every 25 \
+        dataset=carnreal 'domain_info=(10000.0,200)'; then
+    run_phase "[2b] real-carnarvon diagnostics+PPC" 2400 \
+        carn_study/real/analyze.log \
+        python scripts/analyze_real_fit.py carn_study/real/nuts.npz \
+        || log "[2b] FAILED"
+else
+    log "[2] FAILED — see carn_study/real/nuts.log"
+fi
+
+# -- [3] SBC NUTS warm loop to 100 replicates ------------------------------
 while [ "$(left)" -gt 600 ]; do
     wait_for_tpu
-    log "[2 sbc-nuts] slice START ($(left) s left)"
+    log "[3 sbc-nuts] slice START ($(left) s left)"
     timeout 3600 python scripts/run_sbc_study.py --sampler nuts \
         --warm-start --nuts-burn 32 --nuts-samples 128 --nuts-thin 2 \
-        --max-depth 4 >> sbc_study/nuts_warm.log 2>&1
+        --max-depth 4 >> sbc_study/nuts_warm_arm.log 2>&1
     rc=$?
-    log "[2 sbc-nuts] slice exit: $rc"
+    log "[3 sbc-nuts] slice exit: $rc"
     python scripts/summarize_sbc_ckpt.py sbc_study/sbc_nuts.ckpt.npz \
         nuts sbc_study >> "$STATUS" 2>&1 || true
-    if [ $rc -eq 0 ]; then log "[2 sbc-nuts] ARM COMPLETE"; break; fi
+    if [ $rc -eq 0 ]; then log "[3 sbc-nuts] ARM COMPLETE"; break; fi
     if [ $rc -ne 124 ]; then
-        log "[2 sbc-nuts] tail: $(tail -3 sbc_study/nuts_warm.log | tr '\n' ' | ')"
+        log "[3 sbc-nuts] tail: $(tail -3 sbc_study/nuts_warm_arm.log | tr '\n' ' | ')"
     fi
 done
 
