@@ -154,8 +154,18 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
         L = L * int(chains)
     cfg = MCMCConfig(n_samples=burn + n_samples, obs_sweeps=obs_sweeps)
     start = 0
-    if checkpoint_path and os.path.exists(checkpoint_path):
-        with np.load(checkpoint_path) as d:
+    # the .ckpt.npz is transient (gitignored, lost on a VM recycle); a
+    # durable twin with identical payload lives beside it under a
+    # non-ignored name so committed partial progress survives restarts
+    durable_path = None
+    if checkpoint_path:
+        durable_path = (checkpoint_path[:-len('.ckpt.npz')] + '_partial.npz'
+                        if checkpoint_path.endswith('.ckpt.npz')
+                        else checkpoint_path + '.partial.npz')
+    for cand in (checkpoint_path, durable_path):
+        if not (cand and os.path.exists(cand)):
+            continue
+        with np.load(cand) as d:
             old_warm = int(d['warm']) if 'warm' in d.files else 0
             if (int(d['L']) == L and d['ranks'].shape[1] == dim
                     and int(d['seed']) == seed
@@ -166,10 +176,12 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
                 truths[:start] = d['truths'][:start]
                 if verbose and start:
                     print('  SBC resume: {} replicate(s) from {}'.format(
-                        start, checkpoint_path), flush=True)
+                        start, cand), flush=True)
             elif verbose:
                 print('  SBC checkpoint {} mismatches this config; '
-                      'starting fresh'.format(checkpoint_path), flush=True)
+                      'starting fresh'.format(cand), flush=True)
+        if start:
+            break
     for r in range(start, n_replicates):
         k_r = random.fold_in(key, r)
         k_m, k_o, k_chain = random.split(k_r, 3)
@@ -239,12 +251,14 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
                       r + 1, n_replicates, metric,
                       ranks[r].min(), ranks[r].max(), L), flush=True)
         if checkpoint_path:
-            tmp = checkpoint_path + '.tmp.npz'
-            np.savez(tmp, ranks=ranks, truths=truths, done=r + 1, L=L,
-                     seed=seed, sampler=sampler,
-                     warm=int(bool(warm_start)),
-                     names=np.asarray(_param_names(setup)))
-            os.replace(tmp, checkpoint_path)
+            payload = dict(ranks=ranks, truths=truths, done=r + 1, L=L,
+                           seed=seed, sampler=sampler,
+                           warm=int(bool(warm_start)),
+                           names=np.asarray(_param_names(setup)))
+            for dest in (checkpoint_path, durable_path):
+                tmp = dest + '.tmp.npz'
+                np.savez(tmp, **payload)
+                os.replace(tmp, dest)
     return {'ranks': ranks, 'L': L, 'names': _param_names(setup),
             'truths': truths, 'resumed_at': start}
 

@@ -149,8 +149,11 @@ def main():
             json.dump(summary, f, indent=1)
         os.replace(tmp, summary_path)
         print('wrote', summary_path, flush=True)
-        if os.path.exists(ckpt):
-            os.remove(ckpt)    # arm complete; partial state superseded
+        # arm complete; partial state (transient ckpt + its durable twin,
+        # see bayes/sbc.py) superseded by the final _ranks artifact
+        for stale in (ckpt, base + '_partial.npz'):
+            if os.path.exists(stale):
+                os.remove(stale)
 
 
 if __name__ == '__main__':

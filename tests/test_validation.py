@@ -7,6 +7,8 @@ prior samplers; the SBC harness closes the loop by testing the sampler
 against its own generative model.
 """
 
+import os
+
 import numpy as np
 import pytest
 from jax import random
@@ -245,6 +247,18 @@ def test_sbc_checkpoint_resume_exact(setup, tmp_path):
     assert resumed['resumed_at'] == 2
     np.testing.assert_array_equal(full['ranks'], resumed['ranks'])
     np.testing.assert_allclose(full['truths'], resumed['truths'])
+
+    # the transient ckpt is gitignored and dies with the VM; its durable
+    # twin (committed) must carry the same resume state when the ckpt
+    # itself is gone
+    ck2 = str(tmp_path / 'vm.ckpt.npz')
+    run_sbc(setup, 2, random.PRNGKey(0), checkpoint_path=ck2, **kw)
+    os.remove(ck2)                        # the VM recycle
+    assert os.path.exists(str(tmp_path / 'vm_partial.npz'))
+    resumed2 = run_sbc(setup, 3, random.PRNGKey(0), checkpoint_path=ck2,
+                       **kw)
+    assert resumed2['resumed_at'] == 2
+    np.testing.assert_array_equal(full['ranks'], resumed2['ranks'])
 
     # a checkpoint from a different config must be ignored, not merged
     fresh = run_sbc(setup, 3, random.PRNGKey(0), n_samples=40, burn=10,
