@@ -182,11 +182,19 @@ def predictive_pvalues(setup: BayesSetup, pred):
             res[name] = float((1 + np.sum(t_rep >= t_obs)) / (1 + b))
         return res
 
-    out['grid'] = pvals(setup.obs_grid, list(pred['grid']))
+    # channels can be empty for a site (the real-Carnarvon record is
+    # sentinel-only — no grid or release-field sampling exists); an empty
+    # observation array has no test statistics, so skip, don't crash
+    if np.asarray(setup.obs_grid).size:
+        out['grid'] = pvals(setup.obs_grid, list(pred['grid']))
     for k, data in enumerate(setup.obs_release):
+        if not np.asarray(data).size:
+            continue
         out['release[{}]'.format(k)] = pvals(
             data, [draw[k] for draw in pred['release']])
     for k, data in enumerate(setup.obs_sentinel):
+        if not np.asarray(data).size:
+            continue
         out['sentinel[{}]'.format(k)] = pvals(
             data, [draw[k] for draw in pred['sentinel']])
     return out
@@ -216,27 +224,40 @@ def plot_predictive(setup: BayesSetup, pred, outfile, label='posterior'):
     plt = _mpl()
     fig, axes = plt.subplots(1, 3, figsize=(15, 4))
 
-    # grid adults: total count per observation day
-    g_tot = pred['grid'].sum(axis=1)             # (B, n_dates)
-    obs_tot = np.asarray(setup.obs_grid).sum(axis=0)
-    x = np.arange(g_tot.shape[1])
-    axes[0].violinplot([g_tot[:, d] for d in range(g_tot.shape[1])],
-                       positions=x, widths=0.7)
-    axes[0].plot(x, obs_tot, 'k_', markersize=20, label='observed')
-    axes[0].set_title('grid adult totals per obs day')
-    axes[0].set_xlabel('observation day')
-    axes[0].legend()
+    def _empty(ax, title):
+        ax.text(0.5, 0.5, 'no data for this site', ha='center',
+                va='center', transform=ax.transAxes, color='0.5')
+        ax.set_title(title)
+
+    # grid adults: total count per observation day (empty channels are
+    # real: the real-Carnarvon record is sentinel-only)
+    if np.asarray(setup.obs_grid).size:
+        g_tot = pred['grid'].sum(axis=1)         # (B, n_dates)
+        obs_tot = np.asarray(setup.obs_grid).sum(axis=0)
+        x = np.arange(g_tot.shape[1])
+        axes[0].violinplot([g_tot[:, d] for d in range(g_tot.shape[1])],
+                           positions=x, widths=0.7)
+        axes[0].plot(x, obs_tot, 'k_', markersize=20, label='observed')
+        axes[0].set_title('grid adult totals per obs day')
+        axes[0].set_xlabel('observation day')
+        axes[0].legend()
+    else:
+        _empty(axes[0], 'grid adult totals per obs day')
 
     # release-field emergence totals per collection
-    r_tot = np.array([[rb.sum() for rb in draw] for draw in pred['release']])
-    obs_r = [np.asarray(o).sum() for o in setup.obs_release]
-    axes[1].violinplot([r_tot[:, k] for k in range(r_tot.shape[1])],
-                       positions=np.arange(r_tot.shape[1]), widths=0.7)
-    axes[1].plot(np.arange(len(obs_r)), obs_r, 'k_', markersize=20,
-                 label='observed')
-    axes[1].set_title('release-field emergence totals')
-    axes[1].set_xlabel('collection')
-    axes[1].legend()
+    if setup.obs_release:
+        r_tot = np.array([[rb.sum() for rb in draw]
+                          for draw in pred['release']])
+        obs_r = [np.asarray(o).sum() for o in setup.obs_release]
+        axes[1].violinplot([r_tot[:, k] for k in range(r_tot.shape[1])],
+                           positions=np.arange(r_tot.shape[1]), widths=0.7)
+        axes[1].plot(np.arange(len(obs_r)), obs_r, 'k_', markersize=20,
+                     label='observed')
+        axes[1].set_title('release-field emergence totals')
+        axes[1].set_xlabel('collection')
+        axes[1].legend()
+    else:
+        _empty(axes[1], 'release-field emergence totals')
 
     # sentinel emergence totals per field
     s_tot = np.stack([np.concatenate(

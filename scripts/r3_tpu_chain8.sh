@@ -1,0 +1,116 @@
+#!/bin/bash
+# Round-3 TPU chain, phase 8 — takes over from chain7 after its phase [0]
+# (801^2 warm NUTS) lands.  Reordering rationale: chain7 ran the SBC NUTS
+# arm LAST, after three bounded-but-long fit phases; at the measured
+# ~2.5-3 min/replicate the arm (VERDICT r2 item 1a, the round's top_next)
+# would get almost no budget.  chain8 runs the bounded real-Carnarvon fit
+# (item 6) first, then gives every remaining TPU hour to SBC slices, each
+# slice committing the durable partial (bayes/sbc.py _partial twin) so a
+# VM recycle can no longer erase replicates.  The synthetic-truth
+# Carnarvon warm NUTS (item 2) is explicitly deferred to round 4.
+set -u
+cd "$(dirname "$0")/.."
+
+STATUS=chain8_status.log
+DEADLINE=${CHAIN8_DEADLINE_S:-$(( $(date +%s) + 14400 ))}
+
+log() { echo "$(date +%H:%M:%S) $*" >> "$STATUS"; }
+left() { echo $(( DEADLINE - $(date +%s) )); }
+
+git_safe() {  # serialize with the interactive session's git usage
+    flock -w 60 /tmp/para_git.lock git "$@"
+}
+
+commit_artifacts() {  # $1 = message; remaining args = paths
+    local msg=$1; shift
+    git_safe add -- "$@" 2>> "$STATUS" || return 1
+    git_safe diff --cached --quiet && return 0   # nothing new
+    git_safe commit -q -m "$msg" >> "$STATUS" 2>&1
+}
+
+tpu_ok() {
+    timeout 240 python -c "import jax; assert any(d.platform == 'tpu' for d in jax.devices()); import jax.numpy as jnp; (jnp.ones((128,128)) @ jnp.ones((128,128))).block_until_ready()" >/dev/null 2>&1
+}
+wait_for_tpu() {
+    until tpu_ok; do log "TPU unavailable; waiting..."; sleep 120; done
+}
+
+run_phase() {
+    local label=$1 tmo=$2 plog=$3; shift 3
+    if [ "$(left)" -lt 300 ]; then log "$label SKIPPED (deadline)"; return 2; fi
+    [ "$tmo" -gt "$(left)" ] && tmo=$(left)
+    wait_for_tpu
+    log "$label START (timeout ${tmo}s)"
+    timeout "$tmo" "$@" >> "$plog" 2>&1
+    local rc=$?
+    log "$label exit: $rc"
+    if [ $rc -ne 0 ]; then
+        log "$label tail: $(tail -3 "$plog" | tr '\n' ' | ')"
+    fi
+    return $rc
+}
+
+nuts_run() {  # <tag> <db> <log> <tmo> <new-args...>; resumes keep config via RESUME_OVERRIDES
+    local tag=$1 db=$2 plog=$3 tmo=$4; shift 4
+    if [ -f "$db.npz" ]; then return 0; fi
+    if [ ! -f "$db.ckpt.npz" ]; then
+        run_phase "$tag (new)" "$tmo" "$plog" \
+            python -m parasitoids_tpu.bayes.run "$@" && return 0
+    fi
+    for attempt in 1 2; do
+        [ -f "$db.ckpt.npz" ] || break
+        run_phase "$tag (resume $attempt)" "$tmo" "$plog" \
+            python -m parasitoids_tpu.bayes.run --resume "$db" 0 \
+                --sampler nuts --steps-per-call 8 "${RESUME_OVERRIDES[@]}" \
+            && return 0
+    done
+    [ -f "$db.npz" ]
+}
+
+: > "$STATUS"
+log "chain8 start; deadline in $(left) s"
+
+# -- [A] REAL carnarvon fit (VERDICT item 6; redo of chain7 [2]) -----------
+RESUME_OVERRIDES=(dataset=carnreal 'domain_info=(10000.0,200)')
+if nuts_run "[A] real-carnarvon NUTS" carn_study/real/nuts \
+        carn_study/real/nuts.log 4800 \
+        --new 600 80 carn_study/real/nuts --sampler nuts --chains 2 \
+        --mass laplace --steps-per-call 8 --checkpoint-every 25 \
+        dataset=carnreal 'domain_info=(10000.0,200)'; then
+    run_phase "[Ab] real-carnarvon diagnostics+PPC" 2400 \
+        carn_study/real/analyze.log \
+        python scripts/analyze_real_fit.py carn_study/real/nuts.npz \
+        || log "[Ab] FAILED"
+    commit_artifacts "Record the real-data Carnarvon NUTS fit" \
+        carn_study/real || log "[A] commit failed"
+else
+    log "[A] FAILED — see carn_study/real/nuts.log"
+fi
+
+# -- [B] SBC NUTS warm loop toward 100 replicates; durable commits ---------
+while [ "$(left)" -gt 900 ]; do
+    wait_for_tpu
+    log "[B sbc-nuts] slice START ($(left) s left)"
+    slice=$(( $(left) - 600 )); [ "$slice" -gt 3600 ] && slice=3600
+    timeout "$slice" python scripts/run_sbc_study.py --sampler nuts \
+        --warm-start --nuts-burn 32 --nuts-samples 128 --nuts-thin 2 \
+        --max-depth 4 >> sbc_study/nuts_warm_arm.log 2>&1
+    rc=$?
+    log "[B sbc-nuts] slice exit: $rc"
+    python scripts/summarize_sbc_ckpt.py sbc_study/sbc_nuts.ckpt.npz \
+        nuts sbc_study >> "$STATUS" 2>&1 || true
+    commit_artifacts "SBC NUTS arm: durable partial progress" \
+        sbc_study/sbc_nuts_partial.npz sbc_study/summary.json \
+        || log "[B] commit failed"
+    if [ $rc -eq 0 ]; then
+        log "[B sbc-nuts] ARM COMPLETE"
+        commit_artifacts "SBC NUTS arm complete: ranks + summary" \
+            sbc_study || log "[B] final commit failed"
+        break
+    fi
+    if [ $rc -ne 124 ]; then
+        log "[B sbc-nuts] tail: $(tail -3 sbc_study/nuts_warm_arm.log | tr '\n' ' | ')"
+    fi
+done
+
+log "chain8 done ($(left) s before deadline)"

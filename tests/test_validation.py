@@ -150,6 +150,28 @@ def test_pvalue_calibration_on_replicated_data():
     assert pv['grid']['max'] < 0.05
 
 
+def test_pvalues_skip_empty_channels():
+    """Sites can lack whole observation channels (the real-Carnarvon
+    record is sentinel-only): empty arrays must be skipped, not reduced
+    (np.max of a zero-size array raises)."""
+    from parasitoids_tpu.bayes import predictive as P
+
+    class FakeSetup:
+        pass
+
+    rng = np.random.default_rng(3)
+    fake = FakeSetup()
+    fake.obs_grid = np.zeros((0, 0))
+    fake.obs_release = [np.zeros(0)]
+    fake.obs_sentinel = [rng.poisson(2.0, (3, 4))]
+    pred = {'grid': np.zeros((50, 0, 0)),
+            'release': [[np.zeros(0)] for _ in range(50)],
+            'sentinel': [[rng.poisson(2.0, (3, 4))] for _ in range(50)]}
+    pv = P.predictive_pvalues(fake, pred)
+    assert set(pv) == {'sentinel[0]'}
+    assert all(0.0 < p <= 1.0 for p in pv['sentinel[0]'].values())
+
+
 @pytest.mark.slow
 def test_identifiability_tiny(setup, tmp_path):
     from parasitoids_tpu.bayes.identify import (identifiability,
