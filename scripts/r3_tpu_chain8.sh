@@ -87,6 +87,36 @@ else
     log "[A] FAILED — see carn_study/real/nuts.log"
 fi
 
+# -- [A2] 100-draw PPC for the committed north-star AM trace ---------------
+# (VERDICT r2 item 7: PPC tables for Kalbar's recorded traces)
+if [ ! -f runs/northstar_am_ppc100.json ]; then
+    run_phase "[A2] PPC kalbar northstar AM" 1800 runs/northstar_ppc.log \
+        python -m parasitoids_tpu.bayes.predictive runs/northstar_am.npz \
+            --draws 100 --json 'domain_info=(10000.0,400)' \
+        && { git_safe add -f runs/northstar_am_ppc100.json \
+                runs/northstar_am_predictive.png 2>> "$STATUS";
+             git_safe commit -q -m "Record the 100-draw PPC for the north-star AM trace" >> "$STATUS" 2>&1; } \
+        || log "[A2] FAILED"
+fi
+
+# -- [A3] commit + PPC the 801^2 NUTS run if chain7 landed it but was ------
+# stopped before its own [0b] phase ran
+if [ -f runs/nuts_r3.npz ]; then
+    git_safe add -f runs/nuts_r3.npz runs/nuts_r3.meta.json \
+        runs/nuts_r3.log 2>> "$STATUS"
+    git_safe diff --cached --quiet \
+        || git_safe commit -q -m "Record the 801^2 Laplace-warm NUTS run" >> "$STATUS" 2>&1
+    if [ ! -f runs/nuts_r3_ppc100.json ]; then
+        run_phase "[A3] PPC kalbar nuts_r3" 2400 runs/nuts_r3_ppc.log \
+            python -m parasitoids_tpu.bayes.predictive runs/nuts_r3.npz \
+                --draws 100 --json 'domain_info=(10000.0,400)' \
+            && { git_safe add -f runs/nuts_r3_ppc100.json \
+                    runs/nuts_r3_predictive.png 2>> "$STATUS";
+                 git_safe commit -q -m "Record the 100-draw PPC for the 801^2 NUTS run" >> "$STATUS" 2>&1; } \
+            || log "[A3] FAILED"
+    fi
+fi
+
 # -- [B] SBC NUTS warm loop toward 100 replicates; durable commits ---------
 while [ "$(left)" -gt 900 ]; do
     wait_for_tpu
