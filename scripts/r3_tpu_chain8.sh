@@ -21,9 +21,11 @@ git_safe() {  # serialize with the interactive session's git usage
     flock -w 60 /tmp/para_git.lock git "$@"
 }
 
-commit_artifacts() {  # $1 = message; remaining args = paths
-    local msg=$1; shift
-    git_safe add -- "$@" 2>> "$STATUS" || return 1
+commit_artifacts() {  # $1 = message; remaining args = paths (missing ok)
+    local msg=$1 p; shift
+    for p in "$@"; do
+        [ -e "$p" ] && git_safe add -- "$p" 2>> "$STATUS"
+    done
     git_safe diff --cached --quiet && return 0   # nothing new
     git_safe commit -q -m "$msg" >> "$STATUS" 2>&1
 }
@@ -116,6 +118,23 @@ if [ -f runs/nuts_r3.npz ]; then
             || log "[A3] FAILED"
     fi
 fi
+
+# -- [A4] 100-draw PPC tables for the recorded synthetic-Carnarvon traces --
+# (chain6 ran these but the VM recycled before anything committed them)
+for trace in carn_study/am carn_study/nuts; do
+    if [ -f "$trace.npz" ] && [ ! -f "${trace}_ppc100.json" ]; then
+        run_phase "[A4] PPC $trace" 1800 "${trace}_ppc.log" \
+            python -m parasitoids_tpu.bayes.predictive "$trace.npz" \
+                --draws 100 --json dataset=carnarvon \
+                'domain_info=(10000.0,200)' \
+            || log "[A4] $trace FAILED"
+    fi
+done
+commit_artifacts "Record 100-draw PPC tables for the synthetic-Carnarvon traces" \
+    carn_study/am_ppc100.json carn_study/nuts_ppc100.json \
+    carn_study/am_predictive.png carn_study/nuts_predictive.png \
+    carn_study/am_ppc.log carn_study/nuts_ppc.log \
+    || log "[A4] commit failed"
 
 # -- [B] SBC NUTS warm loop toward 100 replicates; durable commits ---------
 while [ "$(left)" -gt 900 ]; do
