@@ -75,8 +75,8 @@ log "chain8 start; deadline in $(left) s"
 # -- [A] REAL carnarvon fit (VERDICT item 6; redo of chain7 [2]) -----------
 RESUME_OVERRIDES=(dataset=carnreal 'domain_info=(10000.0,200)')
 if nuts_run "[A] real-carnarvon NUTS" carn_study/real/nuts \
-        carn_study/real/nuts.log 4800 \
-        --new 600 80 carn_study/real/nuts --sampler nuts --chains 2 \
+        carn_study/real/nuts.log 7000 \
+        --new 400 80 carn_study/real/nuts --sampler nuts --chains 2 \
         --mass laplace --steps-per-call 8 --checkpoint-every 25 \
         dataset=carnreal 'domain_info=(10000.0,200)'; then
     run_phase "[Ab] real-carnarvon diagnostics+PPC" 2400 \
