@@ -196,25 +196,21 @@ def measure_nuts_801(n_draws=64, n_warmup=16, map_steps=150,
     version of the recorded 801^2 runs (runs/), so the headline inference
     rate regression-tracks in BENCH_r*.json instead of living only in
     PERF.md (VERDICT r2 items 3-4)."""
-    import jax
     import jax.numpy as jnp
     from jax import random
     from parasitoids_tpu.bayes.diagnostics import effective_sample_size
-    from parasitoids_tpu.bayes.map_fit import laplace_approximation, map_fit
+    from parasitoids_tpu.bayes.map_fit import laplace_warm_mass
     from parasitoids_tpu.bayes.model import BayesSetup
     from parasitoids_tpu.bayes.nuts import (NUTSConfig,
                                             make_transformed_logpdf,
-                                            nuts_sample_stepwise,
-                                            psd_clip_covariance)
+                                            nuts_sample_stepwise)
     from parasitoids_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     setup = BayesSetup()                      # Bayes_Run config: 801x801
     logpdf, _, _ = make_transformed_logpdf(setup)
-    fit = map_fit(setup, n_steps=map_steps, use_sprd=False)
-    lap = laplace_approximation(setup, fit)
-    inv0 = np.asarray(psd_clip_covariance(
-        jnp.asarray(lap['cov_z'], jnp.float32)))
+    # the production --mass laplace recipe (bayes/run.py), shared helper
+    fit, inv0 = laplace_warm_mass(setup, n_steps=map_steps)
     cfg = NUTSConfig(num_warmup=n_warmup, num_samples=n_draws, max_depth=6,
                      dense_mass=True, fixed_mass=True)
     stamps = []

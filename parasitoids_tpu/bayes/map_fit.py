@@ -360,20 +360,41 @@ def hessian_columns(f, z):
                                                 dtype=z.dtype)))()
 
 
+def xla_twin(setup: BayesSetup) -> BayesSetup:
+    """The same posterior with the Pallas day kernel swapped for the XLA
+    path.  jax.hessian/jvp need forward mode, and the Pallas kernel's
+    custom_vjp admits none — its XLA twin is fwd-differentiable with
+    primals agreeing to ~2e-7.  Shared by every curvature consumer
+    (laplace_approximation, bayes/sbc.py warm start) so none of them can
+    drop setup state (sprd_factor) in a hand-rolled copy."""
+    if not setup.setup.kcfg.pallas:
+        return setup
+    import copy
+    params = copy.copy(setup.params)
+    params.use_pallas = False
+    return BayesSetup(params, sprd_factor=setup.sprd_factor)
+
+
+def laplace_warm_mass(setup: BayesSetup, n_steps=200, use_sprd=False):
+    """The ``--mass laplace`` warm-start recipe, in one place: MAP fit →
+    Laplace covariance → PSD-clipped float32 dense inverse mass matrix.
+    Returns ``(fit, inv_mass)``.  Shared by ``bayes/run.py`` and the
+    bench's ``measure_nuts_801`` so the regression-tracked configuration
+    IS the production path, not a hand-synced copy."""
+    from .nuts import psd_clip_covariance
+    fit = map_fit(setup, n_steps=n_steps, use_sprd=use_sprd)
+    lap = laplace_approximation(setup, fit)
+    inv0 = np.asarray(psd_clip_covariance(
+        jnp.asarray(lap['cov_z'], jnp.float32)))
+    return fit, inv0
+
+
 def laplace_approximation(setup: BayesSetup, fit):
     """Normal approximation around the MAP point (ref pm.NormApprox,
     Bayes_MAP.py:521-569): returns means and the full covariance in the
     *unconstrained* space plus per-parameter standard deviations mapped
     back through the bijections by linearization."""
-    if setup.setup.kcfg.pallas:
-        # jax.hessian is forward-over-reverse, and the Pallas day kernel's
-        # custom_vjp admits no forward mode — evaluate the one-time Hessian
-        # through the XLA path (custom_jvp there is fwd-differentiable;
-        # primals agree to ~2e-7).  The Adam fit itself keeps Pallas grads.
-        import copy
-        params = copy.copy(setup.params)
-        params.use_pallas = False
-        setup = BayesSetup(params, sprd_factor=setup.sprd_factor)
+    setup = xla_twin(setup)
     neg_logpost, constrain, _ = _make_objective(setup, fit['use_sprd'])
     z = jnp.asarray(fit['z'])
     H = hessian_columns(neg_logpost, z)

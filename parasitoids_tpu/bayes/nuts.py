@@ -58,28 +58,28 @@ def inv_mass_from_hessian(H, lam_floor=1e-2, lam_ceil=1e12):
     upstream) pinned without hurting conditioning of the rest.  Non-finite
     input falls back to the identity.
     """
-    H = jnp.asarray(H)
-    Hs = 0.5 * (H + H.T)
-    lam, V = jnp.linalg.eigh(Hs)
-    lam = jnp.clip(jnp.abs(lam), lam_floor, lam_ceil)
-    inv = (V * (1.0 / lam)) @ V.T
-    inv = 0.5 * (inv + inv.T)
-    ok = jnp.all(jnp.isfinite(inv))
-    return jnp.where(ok, inv, jnp.eye(H.shape[0], dtype=H.dtype))
+    return _spectral_clip(H, lam_floor, lam_ceil, invert=True)
 
 
 def psd_clip_covariance(cov, eig_min=1e-12, eig_max=100.0):
     """Project a covariance estimate (e.g. a Laplace ``cov_z``) onto the
     PSD cone with eigenvalues clipped to ``[eig_min, eig_max]`` — the
     sanitizer for using it as a NUTS inverse mass matrix."""
-    cov = jnp.asarray(cov)
-    Cs = 0.5 * (cov + cov.T)
-    lam, V = jnp.linalg.eigh(Cs)
-    lam = jnp.clip(jnp.abs(lam), eig_min, eig_max)
-    out = (V * lam) @ V.T
+    return _spectral_clip(cov, eig_min, eig_max, invert=False)
+
+
+def _spectral_clip(A, lo, hi, invert):
+    """Shared spectral sanitizer: symmetrize, |eigenvalue|-clip to
+    ``[lo, hi]`` (optionally inverting the spectrum), re-symmetrize, and
+    fall back to the identity on non-finite input."""
+    A = jnp.asarray(A)
+    As = 0.5 * (A + A.T)
+    lam, V = jnp.linalg.eigh(As)
+    lam = jnp.clip(jnp.abs(lam), lo, hi)
+    out = (V * (1.0 / lam if invert else lam)) @ V.T
     out = 0.5 * (out + out.T)
     ok = jnp.all(jnp.isfinite(out))
-    return jnp.where(ok, out, jnp.eye(cov.shape[0], dtype=cov.dtype))
+    return jnp.where(ok, out, jnp.eye(A.shape[0], dtype=A.dtype))
 
 
 class NUTSConfig(NamedTuple):

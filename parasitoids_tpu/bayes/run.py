@@ -311,17 +311,13 @@ def run_nuts(args, setup):
         if args.mass == 'laplace':
             # warm start: MAP fit -> Laplace covariance as a FIXED dense
             # metric (PSD-projected); warmup only adapts the step size
-            from .nuts import psd_clip_covariance
-            from .map_fit import laplace_approximation, map_fit
+            from .map_fit import laplace_warm_mass
             print('NUTS init: MAP fit ({} steps) + Laplace metric...'
                   .format(args.init_map_steps), flush=True)
-            fit = map_fit(setup, n_steps=args.init_map_steps,
-                          use_sprd=False)
+            fit, inv0 = laplace_warm_mass(setup,
+                                          n_steps=args.init_map_steps)
             print('NUTS init: MAP logp = {:.2f}'.format(fit['logp']),
                   flush=True)
-            lap = laplace_approximation(setup, fit)
-            inv0 = np.asarray(psd_clip_covariance(
-                jnp.asarray(lap['cov_z'], jnp.float32)))
             if args.init == 'map':
                 z0 = jnp.asarray(fit['z'], jnp.float32)
             else:

@@ -129,21 +129,27 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
         if warm_start:
             # Hessians need forward-over-reverse; the Pallas day kernel's
             # custom_vjp has no forward rule, so curvature runs on the XLA
-            # path (primals agree to ~2e-7, map_fit.laplace_approximation
-            # makes the same switch)
-            import copy
-            if setup.setup.kcfg.pallas:
-                params_x = copy.copy(setup.params)
-                params_x.use_pallas = False
-                setup_x = BayesSetup(params_x)
-            else:
-                setup_x = setup
-            logpdf_x, _, _ = make_transformed_logpdf(setup_x,
+            # twin (primals agree to ~2e-7; map_fit.xla_twin carries
+            # sprd_factor and any other setup state through the switch)
+            from .map_fit import xla_twin
+            logpdf_x, _, _ = make_transformed_logpdf(xla_twin(setup),
                                                      traced_obs=True)
+            # batched jax.hessian pushes all d JVP columns through the
+            # forward graph at once — fine at the SBC study's 201² config,
+            # but ≥ 401² it overruns a v5e's HBM (19.7-23.8 GB observed,
+            # map_fit.hessian_columns): switch to sequential HVPs there
+            sequential = setup.params.domain_info[1] > 100
 
             @jax.jit
             def hess_fn(z, obs):
-                H = jax.hessian(lambda zz: -logpdf_x(zz, obs))(z)
+                def nlp(zz):
+                    return -logpdf_x(zz, obs)
+                if sequential:
+                    hvp = lambda v: jax.jvp(jax.grad(nlp), (z,), (v,))[1]
+                    H = jax.lax.map(hvp, jnp.eye(z.shape[0],
+                                                 dtype=z.dtype))
+                else:
+                    H = jax.hessian(nlp)(z)
                 return inv_mass_from_hessian(H)
 
     dim = 15 + 4 + setup.n_sent

@@ -31,6 +31,7 @@ wait_for_tpu() {
 
 run_phase() {
     local label=$1 tmo=$2 plog=$3; shift 3
+    mkdir -p "$(dirname "$plog")"   # shell redirects cannot create dirs
     if [ "$(left)" -lt 300 ]; then log "$label SKIPPED (deadline)"; return 2; fi
     [ "$tmo" -gt "$(left)" ] && tmo=$(left)
     wait_for_tpu

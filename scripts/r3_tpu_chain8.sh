@@ -56,16 +56,19 @@ run_phase() {
 nuts_run() {  # <tag> <db> <log> <tmo> <new-args...>; resumes keep config via RESUME_OVERRIDES
     local tag=$1 db=$2 plog=$3 tmo=$4; shift 4
     if [ -f "$db.npz" ]; then return 0; fi
-    if [ ! -f "$db.ckpt.npz" ]; then
-        run_phase "$tag (new)" "$tmo" "$plog" \
-            python -m parasitoids_tpu.bayes.run "$@" && return 0
-    fi
-    for attempt in 1 2; do
-        [ -f "$db.ckpt.npz" ] || break
-        run_phase "$tag (resume $attempt)" "$tmo" "$plog" \
-            python -m parasitoids_tpu.bayes.run --resume "$db" 0 \
-                --sampler nuts --steps-per-call 8 "${RESUME_OVERRIDES[@]}" \
-            && return 0
+    for attempt in 1 2 3; do
+        if [ ! -f "$db.ckpt.npz" ]; then
+            # a worker crash before the first checkpoint leaves nothing to
+            # resume — retry the (new) run itself after TPU recovery
+            run_phase "$tag (new $attempt)" "$tmo" "$plog" \
+                python -m parasitoids_tpu.bayes.run "$@" && return 0
+        else
+            run_phase "$tag (resume $attempt)" "$tmo" "$plog" \
+                python -m parasitoids_tpu.bayes.run --resume "$db" 0 \
+                    --sampler nuts --steps-per-call 4 \
+                    "${RESUME_OVERRIDES[@]}" \
+                && return 0
+        fi
     done
     [ -f "$db.npz" ]
 }
@@ -78,7 +81,7 @@ RESUME_OVERRIDES=(dataset=carnreal 'domain_info=(10000.0,200)')
 if nuts_run "[A] real-carnarvon NUTS" carn_study/real/nuts \
         carn_study/real/nuts.log 7000 \
         --new 400 80 carn_study/real/nuts --sampler nuts --chains 2 \
-        --mass laplace --steps-per-call 8 --checkpoint-every 25 \
+        --mass laplace --steps-per-call 4 --checkpoint-every 25 \
         dataset=carnreal 'domain_info=(10000.0,200)'; then
     run_phase "[Ab] real-carnarvon diagnostics+PPC" 2400 \
         carn_study/real/analyze.log \
@@ -105,8 +108,9 @@ fi
 # -- [A3] commit + PPC the 801^2 NUTS run if chain7 landed it but was ------
 # stopped before its own [0b] phase ran
 if [ -f runs/nuts_r3.npz ]; then
-    git_safe add -f runs/nuts_r3.npz runs/nuts_r3.meta.json \
-        runs/nuts_r3.log 2>> "$STATUS"
+    for p in runs/nuts_r3.npz runs/nuts_r3.meta.json runs/nuts_r3.log; do
+        [ -e "$p" ] && git_safe add -f "$p" 2>> "$STATUS"
+    done
     git_safe diff --cached --quiet \
         || git_safe commit -q -m "Record the 801^2 Laplace-warm NUTS run" >> "$STATUS" 2>&1
     if [ ! -f runs/nuts_r3_ppc100.json ]; then

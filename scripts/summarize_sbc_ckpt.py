@@ -39,9 +39,17 @@ def main():
             print('no checkpoint at {} but final ranks exist at {} — arm '
                   'complete, summary already recorded'.format(ckpt, final))
             return
-        print('no checkpoint at {} and no final ranks — arm never started '
-              'or produced nothing'.format(ckpt))
-        sys.exit(1)
+        # a VM recycle deletes the gitignored transient ckpt but leaves
+        # the committed durable twin (bayes/sbc.py); summarize from that
+        durable = os.path.join(outdir, 'sbc_{}_partial.npz'.format(name))
+        if os.path.exists(durable):
+            print('transient checkpoint gone; summarizing the durable '
+                  'twin {}'.format(durable))
+            ckpt = durable
+        else:
+            print('no checkpoint at {} and no final ranks — arm never '
+                  'started or produced nothing'.format(ckpt))
+            sys.exit(1)
 
     with np.load(ckpt) as d:
         done, L = int(d['done']), int(d['L'])

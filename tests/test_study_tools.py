@@ -65,6 +65,19 @@ def test_summarizer_never_started_arm_fails_loudly(tmp_path):
     assert 'never started' in r.stdout
 
 
+def test_summarizer_falls_back_to_durable_twin(tmp_path):
+    """A VM recycle deletes the gitignored transient ckpt; the committed
+    durable twin (bayes/sbc.py) must still yield a partial summary."""
+    _write_ckpt(str(tmp_path / 'sbc_am_partial.npz'), done=7)
+    r = _run(str(tmp_path / 'sbc_am.ckpt.npz'), 'am', str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    assert 'durable twin' in r.stdout
+    with open(tmp_path / 'summary.json') as f:
+        block = json.load(f)['samplers']['am']
+    assert block['partial'] is True
+    assert block['replicates'] == 7
+
+
 def test_summarizer_keeps_complete_block(tmp_path):
     """A partial summary must never clobber a COMPLETE block already
     recorded by run_sbc_study (e.g. a stale checkpoint from an older
