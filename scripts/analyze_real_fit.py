@@ -64,6 +64,19 @@ def main():
                     for j in range(dim)])
     mean, sd = flat.mean(0), flat.std(0)
 
+    # The carnreal site has sentinel channels only; parameters whose data
+    # channel is absent (em_obs_prob: release-field emergence,
+    # grid_obs_prob: grid samples) get zero likelihood gradient, and the
+    # dense Laplace metric built from the ill-conditioned MAP Hessian can
+    # freeze them (within-chain sd at f32 epsilon).  R-hat on a frozen
+    # coordinate measures metric pathology, not posterior disagreement —
+    # report them separately so the convergence headline covers the
+    # data-informed parameters.
+    within_sd = tr[:, :, :dim].std(axis=1).mean(axis=0)
+    scale = np.maximum(np.abs(mean[:dim]), 1e-12)
+    frozen = within_sd / scale < 1e-4
+    informed = ~frozen
+
     pred = posterior_predictive(setup, tr[:, :, :dim], n_draws=draws,
                                 seed=0)
     pv = predictive_pvalues(setup, pred)
@@ -86,6 +99,20 @@ def main():
                      if rhat is not None else None),
         'min_ess': round(float(ess.min()), 1),
         'median_ess': round(float(np.median(ess)), 1),
+        'frozen_params': [n for n, fz in zip(names, frozen) if fz],
+        'frozen_note': 'non-moving coordinates: n_periods is fixed at 30 '
+                       'under NUTS by design (reference '
+                       'Bayes_MAP.py:144-147); em/grid_obs_prob have no '
+                       'data channel at this sentinel-only site and are '
+                       'frozen by the dense Laplace metric; excluded '
+                       'from *_informed convergence stats',
+        'max_rhat_informed': (round(float(np.nanmax(rhat[informed])), 3)
+                              if rhat is not None and informed.any()
+                              else None),
+        'min_ess_informed': (round(float(ess[informed].min()), 1)
+                             if informed.any() else None),
+        'median_ess_informed': (round(float(np.median(ess[informed])), 1)
+                                if informed.any() else None),
         'ess': {n: round(float(e), 1) for n, e in zip(names, ess)},
         'posterior_mean': {n: round(float(m), 5)
                            for n, m in zip(names, mean)},
@@ -99,8 +126,12 @@ def main():
     with open(tmp, 'w') as f:
         json.dump(summary, f, indent=1)
     os.replace(tmp, out)
-    print('max R-hat: {}  min ESS: {:.1f}  median ESS: {:.1f}'.format(
-        summary['max_rhat'], ess.min(), np.median(ess)))
+    print('max R-hat: {} (informed {})  min ESS: {:.1f} (informed {})  '
+          'median ESS: {:.1f}'.format(
+              summary['max_rhat'], summary['max_rhat_informed'],
+              ess.min(), summary['min_ess_informed'], np.median(ess)))
+    if summary['frozen_params']:
+        print('frozen (no data channel):', summary['frozen_params'])
     print('wrote', out, 'and', png)
 
 
