@@ -380,7 +380,17 @@ def laplace_warm_mass(setup: BayesSetup, n_steps=200, use_sprd=False):
     Laplace covariance → PSD-clipped float32 dense inverse mass matrix.
     Returns ``(fit, inv_mass)``.  Shared by ``bayes/run.py`` and the
     bench's ``measure_nuts_801`` so the regression-tracked configuration
-    IS the production path, not a hand-synced copy."""
+    IS the production path, not a hand-synced copy.
+
+    Known limitation (observed on the real-Carnarvon fit,
+    carn_study/real/summary.json ``frozen_params``): a parameter with no
+    data channel has prior-only O(1) curvature, but inverting the
+    ill-conditioned full Hessian in f32 can crush its covariance
+    eigenvalue toward the 1e-12 clip floor, freezing the coordinate.  A
+    fix cannot simply raise ``eig_min`` — deliberately-pinned slots
+    (fixed n_periods) rely on a tiny inverse mass.  The right repair is
+    a fixed-slot mask: floor every *unpinned* direction's eigenvalue at
+    its prior variance projection, keep pinned slots at the tiny clip."""
     from .nuts import psd_clip_covariance
     fit = map_fit(setup, n_steps=n_steps, use_sprd=use_sprd)
     lap = laplace_approximation(setup, fit)
