@@ -366,36 +366,178 @@ def xla_twin(setup: BayesSetup) -> BayesSetup:
     custom_vjp admits none — its XLA twin is fwd-differentiable with
     primals agreeing to ~2e-7.  Shared by every curvature consumer
     (laplace_approximation, bayes/sbc.py warm start) so none of them can
-    drop setup state (sprd_factor) in a hand-rolled copy."""
+    drop setup state (sprd_factor) in a hand-rolled copy; post-construction
+    state (a cross-validation ``obs_mask``, a ``forward_mesh``) is copied
+    onto the twin explicitly — a held-out-data Laplace metric must use the
+    held-out likelihood for curvature too."""
     if not setup.setup.kcfg.pallas:
         return setup
     import copy
     params = copy.copy(setup.params)
     params.use_pallas = False
-    return BayesSetup(params, sprd_factor=setup.sprd_factor)
+    twin = BayesSetup(params, sprd_factor=setup.sprd_factor,
+                      forward_mesh=getattr(setup, 'forward_mesh', None))
+    twin.obs_mask = setup.obs_mask
+    return twin
 
 
-def laplace_warm_mass(setup: BayesSetup, n_steps=200, use_sprd=False):
-    """The ``--mass laplace`` warm-start recipe, in one place: MAP fit →
-    Laplace covariance → PSD-clipped float32 dense inverse mass matrix.
-    Returns ``(fit, inv_mass)``.  Shared by ``bayes/run.py`` and the
-    bench's ``measure_nuts_801`` so the regression-tracked configuration
-    IS the production path, not a hand-synced copy.
+def prior_var_z(setup: BayesSetup, use_sprd=False, n=4000, seed=0):
+    """Monte-Carlo prior variances of the UNCONSTRAINED parameter vector
+    (the z-space packing of ``_make_objective``), via the exact prior
+    samplers.  Deliberately-pinned slots (the fixed ``n_periods``, packed
+    as the constant 0) come out exactly 0 — the property the spectral
+    floor in ``regularize_cov_z`` relies on to leave them pinned."""
+    from jax import random
 
-    Known limitation (observed on the real-Carnarvon fit,
-    carn_study/real/summary.json ``frozen_params``): a parameter with no
-    data channel has prior-only O(1) curvature, but inverting the
-    ill-conditioned full Hessian in f32 can crush its covariance
-    eigenvalue toward the 1e-12 clip floor, freezing the coordinate.  A
-    fix cannot simply raise ``eig_min`` — deliberately-pinned slots
-    (fixed n_periods) rely on a tiny inverse mass.  The right repair is
-    a fixed-slot mask: floor every *unpinned* direction's eigenvalue at
-    its prior variance projection, keep pinned slots at the tiny clip."""
-    from .nuts import psd_clip_covariance
+    from .priors import sample_prior_model, sample_prior_obs
+
+    _, _, unconstrain = _make_objective(setup, use_sprd)
+    k_m, k_o, k_s = random.split(random.PRNGKey(seed), 3)
+    ms = jax.vmap(sample_prior_model)(random.split(k_m, n))
+    os_ = jax.vmap(lambda k: sample_prior_obs(
+        k, setup.field_areas, setup.min_field_area))(random.split(k_o, n))
+    sprds = random.uniform(k_s, (n,), jnp.float32, 1e-3, 1 - 1e-3)
+    zs = np.asarray(jax.vmap(unconstrain)(ms, os_, sprds), np.float64)
+    return zs.var(axis=0)
+
+
+def regularize_cov_z(cov_z, prior_var, floor_frac=1e-4):
+    """Spectral prior-floor SAFETY NET for a Laplace covariance: each
+    eigendirection's variance is floored at ``floor_frac`` × its
+    prior-variance projection ``v^T diag(prior_var) v`` (f64 throughout).
+
+    ``floor_frac`` is deliberately tiny (default: sd floor at 1% of the
+    prior sd): a genuinely data-informed direction can legitimately sit
+    orders of magnitude below prior scale, so a large floor would inflate
+    real information; the principled repair of numerically-crushed
+    directions is :func:`blend_prior_metric` (likelihood/prior curvature
+    decomposition) — this floor only guarantees no direction can ever
+    reach f32-epsilon scale again.  Deliberately-pinned slots have
+    ``prior_var = 0`` (``prior_var_z``), so their floor is 0 and they stay
+    pinned at the PSD jitter."""
+    cov = np.asarray(cov_z, np.float64)
+    cov = 0.5 * (cov + cov.T)
+    lam, V = np.linalg.eigh(cov)
+    proj = (V ** 2 * np.asarray(prior_var, np.float64)[:, None]).sum(0)
+    lam = np.maximum(np.abs(lam), floor_frac * proj)
+    lam = np.maximum(lam, 1e-12)      # PSD jitter for pinned directions
+    out = (V * lam) @ V.T
+    return 0.5 * (out + out.T)
+
+
+def blend_prior_metric(H_raw, H_negprior, H_prior_T, prior_var,
+                       noise_rel=1e-5, prior_prec_floor=1e-4,
+                       lam_pin=1e12):
+    """Posterior covariance estimate that BLENDS prior curvature into
+    prior-only/near-null eigendirections (VERDICT r3 item 3) — the repair
+    for the round-3 frozen-direction pathology (real-Carnarvon fit,
+    carn_study/real/summary.json ``frozen_params``), where f32 noise from
+    the Hessian's large entries (~1e6) swamped the O(1) prior-only
+    curvature of parameters without a data channel and froze them at
+    f32-epsilon moves.
+
+    The decomposition (all f64 on host):
+
+    * ``H_lik = H_raw − H_negprior`` — pure likelihood curvature (the
+      bijection-Jacobian terms cancel exactly: neither Hessian includes
+      them);
+    * eigenvalues of ``H_lik`` below ``noise_rel × max|eig|`` (the f32
+      noise floor of the device-computed Hessian) or negative are ZEROED —
+      a prior-only direction's apparent likelihood curvature is exactly
+      such noise;
+    * posterior precision ``Λ = H_lik⁺ + H_prior_T`` where ``H_prior_T``
+      is the exact prior curvature of the NUTS target (prior + bijection
+      log-Jacobian), PSD-clipped to ``[prior_prec_floor, lam_pin]``;
+    * pinned slots (``prior_var == 0``: the fixed n_periods packing
+      column) get precision ``lam_pin`` outright;
+    * covariance = ``Λ⁻¹``.
+
+    A crushed prior-only direction thus recovers its FULL prior scale
+    (its posterior ≈ its prior), while a data-informed direction keeps its
+    genuine likelihood curvature untouched — the property a uniform
+    spectral floor cannot deliver (any floor high enough to rescue the
+    former inflates the latter).
+    """
+    H_lik = (np.asarray(H_raw, np.float64)
+             - np.asarray(H_negprior, np.float64))
+    H_lik = 0.5 * (H_lik + H_lik.T)
+    lam, V = np.linalg.eigh(H_lik)
+    tau = noise_rel * np.max(np.abs(lam)) if lam.size else 0.0
+    lam = np.where(lam > tau, lam, 0.0)
+    H_lik_psd = (V * lam) @ V.T
+
+    Hp = np.asarray(H_prior_T, np.float64)
+    Hp = 0.5 * (Hp + Hp.T)
+    lp, Vp = np.linalg.eigh(Hp)
+    lp = np.clip(np.abs(lp), prior_prec_floor, lam_pin)
+    Hp_psd = (Vp * lp) @ Vp.T
+
+    prec = H_lik_psd + Hp_psd
+    pinned = np.asarray(prior_var, np.float64) == 0.0
+    if pinned.any():
+        idx = np.where(pinned)[0]
+        prec[idx, :] = 0.0
+        prec[:, idx] = 0.0
+        prec[idx, idx] = lam_pin
+    prec = 0.5 * (prec + prec.T)
+    cov = np.linalg.inv(prec)
+    return 0.5 * (cov + cov.T)
+
+
+def _neg_logprior_z(setup: BayesSetup, constrain, with_jacobian):
+    """Negative log prior over the unconstrained vector; optionally
+    including the bijection log-Jacobian (the prior part of the NUTS
+    target, make_transformed_logpdf).  Forward-model-free: cheap to
+    autodiff exactly."""
+    from .priors import log_prior_model, log_prior_obs
+    n_sent = setup.n_sent
+
+    def theta_flat(z):
+        m_vec, o_vec, sprd = constrain(z)
+        parts = [m_vec, o_vec]
+        if sprd is not None:
+            parts.append(jnp.reshape(sprd, (1,)))
+        return jnp.concatenate(parts)
+
+    def neg_prior(z):
+        m_vec, o_vec, _ = constrain(z)
+        lp = log_prior_model(_as_model(m_vec)) + log_prior_obs(
+            _as_obs(o_vec, n_sent), setup.field_areas,
+            setup.min_field_area)
+        if not with_jacobian:
+            return -lp
+        jac = jax.jacfwd(theta_flat)(z)
+        d = jnp.max(jnp.abs(jac), axis=1)
+        return -lp - jnp.sum(jnp.log(jnp.where(d > 0, d, 1.0)))
+
+    return neg_prior
+
+
+def laplace_warm_mass(setup: BayesSetup, n_steps=200, use_sprd=False,
+                      floor_frac=1e-4):
+    """The ``--mass laplace``/``--mass ridge`` warm-start recipe, in one
+    place: MAP fit → Laplace Hessian → likelihood/prior curvature blend
+    (``blend_prior_metric``: noise-thresholded likelihood spectrum + exact
+    prior curvature, so prior-only directions keep full prior scale) →
+    tiny spectral safety floor (``regularize_cov_z``) → float32 dense
+    inverse mass matrix.  Returns ``(fit, inv_mass)`` with
+    ``fit['cov_z_reg']`` holding the regularized f64 covariance (the
+    whitening input for ``--mass ridge``).  Shared by ``bayes/run.py``
+    and the bench's ``measure_nuts_801`` so the regression-tracked
+    configuration IS the production path, not a hand-synced copy."""
     fit = map_fit(setup, n_steps=n_steps, use_sprd=use_sprd)
     lap = laplace_approximation(setup, fit)
-    inv0 = np.asarray(psd_clip_covariance(
-        jnp.asarray(lap['cov_z'], jnp.float32)))
+    _, constrain, _ = _make_objective(setup, use_sprd)
+    z = jnp.asarray(fit['z'], jnp.float32)
+    H_negprior = np.asarray(jax.jit(jax.hessian(
+        _neg_logprior_z(setup, constrain, with_jacobian=False)))(z))
+    H_prior_T = np.asarray(jax.jit(jax.hessian(
+        _neg_logprior_z(setup, constrain, with_jacobian=True)))(z))
+    pv = prior_var_z(setup, use_sprd=use_sprd)
+    cov = blend_prior_metric(lap['hess_z'], H_negprior, H_prior_T, pv)
+    cov_reg = regularize_cov_z(cov, pv, floor_frac=floor_frac)
+    fit['cov_z_reg'] = cov_reg
+    inv0 = np.asarray(cov_reg, np.float32)
     return fit, inv0
 
 
@@ -411,6 +553,7 @@ def laplace_approximation(setup: BayesSetup, fit):
     # np.array (copy): np.asarray of a CPU-backend jax array is a read-only
     # zero-copy view, and the regularization below writes in place
     H = np.array(H)
+    H_raw = np.array(H, np.float64)   # pre-surgery copy (blend_prior_metric)
     # free slots: fixed parameters (n_periods) leave an exactly-zero row
     free = np.abs(np.diag(H)) >= 1e-12
     # regularize singular directions (e.g. the fixed n_periods slot)
@@ -444,7 +587,7 @@ def laplace_approximation(setup: BayesSetup, fit):
     log_evidence = (fit['logp'] + log_jac
                     + 0.5 * d_free * np.log(2.0 * np.pi) - 0.5 * logdet_h
                     if sign > 0 else float('nan'))
-    return {'cov_z': cov_z, 'cov_theta': cov_theta,
+    return {'cov_z': cov_z, 'cov_theta': cov_theta, 'hess_z': H_raw,
             'sd_theta': np.sqrt(np.clip(np.diag(cov_theta), 0, None)),
             'free': free, 'log_jac': log_jac, 'logdet_h': float(logdet_h),
             'hess_pd': bool(sign > 0),

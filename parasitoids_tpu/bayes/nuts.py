@@ -41,10 +41,11 @@ from jax import lax, random
 
 __all__ = ['NUTSConfig', 'nuts_sample', 'nuts_sample_stepwise',
            'make_transformed_logpdf', 'inv_mass_from_hessian',
-           'psd_clip_covariance']
+           'psd_clip_covariance', 'whiten_transform', 'whiten_logpdf']
 
 
-def inv_mass_from_hessian(H, lam_floor=1e-2, lam_ceil=1e12):
+def inv_mass_from_hessian(H, lam_floor=1e-2, lam_ceil=1e12, prior_var=None,
+                          floor_frac=1e-4):
     """Dense inverse mass matrix (= covariance estimate) from a Hessian of
     the NEGATIVE log posterior at a point in the typical set.
 
@@ -57,8 +58,33 @@ def inv_mass_from_hessian(H, lam_floor=1e-2, lam_ceil=1e12):
     (fixed n_periods, unused sprd — exactly-zero Hessian rows regularized
     upstream) pinned without hurting conditioning of the rest.  Non-finite
     input falls back to the identity.
+
+    ``prior_var``: optional z-space prior variances (map_fit.prior_var_z).
+    When given, each eigendirection's implied covariance is additionally
+    floored at ``floor_frac`` × its prior-variance projection
+    ``v^T diag(prior_var) v`` — the spectral SAFETY NET against the
+    frozen-direction pathology (VERDICT r3 item 3): an f32 Hessian's large
+    entries carry absolute noise comparable to the O(1) prior-only
+    curvature of a parameter with no data channel, which can inflate that
+    direction's eigenvalue and freeze the coordinate at epsilon-scale
+    moves.  ``floor_frac`` stays tiny by design (genuinely informed
+    directions may legitimately sit far below prior scale; the full
+    repair is map_fit.blend_prior_metric, used by the Laplace warm-start
+    path).  Pinned slots have ``prior_var = 0``, so they stay pinned.
     """
-    return _spectral_clip(H, lam_floor, lam_ceil, invert=True)
+    if prior_var is None:
+        return _spectral_clip(H, lam_floor, lam_ceil, invert=True)
+    A = jnp.asarray(H)
+    As = 0.5 * (A + A.T)
+    lam, V = jnp.linalg.eigh(As)
+    c = 1.0 / jnp.clip(jnp.abs(lam), lam_floor, lam_ceil)
+    proj = jnp.sum(V ** 2 * jnp.asarray(prior_var, A.dtype)[:, None],
+                   axis=0)
+    c = jnp.maximum(c, floor_frac * proj)
+    out = (V * c) @ V.T
+    out = 0.5 * (out + out.T)
+    ok = jnp.all(jnp.isfinite(out))
+    return jnp.where(ok, out, jnp.eye(A.shape[0], dtype=A.dtype))
 
 
 def psd_clip_covariance(cov, eig_min=1e-12, eig_max=100.0):
@@ -657,7 +683,8 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
                          progress=None, checkpoint_path=None,
                          checkpoint_every=25, resume=False, mesh=None,
                          gibbs_n=None, n0=30.0, logpdf_args=(),
-                         steps_per_call=1, init_inv_mass=None):
+                         steps_per_call=1, init_inv_mass=None,
+                         on_checkpoint=None):
     """Host-dispatched NUTS over stacked chains (leading axis of
     ``z0s``/``keys``): same math as :func:`nuts_sample`, but each transition
     is its own bounded device program.  Long monolithic sampler programs can
@@ -707,6 +734,13 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
     stays at this value and warmup adapts the step size only (the
     Laplace/Hessian warm-start path).  Not checkpointed — a ``resume``
     continues from the checkpointed carry, which already holds the metric.
+
+    ``on_checkpoint``: optional callable(phase, i, path) invoked after
+    every checkpoint write — the library-level durability hook
+    (utils/durable.py): the caller can mirror the transient (gitignored)
+    checkpoint to a durable path and/or git-commit it so a VM recycle
+    never eats more than ``checkpoint_every`` transitions.  Failures in
+    the callback are caught and reported, never raised.
 
     ``steps_per_call``: transitions batched into each device program (an
     inner ``lax.scan``).  The stepwise driver pays one host dispatch+sync
@@ -912,6 +946,14 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
         """True when [i0, i1) crosses a checkpoint_every multiple."""
         return (i1 // checkpoint_every) > (i0 // checkpoint_every)
 
+    def _notify(phase, i):
+        if on_checkpoint is None:
+            return
+        try:
+            on_checkpoint(phase, i, checkpoint_path)
+        except Exception as e:   # durability must never kill the chain
+            print('nuts on_checkpoint failed: {}'.format(e), flush=True)
+
     # ------------------------------------------------------------------
     if carries is None and state is None:
         carries = warm_init(z0s, keys)
@@ -925,6 +967,7 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
             progress('warmup', i, config.num_warmup)
         if checkpoint_path and _crossed(i - n, i):
             _save_warm(i, carries)
+            _notify('warmup', i)
     if state is None:
         z, lp, grad, key, step_size, inv_mass = jax.vmap(_warmup_final)(
             carries)
@@ -955,6 +998,7 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
             progress('sample', i, config.num_samples)
         if checkpoint_path and _crossed(i - n, i):
             _save_draw(i, state)
+            _notify('draw', i)
     step_size, inv_mass = state[1], state[2]
     if checkpoint_path and os.path.exists(checkpoint_path):
         os.remove(checkpoint_path)   # run completed; drop the checkpoint
@@ -980,6 +1024,74 @@ def nuts_sample_stepwise(logpdf, z0s, keys, config: NUTSConfig,
         out['n_accept_rate'] = (np.stack(naccs, axis=1).mean() if naccs
                                 else np.float32(0))
     return out
+
+
+# ---------------------------------------------------------------------------
+# ridge-aligned reparameterization (VERDICT r3 item 2)
+# ---------------------------------------------------------------------------
+
+def whiten_transform(cov_z, center):
+    """Ridge-aligned linear reparameterization ``z = center + L u`` with
+    ``cov_z = L Lᵀ`` (f64 eigendecomposition; L = V·sqrt(λ)).
+
+    The λ–ξ–observation-probability ridge that bottlenecked round-3 NUTS
+    (min ESS 18 on ``mu_r`` at 801², docs/PERF.md §13) is a near-linear
+    subspace in z-space: the ridge products are sums of log/logit
+    coordinates.  Sampling in ``u`` makes the identified *combinations*
+    (the eigendirections of the regularized Laplace covariance,
+    map_fit.regularize_cov_z — the spectrum bayes/identify.py reports)
+    the coordinate axes: stiff products and sloppy ridge directions each
+    get unit scale.  Two things a fixed dense metric in z-space could not
+    deliver then follow:
+
+    * all metric algebra (Cholesky, momentum solves) happens on a
+      ~identity matrix instead of one with a 1e8 condition number — in
+      f32 this is what un-freezes the crushed coordinates (the round-3
+      pathology), and
+    * warmup can keep ADAPTING (Welford) in u-space from an identity
+      start: the empirical window covariance corrects the Laplace
+      approximation's sd *under*-estimates along the nonlinear ridge,
+      which the fixed-metric run provably could not
+      (``fixed_mass=True`` never adapts).
+
+    Returns ``(to_z, to_u, L)``; ``to_z`` accepts ``(..., d)`` stacks.
+    """
+    import numpy as np
+    cov = np.asarray(cov_z, np.float64)
+    cov = 0.5 * (cov + cov.T)
+    lam, V = np.linalg.eigh(cov)
+    sd = np.sqrt(np.clip(lam, 1e-12, None))
+    L = V * sd                                  # cov = L @ L.T
+    Linv = (V / sd).T
+    center = np.asarray(center, np.float64)
+
+    def to_z(u):
+        return np.asarray(u, np.float64) @ L.T + center
+
+    def to_u(z):
+        return (np.asarray(z, np.float64) - center) @ Linv.T
+
+    return to_z, to_u, L
+
+
+def whiten_logpdf(logpdf, L, center, gibbs=False):
+    """The u-space NUTS target for :func:`whiten_transform`'s map.
+
+    The linear map's log-Jacobian is constant, so it is omitted: the
+    returned callable equals the z-space target at ``z = center + L u``
+    (sampled densities differ only by ``log|det L|``, which no MCMC
+    kernel sees, and stored ``logp`` traces stay comparable with z-space
+    runs).  ``gibbs=True`` wraps a two-argument Gibbs target
+    ``logpdf(z, n)`` instead."""
+    Lj = jnp.asarray(L, jnp.float32)
+    cj = jnp.asarray(center, jnp.float32)
+    if gibbs:
+        def logpdf_u(u, n):
+            return logpdf(cj + Lj @ u, n)
+    else:
+        def logpdf_u(u):
+            return logpdf(cj + Lj @ u)
+    return logpdf_u
 
 
 # ---------------------------------------------------------------------------

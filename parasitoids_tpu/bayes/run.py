@@ -130,7 +130,7 @@ parser.add_argument('--steps-per-call', type=int, default=1,
                          'under the hosted-tunnel execution limit '
                          '(full-scale chains: ~2 s/chain-sweep, 5-10 is '
                          'safe).  Math/RNG identical for every value.')
-parser.add_argument('--mass', choices=['adapt', 'laplace'],
+parser.add_argument('--mass', choices=['adapt', 'laplace', 'ridge'],
                     default='adapt',
                     help="NUTS mass matrix: 'adapt' = Stan-style warmup "
                          "estimation (diagonal, or dense with "
@@ -139,8 +139,18 @@ parser.add_argument('--mass', choices=['adapt', 'laplace'],
                          "(map_fit.laplace_approximation) — warmup then "
                          "only adapts the step size, so burn-in can drop "
                          "to ~50 transitions and the preconditioned "
-                         "trajectories U-turn at much shallower depth "
-                         "(the ESS/hr lever; implies --init map)")
+                         "trajectories U-turn at much shallower depth; "
+                         "'ridge' = ridge-aligned reparameterization "
+                         "(nuts.whiten_transform): sample in the "
+                         "eigenbasis of the prior-floor-regularized "
+                         "Laplace covariance (the identified products of "
+                         "bayes/identify.py become coordinate axes) with "
+                         "dense Welford adaptation ON TOP — corrects the "
+                         "Laplace sd under-estimates along the nonlinear "
+                         "lambda-xi-obs-prob ridge that a fixed metric "
+                         "cannot fix (round-3 801^2 bottleneck; implies "
+                         "--init map).  The map is stored in a "
+                         "<db>.whiten.npz sidecar a --resume reloads")
 parser.add_argument('--max-program-steps', type=int, default=800,
                     help='PT: cap on total replica-steps (temps x steps) '
                          'dispatched as one device program — long '
@@ -192,6 +202,15 @@ parser.add_argument('--shard-forward', action='store_true',
                          'chain-over-device sharding')
 parser.add_argument('overrides', nargs='*',
                     help='Params key=value overrides (e.g. interp_num=30)')
+
+
+def _commit_store(db, message):
+    """Durable commit of a trace store's file set (utils/durable.py; no-op
+    unless PARA_GIT_COMMIT=1) — the library-level commit-on-landing rule,
+    VERDICT r3 item 7."""
+    from ..utils.durable import commit_artifacts
+    base = db.removesuffix('.npz')
+    return commit_artifacts([base + '.npz', base + '.meta.json'], message)
 
 
 def build_setup(overrides=()):
@@ -276,9 +295,12 @@ def _nuts_init_point(args, setup, z0_prior):
 def run_nuts(args, setup):
     """Gradient-based sampling path (``--sampler nuts``): vmapped chains,
     unconstrained space with log-Jacobians, warmup = burn-in argument."""
+    from ..utils.durable import commit_artifacts
     from .nuts import (NUTSConfig, make_transformed_logpdf,
-                       nuts_sample_stepwise)
+                       nuts_sample_stepwise, whiten_logpdf,
+                       whiten_transform)
 
+    to_z = None          # ridge mode: u-space -> z-space sample map
     resume = args.new is None
     if resume:
         # --resume <db> <iters>: continue an interrupted run from its
@@ -286,6 +308,14 @@ def run_nuts(args, setup):
         # iters argument is ignored — warmup schedules are length-bound)
         db = args.resume[0]
         ckpt = db.removesuffix('.npz') + '.ckpt.npz'
+        twin = db.removesuffix('.npz') + '.ckpt_durable.npz'
+        if not os.path.exists(ckpt) and os.path.exists(twin):
+            # the transient checkpoint is gitignored and dies with a VM
+            # recycle; the committed durable twin is an identical payload
+            import shutil
+            shutil.copyfile(twin, ckpt)
+            print('NUTS resume: transient checkpoint missing; restored '
+                  'from durable twin {}'.format(twin))
         if not os.path.exists(ckpt):
             raise SystemExit('no NUTS checkpoint at {!r} (a completed run '
                              'deletes it; rerun with --new)'.format(ckpt))
@@ -303,14 +333,26 @@ def run_nuts(args, setup):
         args.chains = nch
         logpdf, constrain, z0 = make_transformed_logpdf(setup)
         init_inv_mass = None    # the checkpointed carry holds the metric
+        wh_path = db.removesuffix('.npz') + '.whiten.npz'
+        if os.path.exists(wh_path):
+            # a --mass ridge run: the checkpointed states live in u-space;
+            # rebuild the SAME whitening map from the sidecar
+            with np.load(wh_path) as wz:
+                L, center = wz['L'], wz['center']
+            print('NUTS resume: ridge reparameterization from {}'.format(
+                wh_path))
+            logpdf = whiten_logpdf(logpdf, L, center)
+            to_z = lambda u: (np.asarray(u, np.float64) @ L.T
+                              + center).astype(np.float32)
     else:
         n_samples, burn, db = int(args.new[0]), int(args.new[1]), args.new[2]
         ckpt = db.removesuffix('.npz') + '.ckpt.npz'
+        twin = db.removesuffix('.npz') + '.ckpt_durable.npz'
         gibbs = args.gibbs_n
         logpdf, constrain, z0 = make_transformed_logpdf(setup)
-        if args.mass == 'laplace':
-            # warm start: MAP fit -> Laplace covariance as a FIXED dense
-            # metric (PSD-projected); warmup only adapts the step size
+        if args.mass in ('laplace', 'ridge'):
+            # warm start: MAP fit -> prior-floor-regularized Laplace
+            # covariance (map_fit.regularize_cov_z)
             from .map_fit import laplace_warm_mass
             print('NUTS init: MAP fit ({} steps) + Laplace metric...'
                   .format(args.init_map_steps), flush=True)
@@ -322,6 +364,23 @@ def run_nuts(args, setup):
                 z0 = jnp.asarray(fit['z'], jnp.float32)
             else:
                 z0 = _nuts_init_point(args, setup, z0)
+        if args.mass == 'ridge':
+            # ridge-aligned reparameterization: z = center + L u with
+            # L L^T the regularized Laplace covariance; NUTS runs in
+            # u-space from an identity metric with dense Welford
+            # adaptation on top (whiten_transform docstring)
+            _to_z64, _to_u, L = whiten_transform(fit['cov_z_reg'],
+                                                 fit['z'])
+            center = np.asarray(fit['z'], np.float64)
+            wh_path = db.removesuffix('.npz') + '.whiten.npz'
+            os.makedirs(os.path.dirname(os.path.abspath(wh_path)),
+                        exist_ok=True)
+            np.savez(wh_path, L=L, center=center)
+            logpdf = whiten_logpdf(logpdf, L, center)
+            to_z = lambda u: _to_z64(u).astype(np.float32)
+            z0 = jnp.zeros(z0.shape, jnp.float32)   # u(MAP) = 0
+            init_inv_mass = None
+        elif args.mass == 'laplace':
             init_inv_mass = np.broadcast_to(
                 inv0, (args.chains,) + inv0.shape)
         else:
@@ -330,11 +389,15 @@ def run_nuts(args, setup):
         cfg = NUTSConfig(num_warmup=max(burn, 10), num_samples=n_samples,
                          max_depth=args.max_depth,
                          dense_mass=(args.dense_mass
-                                     or args.mass == 'laplace'),
+                                     or args.mass in ('laplace', 'ridge')),
                          n_step=args.n_step,
                          fixed_mass=args.mass == 'laplace')
     logpdf_n = (make_transformed_logpdf(setup, free_n=True)[0]
                 if gibbs else None)
+    if gibbs and to_z is not None:
+        with np.load(db.removesuffix('.npz') + '.whiten.npz') as wz:
+            logpdf_n = whiten_logpdf(logpdf_n, wz['L'], wz['center'],
+                                     gibbs=True)
     keys = random.split(random.PRNGKey(args.seed), args.chains)
     # small per-chain jitter in z-space so chains are distinguishable
     z0s = (jnp.broadcast_to(z0, (args.chains,) + z0.shape) +
@@ -364,12 +427,31 @@ def run_nuts(args, setup):
         from ..parallel.chains import chain_mesh
         mesh = chain_mesh()
         print('  chains sharded over {} devices'.format(n_dev))
+    # library-level durability (utils/durable.py): every checkpoint is
+    # mirrored to a non-ignored durable twin and (when PARA_GIT_COMMIT=1)
+    # committed, throttled to one commit per 10 min — a VM recycle can
+    # never eat more than checkpoint_every transitions again
+    _last_commit = [0.0]
+
+    def on_ckpt(phase, i, path):
+        import shutil
+        shutil.copyfile(path, twin)
+        now = time.time()
+        if now - _last_commit[0] >= 600:
+            if commit_artifacts([twin], 'NUTS durable checkpoint: {} {} '
+                                '({})'.format(phase, i,
+                                              os.path.basename(db))):
+                _last_commit[0] = now
+
     out = nuts_sample_stepwise(
         logpdf, z0s, keys, cfg, progress=progress, checkpoint_path=ckpt,
         checkpoint_every=max(1, min(args.checkpoint_every, 25)),
         resume=resume, mesh=mesh, gibbs_n=logpdf_n,
-        steps_per_call=args.steps_per_call, init_inv_mass=init_inv_mass)
-    samples = np.asarray(out['samples'])     # (chains, n, dim) z-space
+        steps_per_call=args.steps_per_call, init_inv_mass=init_inv_mass,
+        on_checkpoint=on_ckpt)
+    samples = np.asarray(out['samples'])     # (chains, n, dim) u/z-space
+    if to_z is not None:
+        samples = to_z(samples)              # ridge mode: map back to z
     dt = time.time() - tic
     print('NUTS finished: {:.1f} s ({:.3f} s/sample/chain); accept {:.2f}, '
           '{} divergences'.format(
@@ -383,7 +465,7 @@ def run_nuts(args, setup):
     # device array is a read-only zero-copy view; copy before writing)
     theta = np.array(jax.vmap(jax.vmap(
         lambda z: jnp.concatenate([constrain(z)[0], constrain(z)[1]])))(
-            out['samples']))
+            jnp.asarray(samples, jnp.float32)))
     if gibbs:
         # slot 13 of the model block is the Gibbs-sampled n_periods, not
         # the fixed 30 the 1-arg constrain pins there
@@ -396,6 +478,13 @@ def run_nuts(args, setup):
              inv_mass=np.asarray(out['inv_mass']),
              sampler='nuts')
     print('Saved to {}.npz'.format(db.removesuffix('.npz')))
+    if os.path.exists(twin):
+        os.remove(twin)   # superseded by the final committed trace
+    final = [db.removesuffix('.npz') + '.npz']
+    if to_z is not None:
+        final.append(db.removesuffix('.npz') + '.whiten.npz')
+    commit_artifacts(final, 'Record NUTS trace {}'.format(
+        os.path.basename(db)))
     _report(traces, setup)
 
 
@@ -541,6 +630,7 @@ def run_pt_cli(args, setup):
                          'n_samples': 0 if kept is None else kept.shape[-2]},
                    extra={'betas': betas, 'loglik': lls,
                           'swap_attempts': att, 'swap_accepts': acc})
+        _commit_store(db, 'PT checkpoint: {}/{} rounds'.format(done, rounds))
         if done < rounds:
             print('  checkpoint: {}/{} rounds done'.format(done, rounds))
     if rounds:
@@ -610,6 +700,8 @@ def _save_smc(db, payload, seed, cfg):
                       'ess_path': h['ess'], 'accept_path': h['accept'],
                       'resampled': h['resampled'], 'logz_path': h['logz'],
                       'rounds_path': h.get('rounds', np.zeros(0))})
+    _commit_store(db, 'SMC checkpoint: stage {} (beta {:.4f})'.format(
+        payload['stage'], payload['beta']))
     return traces
 
 
@@ -1009,6 +1101,8 @@ def main(argv=None):
                        meta={'n_samples': max(done - burn, 0), 'burn': burn,
                              'chains': args.chains,
                              'obs_sweeps': obs_sweeps})
+            _commit_store(db, 'AM checkpoint: {}/{} steps'.format(done,
+                                                                  total))
             if done < total:
                 print('  checkpoint: {}/{} steps done'.format(done, total))
         traces = all_tr[..., burn:, :]
@@ -1047,6 +1141,8 @@ def main(argv=None):
             # inherit this run's obs_sweeps, not the pre-override value
             meta['obs_sweeps'] = obs_sweeps
             save_chain(db, traces, states, meta=meta)
+            _commit_store(db, 'AM checkpoint (resume): {}/{} steps'.format(
+                done, n_samples))
             if done < n_samples:
                 print('  checkpoint: {}/{} steps done'.format(done,
                                                               n_samples))
