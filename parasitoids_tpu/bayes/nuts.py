@@ -1054,13 +1054,22 @@ def whiten_transform(cov_z, center):
       which the fixed-metric run provably could not
       (``fixed_mass=True`` never adapts).
 
-    Returns ``(to_z, to_u, L)``; ``to_z`` accepts ``(..., d)`` stacks.
+    Returns ``(to_z, to_u, L, anchor)``; ``to_z`` accepts ``(..., d)``
+    stacks.  ``anchor`` is a 0/1 vector over u-coordinates marking PINNED
+    eigendirections (covariance eigenvalue at the 1e-12 jitter — the fixed
+    n_periods packing slot): along such a direction z is essentially
+    constant, so the u-space target would be FLAT there — an improper free
+    coordinate whose momentum never flips, forcing every NUTS tree to its
+    depth cap.  :func:`whiten_logpdf` anchors these coordinates with a
+    standard-normal term (z samples are unaffected: the L column is
+    ~1e-6-scale).
     """
     import numpy as np
     cov = np.asarray(cov_z, np.float64)
     cov = 0.5 * (cov + cov.T)
     lam, V = np.linalg.eigh(cov)
     sd = np.sqrt(np.clip(lam, 1e-12, None))
+    anchor = (lam < 1e-10).astype(np.float64)
     L = V * sd                                  # cov = L @ L.T
     Linv = (V / sd).T
     center = np.asarray(center, np.float64)
@@ -1071,26 +1080,39 @@ def whiten_transform(cov_z, center):
     def to_u(z):
         return (np.asarray(z, np.float64) - center) @ Linv.T
 
-    return to_z, to_u, L
+    return to_z, to_u, L, anchor
 
 
-def whiten_logpdf(logpdf, L, center, gibbs=False):
+def whiten_logpdf(logpdf, L, center, gibbs=False, anchor=None):
     """The u-space NUTS target for :func:`whiten_transform`'s map.
 
     The linear map's log-Jacobian is constant, so it is omitted: the
     returned callable equals the z-space target at ``z = center + L u``
     (sampled densities differ only by ``log|det L|``, which no MCMC
     kernel sees, and stored ``logp`` traces stay comparable with z-space
-    runs).  ``gibbs=True`` wraps a two-argument Gibbs target
-    ``logpdf(z, n)`` instead."""
+    runs — up to the anchor term below, which contributes ~-0.5 per
+    pinned coordinate).  ``gibbs=True`` wraps a two-argument Gibbs target
+    ``logpdf(z, n)`` instead.
+
+    ``anchor``: optional 0/1 vector over u-coordinates (from
+    :func:`whiten_transform`): marked coordinates get a standard-normal
+    log-density term ``-u²/2`` — they correspond to pinned z-directions
+    the data/prior cannot see (z moves ~1e-6 per unit u), and without an
+    anchor they are improper flat coordinates that break the U-turn
+    criterion (trees always reach max depth)."""
     Lj = jnp.asarray(L, jnp.float32)
     cj = jnp.asarray(center, jnp.float32)
+    aj = None if anchor is None else jnp.asarray(anchor, jnp.float32)
+
+    def extra(u):
+        return 0.0 if aj is None else -0.5 * jnp.sum(aj * u * u)
+
     if gibbs:
         def logpdf_u(u, n):
-            return logpdf(cj + Lj @ u, n)
+            return logpdf(cj + Lj @ u, n) + extra(u)
     else:
         def logpdf_u(u):
-            return logpdf(cj + Lj @ u)
+            return logpdf(cj + Lj @ u) + extra(u)
     return logpdf_u
 
 

@@ -339,9 +339,10 @@ def run_nuts(args, setup):
             # rebuild the SAME whitening map from the sidecar
             with np.load(wh_path) as wz:
                 L, center = wz['L'], wz['center']
+                anchor = wz['anchor'] if 'anchor' in wz.files else None
             print('NUTS resume: ridge reparameterization from {}'.format(
                 wh_path))
-            logpdf = whiten_logpdf(logpdf, L, center)
+            logpdf = whiten_logpdf(logpdf, L, center, anchor=anchor)
             to_z = lambda u: (np.asarray(u, np.float64) @ L.T
                               + center).astype(np.float32)
     else:
@@ -369,14 +370,14 @@ def run_nuts(args, setup):
             # L L^T the regularized Laplace covariance; NUTS runs in
             # u-space from an identity metric with dense Welford
             # adaptation on top (whiten_transform docstring)
-            _to_z64, _to_u, L = whiten_transform(fit['cov_z_reg'],
-                                                 fit['z'])
+            _to_z64, _to_u, L, anchor = whiten_transform(fit['cov_z_reg'],
+                                                         fit['z'])
             center = np.asarray(fit['z'], np.float64)
             wh_path = db.removesuffix('.npz') + '.whiten.npz'
             os.makedirs(os.path.dirname(os.path.abspath(wh_path)),
                         exist_ok=True)
-            np.savez(wh_path, L=L, center=center)
-            logpdf = whiten_logpdf(logpdf, L, center)
+            np.savez(wh_path, L=L, center=center, anchor=anchor)
+            logpdf = whiten_logpdf(logpdf, L, center, anchor=anchor)
             to_z = lambda u: _to_z64(u).astype(np.float32)
             z0 = jnp.zeros(z0.shape, jnp.float32)   # u(MAP) = 0
             init_inv_mass = None
@@ -396,13 +397,18 @@ def run_nuts(args, setup):
                 if gibbs else None)
     if gibbs and to_z is not None:
         with np.load(db.removesuffix('.npz') + '.whiten.npz') as wz:
-            logpdf_n = whiten_logpdf(logpdf_n, wz['L'], wz['center'],
-                                     gibbs=True)
+            logpdf_n = whiten_logpdf(
+                logpdf_n, wz['L'], wz['center'], gibbs=True,
+                anchor=(wz['anchor'] if 'anchor' in wz.files else None))
     keys = random.split(random.PRNGKey(args.seed), args.chains)
-    # small per-chain jitter in z-space so chains are distinguishable
+    # per-chain start jitter: in ridge mode u is posterior-whitened, so
+    # 0.5 u-units ≈ half a posterior sd per coordinate — genuinely
+    # overdispersed starts (R-hat actually tests mixing); in z-space the
+    # coordinate scales are unknown, keep the conservative 0.01
+    jit_sd = 0.5 if to_z is not None else 0.01
     z0s = (jnp.broadcast_to(z0, (args.chains,) + z0.shape) +
-           0.01 * random.normal(random.PRNGKey(args.seed + 1),
-                                (args.chains,) + z0.shape, z0.dtype))
+           jit_sd * random.normal(random.PRNGKey(args.seed + 1),
+                                  (args.chains,) + z0.shape, z0.dtype))
 
     print('NUTS: {} chains, {} warmup + {} samples, max depth {}{}...'.format(
         args.chains, cfg.num_warmup, n_samples, cfg.max_depth,

@@ -139,7 +139,7 @@ def test_whiten_transform_roundtrip():
     A = rng.normal(size=(5, 5))
     cov = A @ A.T + 0.1 * np.eye(5)
     center = rng.normal(size=5)
-    to_z, to_u, L = whiten_transform(cov, center)
+    to_z, to_u, L, anchor = whiten_transform(cov, center)
     np.testing.assert_allclose(L @ L.T, cov, atol=1e-10)
     z = rng.normal(size=(7, 5))
     np.testing.assert_allclose(to_z(to_u(z)), z, atol=1e-9)
@@ -169,7 +169,7 @@ def test_whitened_nuts_samples_correct_distribution():
     # mismatch
     est = cov * np.array([[1.3, 0.9], [0.9, 0.8]])
     est = 0.5 * (est + est.T)
-    to_z, _, L = whiten_transform(est, mu + 0.3 * sd)
+    to_z, _, L, _a = whiten_transform(est, mu + 0.3 * sd)
     lp_u = whiten_logpdf(logpdf, L, mu + 0.3 * sd)
     cfg = NUTSConfig(num_warmup=300, num_samples=1200, max_depth=8,
                      dense_mass=True, init_step_size=0.5)
@@ -187,7 +187,7 @@ def test_whiten_logpdf_value_matches_z_space():
     target at z = center + L u (stored logp traces stay comparable)."""
     cov = np.array([[2.0, 0.3], [0.3, 0.5]])
     center = np.array([1.0, -1.0])
-    to_z, _, L = whiten_transform(cov, center)
+    to_z, _, L, _a = whiten_transform(cov, center)
 
     def logpdf(z):
         return -0.5 * jnp.sum(z ** 2) + 0.7
@@ -277,3 +277,25 @@ def test_nuts_durable_twin_restores_after_recycle(tmp_path):
                                   np.asarray(ref['samples']))
     np.testing.assert_array_equal(np.asarray(out['logp']),
                                   np.asarray(ref['logp']))
+
+
+def test_whiten_anchor_flags_pinned_direction():
+    """A pinned direction (cov eigenvalue at the 1e-12 jitter) must be
+    anchored: without the anchor the u-space target is flat along it and
+    every NUTS tree runs to its depth cap."""
+    cov = np.diag([1.0, 1e-12])
+    to_z, to_u, L, anchor = whiten_transform(cov, np.zeros(2))
+    assert anchor.sum() == 1.0
+
+    def logpdf(z):
+        return -0.5 * z[0] ** 2        # z[1] unconstrained (pinned slot)
+
+    lp_u = whiten_logpdf(logpdf, L, np.zeros(2), anchor=anchor)
+    cfg = NUTSConfig(num_warmup=50, num_samples=200, max_depth=6)
+    out = nuts_sample(lp_u, jnp.zeros(2), random.PRNGKey(0), cfg)
+    us = np.asarray(out['samples'])
+    # the anchored coordinate behaves as a unit normal, not a random walk
+    assert abs(us[:, list(anchor).index(1.0)].std() - 1.0) < 0.4
+    zs = to_z(us)
+    assert zs[:, 1].std() < 1e-5       # z stays pinned
+    assert abs(zs[:, 0].std() - 1.0) < 0.3
