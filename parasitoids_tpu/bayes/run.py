@@ -377,6 +377,12 @@ def run_nuts(args, setup):
             os.makedirs(os.path.dirname(os.path.abspath(wh_path)),
                         exist_ok=True)
             np.savez(wh_path, L=L, center=center, anchor=anchor)
+            # commit the sidecar NOW: a resume without it would silently
+            # interpret the u-space checkpoint as z-space (the map cannot
+            # be rebuilt — it derives from this run's MAP fit)
+            commit_artifacts([wh_path],
+                             'Record ridge whitening sidecar ({})'.format(
+                                 os.path.basename(db)))
             logpdf = whiten_logpdf(logpdf, L, center, anchor=anchor)
             to_z = lambda u: _to_z64(u).astype(np.float32)
             z0 = jnp.zeros(z0.shape, jnp.float32)   # u(MAP) = 0
