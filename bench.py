@@ -1,4 +1,5 @@
-"""Benchmark harness — prints ONE JSON line.
+"""Benchmark harness — prints ONE JSON line, ALWAYS, within a global
+wall-clock budget.
 
 Headline metric (BASELINE.json): full forward simulations per hour on the
 reference Bayes workload — Kalbar population model, 801x801 domain at 25 m,
@@ -14,17 +15,29 @@ machine, scaled to 18 days).  The reference publishes no numbers
 The JSON line also carries ``extra_metrics`` — the inference-layer
 north-star numbers, regression-tracked per round (VERDICT r1 item 2):
 
-* ``am_steps_per_hr``: adaptive-Metropolis steps/hr at the FULL reference
-  MCMC config (801x801 @ 25 m, every step a complete forward simulation —
-  the workload of Bayes_Run.py:484-537, whose only perf counter is the
-  'sec./model' print, Bayes_MAP.py:344-346).
-* ``nuts_transitions_per_hr_map_domain``: NUTS transitions/hr at the
-  reference MAP domain (401x401 @ 50 m, Bayes_MAP.py:95), depth-6 trees,
-  each leapfrog a full forward+gradient simulation.
+* ``am_steps_per_hr`` / ``am_ess_per_hr``: adaptive Metropolis at the FULL
+  reference MCMC config (801x801 @ 25 m, every step a complete forward
+  simulation — the workload of Bayes_Run.py:484-537, whose only perf
+  counter is the 'sec./model' print, Bayes_MAP.py:344-346),
+* ``nuts_801_transitions_per_hr`` / ``nuts_801_ess_per_hr``: warm-started
+  NUTS at the same full config (the production --mass laplace recipe),
+* ``nuts_transitions_per_hr_map_domain``: NUTS at the reference MAP domain
+  (401x401 @ 50 m, Bayes_MAP.py:95),
+* ``forward_tflops`` / ``forward_mfu_pct``: achieved-FLOPs estimate for
+  the forward simulation vs the chip's peak — single-chip efficiency as a
+  tracked number, not only a speedup ratio.
 
-Each extra metric runs in its own bounded child process (the hosted-TPU
-tunnel can wedge mid-run); a failed/timed-out extra reports null without
-losing the headline.
+**Budget discipline (VERDICT r3 item 1).**  Round 3's bench outran the
+driver window (BENCH_r03 rc=124: worst-case child budgets summed to
+~2.4 h) and the round lost its perf record — a bench whose failure mode is
+silence destroys the regression tracking it exists for.  This version
+allocates ONE global wall-clock budget (``PARA_BENCH_BUDGET_S``, default
+1500 s) across all children: the headline runs first with most of the
+budget available, each extra only dispatches if the remaining budget
+covers its estimated need (otherwise it reports ``"skipped_for_budget"``),
+and every child is subprocess-bounded so nothing can wedge the final
+print.  (Role model: the reference's only perf counter always prints —
+Bayes_MAP.py:344-346.)
 """
 
 import json
@@ -34,6 +47,41 @@ import sys
 import time
 
 import numpy as np
+
+_T0 = time.time()
+_BUDGET_S = float(os.environ.get('PARA_BENCH_BUDGET_S', 1500))
+
+
+def _remaining():
+    return _BUDGET_S - (time.time() - _T0)
+
+
+# v5e peak: 197 TFLOP/s bf16 (public spec); the forward path runs f32
+# elementwise/transcendental + FFT work, so MFU is reported against the
+# bf16 peak as the honest hardware ceiling
+_V5E_PEAK_TFLOPS = 197.0
+
+
+def estimate_forward_flops(p, kcfg, scfg, ndays):
+    """Analytic FLOP estimate for ONE full forward simulation (documented
+    model, good to ~2x):
+
+    * kernel construction: T = 48*interp_num minute steps/day; each builds
+      a (2K+2)^2 corner-CDF grid with G_rho-node quadrature (~12 flops per
+      exp-node: ops/bvn.py cost note) plus the (2K+1)^2 scatter-add, and
+      the local-diffusion kernel once per day;
+    * propagation: per day one rfft2 + pointwise complex multiply + irfft2
+      on the P^2 padded grid (5 N log2 N real-FFT flops each way).
+    """
+    T = 48 * int(p.interp_num)
+    K, Kl, G = int(kcfg.K), int(kcfg.K_local), int(kcfg.G)
+    per_min = (2 * K + 2) ** 2 * G * 12.0 + (2 * K + 1) ** 2
+    per_day_kernel = T * per_min + (2 * Kl + 2) ** 2 * G * 12.0
+    P = int(scfg.fft_len)
+    N = float(P * P)
+    fft = 2.5 * N * np.log2(N)          # one real-input 2-D FFT
+    per_day_prop = 2 * fft + 8 * N      # fwd+inv FFT + complex multiply
+    return ndays * (per_day_kernel + per_day_prop)
 
 
 def _tpu_reachable(timeout_s=180):
@@ -108,7 +156,8 @@ def measure(n_iters=20):
     v = float(chained(jnp.float32(1.179)))
     assert np.isfinite(v)
     dt = (time.time() - t0) / n_iters
-    return dt, s.ndays
+    flops = estimate_forward_flops(p, s.kcfg, s.scfg, s.ndays)
+    return dt, s.ndays, flops
 
 
 def measure_am(n_steps=2400):
@@ -186,8 +235,16 @@ def measure_nuts(n_draws=24, n_warmup=32, steps_per_call=4):
     return (t1 - t0) / (i1 - i0)              # s per transition
 
 
-def measure_nuts_801(n_draws=64, n_warmup=16, map_steps=150,
+def measure_nuts_801(n_draws=None, n_warmup=16, map_steps=None,
                      steps_per_call=4):
+    if n_draws is None:
+        n_draws = int(os.environ.get('PARA_N801_DRAWS', 48))
+    if map_steps is None:
+        map_steps = int(os.environ.get('PARA_N801_MAP_STEPS', 150))
+    return _measure_nuts_801(n_draws, n_warmup, map_steps, steps_per_call)
+
+
+def _measure_nuts_801(n_draws, n_warmup, map_steps, steps_per_call):
     """NUTS at the FULL 801x801 Bayes config with the Laplace warm start
     (bayes/run.py --mass laplace): MAP fit -> fixed dense Hessian metric ->
     step-size-only warmup -> ``n_draws`` transitions.  Reports both the
@@ -237,32 +294,19 @@ def measure_nuts_801(n_draws=64, n_warmup=16, map_steps=150,
                                        / (spt * n_draws))}
 
 
-def _measure_tpu_subprocess(timeout_s):
-    """Run the TPU measurement in a bounded child: the hosted-TPU tunnel
-    can wedge AFTER device init (a dispatch that never returns), which an
-    in-process run cannot recover from.  Returns (dt, ndays) or None."""
-    try:
-        r = subprocess.run([sys.executable, os.path.abspath(__file__),
-                            '--child-tpu'],
-                           timeout=timeout_s, capture_output=True, text=True)
-    except subprocess.TimeoutExpired:
+def _child_subprocess(mode, timeout_s, env_extra=None):
+    """Run one measurement in a bounded child (the hosted-TPU tunnel can
+    wedge mid-run; in-process runs cannot recover).  Returns the child's
+    JSON dict or None on failure/timeout; never raises."""
+    if timeout_s <= 0:
         return None
-    if r.returncode != 0:
-        return None
-    try:
-        out = json.loads(r.stdout.strip().splitlines()[-1])
-        return float(out['dt']), int(out['ndays'])
-    except (ValueError, IndexError, KeyError):
-        return None
-
-
-def _extra_subprocess(mode, timeout_s):
-    """Run one extra metric in a bounded child; returns its JSON dict or
-    None on failure/timeout."""
+    env = dict(os.environ)
+    env.update(env_extra or {})
     try:
         r = subprocess.run([sys.executable, os.path.abspath(__file__), mode],
-                           timeout=timeout_s, capture_output=True, text=True)
-    except subprocess.TimeoutExpired:
+                           timeout=timeout_s, capture_output=True,
+                           text=True, env=env)
+    except (subprocess.SubprocessError, OSError):
         return None
     if r.returncode != 0:
         return None
@@ -274,8 +318,12 @@ def _extra_subprocess(mode, timeout_s):
 
 def main():
     if '--child-tpu' in sys.argv:
-        dt, ndays = measure(20)
-        print(json.dumps({'dt': dt, 'ndays': ndays}))
+        dt, ndays, flops = measure(20)
+        print(json.dumps({'dt': dt, 'ndays': ndays, 'flops': flops}))
+        return
+    if '--child-cpu' in sys.argv:
+        dt, ndays, flops = measure(5)
+        print(json.dumps({'dt': dt, 'ndays': ndays, 'flops': flops}))
         return
     if '--child-am' in sys.argv:
         print(json.dumps(measure_am()))
@@ -287,32 +335,30 @@ def main():
         print(json.dumps(measure_nuts_801()))
         return
 
+    # ------------------------------------------------------------------
+    # headline (gets the whole budget minus a 60 s reserve for the
+    # extras bookkeeping + final print)
     platform = 'tpu'
     res = None
-    if _tpu_reachable():
-        # generous bound: a cold compile through the tunnel takes minutes;
-        # the persistent XLA cache makes warm runs finish in ~1-2 min
-        res = _measure_tpu_subprocess(
-            timeout_s=float(os.environ.get('PARA_TPU_BENCH_TIMEOUT', 2400)))
+    if _tpu_reachable(timeout_s=max(60, min(180, _remaining() * 0.2))):
+        # cap at 60% of the budget so a wedged TPU child still leaves the
+        # CPU fallback (and the final print) room to land
+        res = _child_subprocess(
+            '--child-tpu',
+            min(float(os.environ.get('PARA_TPU_BENCH_TIMEOUT', 1e9)),
+                0.6 * _BUDGET_S, _remaining() - 60))
         if res is None:
             platform = 'cpu-fallback (TPU run timed out/failed)'
     else:
         platform = 'cpu-fallback (TPU tunnel unreachable)'
-    if res is not None:
-        dt, ndays = res
-    else:
-        # run (slowly) on host so the driver still gets an honest,
-        # clearly-labeled number instead of a hang.  Set the ENV VAR, not
-        # just jax.config: measure() -> enable_compilation_cache ->
-        # pin_platform_from_env re-applies JAX_PLATFORMS, which in the
-        # driver shell says 'axon' — a config-only override would route
-        # the "fallback" straight back onto the wedged tunnel
-        os.environ['JAX_PLATFORMS'] = 'cpu'
-        import jax
-        jax.config.update('jax_platforms', 'cpu')
-        dt, ndays = measure(5)
-    sims_per_hr = 3600.0 / dt
-    sim_days_per_sec = ndays / dt
+    if res is None:
+        # honest, clearly-labeled host fallback — still subprocess-bounded
+        # so a pathological CPU compile cannot eat the final print.  The
+        # env var (not jax.config) is what pins the platform: measure() ->
+        # enable_compilation_cache -> pin_platform_from_env re-applies
+        # JAX_PLATFORMS, which in the driver shell says 'axon'
+        res = _child_subprocess('--child-cpu', _remaining() - 30,
+                                env_extra={'JAX_PLATFORMS': 'cpu'})
 
     vs_baseline = None
     ref_total = None
@@ -323,15 +369,52 @@ def main():
             base = json.load(f)
         ref_total = (base['per_day_prob_mass_s'] +
                      base['conv_per_day_s']) * base['ndays']
-        vs_baseline = ref_total / dt   # speedup factor
 
-    # inference-layer extras (TPU only — each step is a full forward sim;
-    # a CPU fallback run of these would take hours and say nothing)
     extras = {}
-    if res is not None:
-        am = _extra_subprocess('--child-am', float(os.environ.get(
-            'PARA_AM_BENCH_TIMEOUT', 1800)))
-        if am:
+    if res is None:
+        # even the fallback failed: emit the headline record with nulls —
+        # the one contract this script must never break is ONE parseable
+        # JSON line (BENCH_r03 was rc=124/empty; never again)
+        print(json.dumps({
+            'metric': 'kalbar_full_forward_sims_per_hr',
+            'value': None,
+            'unit': 'sims/hr — no measurement landed within the {}s '
+                    'budget on {}'.format(int(_BUDGET_S), platform),
+            'vs_baseline': None,
+            'extra_metrics': extras,
+        }))
+        return
+
+    dt, ndays, flops = float(res['dt']), int(res['ndays']), res.get('flops')
+    sims_per_hr = 3600.0 / dt
+    sim_days_per_sec = ndays / dt
+    if ref_total:
+        vs_baseline = ref_total / dt
+    if flops:
+        tflops = flops / dt / 1e12
+        extras['forward_tflops'] = {
+            'value': round(tflops, 3),
+            'unit': 'achieved TFLOP/s, forward sim (analytic FLOP model, '
+                    '~2x), MFU {:.2f}% of {} TF/s v5e bf16 peak'.format(
+                        100.0 * tflops / _V5E_PEAK_TFLOPS,
+                        _V5E_PEAK_TFLOPS),
+            'vs_baseline': None}
+
+    # ------------------------------------------------------------------
+    # inference-layer extras (TPU only — each step is a full forward sim;
+    # a CPU run of these says nothing).  Dispatch order = VERDICT
+    # priority: AM ESS/hr, then 801^2 NUTS ESS/hr, then the MAP-domain
+    # NUTS rate.  Each extra runs only if the remaining budget covers its
+    # floor (warm-cache estimate + margin); otherwise it reports
+    # 'skipped_for_budget' — a skipped number is a visible record, a
+    # timeout is silence.
+    skipped = 'skipped_for_budget'
+    if platform == 'tpu':
+        if _remaining() > 420:
+            am = _child_subprocess('--child-am', _remaining() - 60)
+        else:
+            am = skipped
+        if isinstance(am, dict):
             sps = am['s_per_step']
             extras['am_steps_per_hr'] = {
                 'value': round(3600.0 / sps, 1),
@@ -346,21 +429,20 @@ def main():
                             am['median_ess_per_hr']),
                 'vs_baseline': None}   # reference records no ESS anywhere
         else:
-            extras['am_steps_per_hr'] = None
-            extras['am_ess_per_hr'] = None
-        nuts = _extra_subprocess('--child-nuts', float(os.environ.get(
-            'PARA_NUTS_BENCH_TIMEOUT', 1800)))
-        if nuts:
-            spt = nuts['s_per_transition']
-            extras['nuts_transitions_per_hr_map_domain'] = {
-                'value': round(3600.0 / spt, 1),
-                'unit': 'NUTS transitions/hr, 401x401 MAP domain, depth 6',
-                'vs_baseline': None}   # the reference has no NUTS at all
+            extras['am_steps_per_hr'] = am
+            extras['am_ess_per_hr'] = am
+
+        # 801^2 warm NUTS: MAP fit + metric (~4 min warm) + draws (~3.5
+        # s each); shrink the draw count to fit the remaining budget
+        rem = _remaining()
+        if rem > 480:
+            n_draws = int(max(16, min(48, (rem - 360) / 4.0)))
+            n801 = _child_subprocess(
+                '--child-nuts801', _remaining() - 45,
+                env_extra={'PARA_N801_DRAWS': str(n_draws)})
         else:
-            extras['nuts_transitions_per_hr_map_domain'] = None
-        n801 = _extra_subprocess('--child-nuts801', float(os.environ.get(
-            'PARA_NUTS801_BENCH_TIMEOUT', 2700)))
-        if n801:
+            n801, n_draws = skipped, 0
+        if isinstance(n801, dict):
             spt = n801['s_per_transition']
             extras['nuts_801_transitions_per_hr'] = {
                 'value': round(3600.0 / spt, 1),
@@ -369,19 +451,34 @@ def main():
                 'vs_baseline': None}
             extras['nuts_801_ess_per_hr'] = {
                 'value': round(n801['min_ess_per_hr'], 1),
-                'unit': 'min ESS/hr over params (median {:.0f}), 64-draw '
+                'unit': 'min ESS/hr over params (median {:.0f}), {}-draw '
                         'warm-started NUTS, 801x801'.format(
-                            n801['median_ess_per_hr']),
+                            n801['median_ess_per_hr'], n_draws),
                 'vs_baseline': None}
         else:
-            extras['nuts_801_transitions_per_hr'] = None
-            extras['nuts_801_ess_per_hr'] = None
+            extras['nuts_801_transitions_per_hr'] = n801
+            extras['nuts_801_ess_per_hr'] = n801
+
+        if _remaining() > 420:
+            nuts = _child_subprocess('--child-nuts', _remaining() - 30)
+        else:
+            nuts = skipped
+        if isinstance(nuts, dict):
+            spt = nuts['s_per_transition']
+            extras['nuts_transitions_per_hr_map_domain'] = {
+                'value': round(3600.0 / spt, 1),
+                'unit': 'NUTS transitions/hr, 401x401 MAP domain, depth 6',
+                'vs_baseline': None}   # the reference has no NUTS at all
+        else:
+            extras['nuts_transitions_per_hr_map_domain'] = nuts
 
     print(json.dumps({
         'metric': 'kalbar_full_forward_sims_per_hr',
         'value': round(sims_per_hr, 1),
-        'unit': 'sims/hr on {} (801x801, 18 days; sim-days/s={:.1f})'.format(
-            platform, sim_days_per_sec),
+        'unit': 'sims/hr on {} (801x801, 18 days; sim-days/s={:.1f}; '
+                'budget {:.0f}s, used {:.0f}s)'.format(
+                    platform, sim_days_per_sec, _BUDGET_S,
+                    time.time() - _T0),
         'vs_baseline': round(vs_baseline, 1) if vs_baseline else None,
         'extra_metrics': extras,
     }))
