@@ -41,9 +41,12 @@ _FIXED_MODEL_SLOTS = (13,)     # n_periods is held fixed in MAP (ref
 
 
 def _theta_names(setup):
+    from .priors import obs_extra_names
     return (list(MODEL_PARAM_NAMES) + list(OBS_PARAM_NAMES)
             + ['sent_obs_prob_{}'.format(k)
-               for k in setup.locinfo.sent_ids])
+               for k in setup.locinfo.sent_ids]
+            + list(obs_extra_names(getattr(setup, 'obs_model',
+                                           'poisson'))))
 
 
 def prior_sds(setup: BayesSetup, n=4000, seed=0):
@@ -59,7 +62,8 @@ def prior_sds(setup: BayesSetup, n=4000, seed=0):
     m = np.asarray(jax.vmap(sample_prior_model)(random.split(k_m, n)),
                    np.float64)
     o = np.asarray(jax.vmap(lambda k: sample_prior_obs(
-        k, setup.field_areas, setup.min_field_area))(random.split(k_o, n)),
+        k, setup.field_areas, setup.min_field_area,
+        getattr(setup, 'obs_model', 'poisson')))(random.split(k_o, n)),
         np.float64)
     return np.concatenate([m.std(axis=0), o.std(axis=0)])
 

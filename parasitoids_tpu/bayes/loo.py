@@ -80,7 +80,9 @@ def pointwise_matrix(setup: BayesSetup, traces, n_draws=400, seed=0,
     n_m = len(MODEL_PARAM_NAMES)
     n_o = len(OBS_PARAM_NAMES)
     m_draws = draws[:, :n_m].astype(np.float32)
-    o_draws = draws[:, n_m:n_m + n_o + setup.n_sent].astype(np.float32)
+    n_extra = getattr(setup, 'n_extra_obs', 0)
+    o_draws = draws[:, n_m:n_m + n_o + setup.n_sent
+                    + n_extra].astype(np.float32)
 
     proj = ensemble_projections(setup, m_draws, mesh=mesh)
 

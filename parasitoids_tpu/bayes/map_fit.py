@@ -47,7 +47,8 @@ def default_use_sprd(params):
 
 def _theta_split(setup):
     n_sent = setup.n_sent
-    t_obs = obs_transforms(n_sent, setup.min_field_area)
+    t_obs = obs_transforms(n_sent, setup.min_field_area,
+                           getattr(setup, 'obs_model', 'poisson'))
     return n_sent, MODEL_TRANSFORMS, t_obs
 
 
@@ -70,7 +71,7 @@ def _make_objective(setup: BayesSetup, use_sprd, free_n=False,
     if free_n and traced_obs:
         raise ValueError('free_n and traced_obs are mutually exclusive')
     n_sent, t_m, t_o = _theta_split(setup)
-    n_obs = 4 + n_sent
+    n_obs = 4 + n_sent + getattr(setup, 'n_extra_obs', 0)
     sprd_t = Unit()
 
     def constrain(z, n_periods=jnp.asarray(_N_PERIODS_FIXED)):
@@ -127,7 +128,7 @@ def map_fit(setup: BayesSetup, n_steps=300, learning_rate=0.02,
     if o0 is None:
         o0 = initial_obs_params(
             [setup.locinfo.field_sizes[k] for k in setup.locinfo.sent_ids],
-            setup.cell_res ** 2)
+            setup.cell_res ** 2, getattr(setup, 'obs_model', 'poisson'))
     z0 = unconstrain(jnp.asarray(m0, jnp.float32),
                      jnp.asarray(o0, jnp.float32),
                      jnp.asarray(sprd0, jnp.float32))
@@ -259,14 +260,16 @@ def map_fit_multistart(setup: BayesSetup, n_starts=8, seed=0, n_steps=300,
     m0 = jnp.asarray(initial_model_params(), jnp.float32)
     o0 = jnp.asarray(initial_obs_params(
         [setup.locinfo.field_sizes[k] for k in setup.locinfo.sent_ids],
-        setup.cell_res ** 2), jnp.float32)
+        setup.cell_res ** 2, getattr(setup, 'obs_model', 'poisson')),
+        jnp.float32)
     k_m, k_o, k_s = random.split(random.PRNGKey(seed), 3)
     ms = jnp.concatenate([
         m0[None], jax.vmap(sample_prior_model)(
             random.split(k_m, n_starts - 1))]) if n_starts > 1 else m0[None]
     os_ = jnp.concatenate([
         o0[None], jax.vmap(lambda k: sample_prior_obs(
-            k, setup.field_areas, setup.min_field_area))(
+            k, setup.field_areas, setup.min_field_area,
+            getattr(setup, 'obs_model', 'poisson')))(
                 random.split(k_o, n_starts - 1))]) if n_starts > 1 \
         else o0[None]
     # sprd_factor is Uniform(0,1) (Bayes_MAP.py:200-205) — draw it like
@@ -395,7 +398,8 @@ def prior_var_z(setup: BayesSetup, use_sprd=False, n=4000, seed=0):
     k_m, k_o, k_s = random.split(random.PRNGKey(seed), 3)
     ms = jax.vmap(sample_prior_model)(random.split(k_m, n))
     os_ = jax.vmap(lambda k: sample_prior_obs(
-        k, setup.field_areas, setup.min_field_area))(random.split(k_o, n))
+        k, setup.field_areas, setup.min_field_area,
+        getattr(setup, 'obs_model', 'poisson')))(random.split(k_o, n))
     sprds = random.uniform(k_s, (n,), jnp.float32, 1e-3, 1 - 1e-3)
     zs = np.asarray(jax.vmap(unconstrain)(ms, os_, sprds), np.float64)
     return zs.var(axis=0)
@@ -503,7 +507,7 @@ def _neg_logprior_z(setup: BayesSetup, constrain, with_jacobian):
         m_vec, o_vec, _ = constrain(z)
         lp = log_prior_model(_as_model(m_vec)) + log_prior_obs(
             _as_obs(o_vec, n_sent), setup.field_areas,
-            setup.min_field_area)
+            setup.min_field_area, getattr(setup, 'obs_model', 'poisson'))
         if not with_jacobian:
             return -lp
         jac = jax.jacfwd(theta_flat)(z)
@@ -605,8 +609,12 @@ def map_report(setup: BayesSetup, fit, laplace=None, out=None):
                 laplace['log_evidence'],
                 '' if laplace['hess_pd'] else
                 '  [nan: Hessian not positive definite at the fit]'))
-    names = list(MODEL_PARAM_NAMES) + list(OBS_PARAM_NAMES) + \
-        ['sent_obs_prob_{}'.format(k) for k in setup.locinfo.sent_ids]
+    from .priors import obs_extra_names
+    names = (list(MODEL_PARAM_NAMES) + list(OBS_PARAM_NAMES)
+             + ['sent_obs_prob_{}'.format(k)
+                for k in setup.locinfo.sent_ids]
+             + list(obs_extra_names(getattr(setup, 'obs_model',
+                                            'poisson'))))
     vals = np.concatenate([fit['model'], fit['obs']])
     sds = laplace['sd_theta'] if laplace else None
     for i, (n, v) in enumerate(zip(names, vals)):

@@ -37,7 +37,8 @@ from ..ops.bvn import bvn_cell_masses
 from ..ops.daily_kernel import build_daily_kernel
 from .priors import (ModelParams, ObsParams, log_prior_model, log_prior_obs)
 
-__all__ = ['BayesSetup', 'poisson_loglik', 'prior_coverage_windows']
+__all__ = ['BayesSetup', 'poisson_loglik', 'prior_coverage_windows',
+           'negbin_logpmf', 'zip_logpmf']
 
 # Static kernel windows for the MCMC likelihood: sigma varies per proposal
 # inside one compiled program, so the window must cover the PRIOR, not one
@@ -81,6 +82,33 @@ def poisson_loglik(obs, rate):
     return jnp.sum(poisson_logpmf(obs, rate))
 
 
+def negbin_logpmf(obs, rate, r):
+    """Negative-binomial log-pmfs, mean ``rate`` and dispersion ``r``
+    (var = rate + rate²/r; r → ∞ recovers Poisson) — the overdispersed
+    observation variant (``Params.obs_model = 'negbin'``).  Same 1e-12
+    rate floor as ``poisson_logpmf`` for autodiff-safe zero rates."""
+    floor = jnp.asarray(1e-12, rate.dtype)
+    mu = jnp.maximum(rate, floor)
+    lograte = jnp.log(r + mu)
+    ll = (gammaln(obs + r) - gammaln(r) - gammaln(obs + 1.0)
+          + r * (jnp.log(r) - lograte)
+          + jnp.where(obs > 0, obs * (jnp.log(mu) - lograte), 0.0))
+    return ll
+
+
+def zip_logpmf(obs, rate, pi):
+    """Zero-inflated-Poisson log-pmfs: with probability ``pi`` the count
+    is a structural zero, else Poisson(rate) (``Params.obs_model =
+    'zip'``) — the zero-inflation repair the round-3 PPC asked for
+    (release[0]/sentinel[0] zero_frac p ≈ 0.01/0.03)."""
+    pi = jnp.clip(pi, 1e-7, 1.0 - 1e-7)
+    lp0 = jnp.logaddexp(jnp.log(pi),
+                        jnp.log1p(-pi) + poisson_logpmf(
+                            jnp.zeros_like(obs), rate))
+    lpk = jnp.log1p(-pi) + poisson_logpmf(obs, rate)
+    return jnp.where(obs > 0, lpk, lp0)
+
+
 class BayesSetup:
     """Everything needed to evaluate the posterior for one site/domain."""
 
@@ -95,6 +123,12 @@ class BayesSetup:
             params.domain_info = (10000.0, 400)  # Bayes_Run.py:91
         self.params = params
         self.sprd_factor = sprd_factor  # None, or a fixed/initial value
+        # observation model: 'poisson' (reference, Bayes_Run.py:344-433)
+        # or the overdispersed/zero-inflated variants (config.py
+        # obs_model); variants append ONE extra obs-parameter slot (the
+        # NB dispersion / ZIP inflation prob) after the sentinel probs
+        self.obs_model = getattr(params, 'obs_model', 'poisson')
+        self.n_extra_obs = 0 if self.obs_model == 'poisson' else 1
         # optional 1-D mesh: shard every forward simulation's flight-minute
         # axis over it (parallel/domain.py) — latency scaling for
         # single-chain samplers; leave None for chain-sharded sampling
@@ -352,16 +386,25 @@ class BayesSetup:
         for k, (model, data, effort) in enumerate(
                 zip(rel, data_rel, self.release_effort)):
             rate = o.xi * model * (effort * o.em_obs_prob)[:, None]
-            ll = poisson_logpmf(data, rate)
+            ll = self._obs_logpmf(data, rate, o)
             lp += jnp.sum(ll if m_rel is None else ll * m_rel[k])
         for k, (model, data) in enumerate(zip(sent, data_sent)):
             rate = o.xi * model * o.sent_obs_probs[:, None]
-            ll = poisson_logpmf(data, rate)
+            ll = self._obs_logpmf(data, rate, o)
             lp += jnp.sum(ll if m_sent is None else ll * m_sent[k])
         grid_rate = o.grid_obs_prob * self.grid_samples * grid
-        ll = poisson_logpmf(data_grid, grid_rate)
+        ll = self._obs_logpmf(data_grid, grid_rate, o)
         lp += jnp.sum(ll if m_grid is None else ll * m_grid)
         return lp
+
+    def _obs_logpmf(self, data, rate, o: ObsParams):
+        """Per-count observation log-pmf under the configured observation
+        model (static dispatch: ``self`` is a static jit argument)."""
+        if self.obs_model == 'negbin':
+            return negbin_logpmf(data, rate, o.od)
+        if self.obs_model == 'zip':
+            return zip_logpmf(data, rate, o.od)
+        return poisson_logpmf(data, rate)
 
     @partial(jax.jit, static_argnums=(0,))
     def pointwise_loglik(self, projections, o: ObsParams):
@@ -375,12 +418,12 @@ class BayesSetup:
         for model, data, effort in zip(rel, self.obs_release,
                                        self.release_effort):
             rate = o.xi * model * (effort * o.em_obs_prob)[:, None]
-            parts.append(poisson_logpmf(data, rate).ravel())
+            parts.append(self._obs_logpmf(data, rate, o).ravel())
         for model, data in zip(sent, self.obs_sentinel):
             rate = o.xi * model * o.sent_obs_probs[:, None]
-            parts.append(poisson_logpmf(data, rate).ravel())
+            parts.append(self._obs_logpmf(data, rate, o).ravel())
         grid_rate = o.grid_obs_prob * self.grid_samples * grid
-        parts.append(poisson_logpmf(self.obs_grid, grid_rate).ravel())
+        parts.append(self._obs_logpmf(self.obs_grid, grid_rate, o).ravel())
         return jnp.concatenate(parts)
 
     @partial(jax.jit, static_argnums=(0,))
@@ -391,7 +434,8 @@ class BayesSetup:
         structure (``obs_pytree``) replacing the baked-in dataset — see
         ``log_likelihood``."""
         lp_m = log_prior_model(m)
-        lp_o = log_prior_obs(o, self.field_areas, self.min_field_area)
+        lp_o = log_prior_obs(o, self.field_areas, self.min_field_area,
+                             self.obs_model)
         prior = lp_m + lp_o
 
         def run(_):

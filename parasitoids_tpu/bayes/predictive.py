@@ -34,6 +34,22 @@ __all__ = ['posterior_predictive', 'prior_predictive',
            'main']
 
 
+
+def _sample_counts(rng, rate, obs_model='poisson', od=0.0):
+    """Draw observed counts from the configured observation model (host
+    numpy RNG) — must mirror model.py's likelihood dispatch exactly so
+    PPC/SBC data come from the same process the likelihood scores."""
+    rate = np.maximum(np.asarray(rate, np.float64), 0.0)
+    if obs_model == 'negbin':
+        r = float(od)
+        p = np.clip(r / (r + rate), 1e-12, 1.0)
+        return rng.negative_binomial(r, p)
+    if obs_model == 'zip':
+        y = rng.poisson(rate)
+        return np.where(rng.random(rate.shape) < float(od), 0, y)
+    return rng.poisson(rate)
+
+
 def subsample_draws(traces, n_draws, seed):
     """Flatten a (n_chains, n_samples, dim) or (n_samples, dim) trace and
     subsample ``n_draws`` rows without replacement (seeded).  Returns
@@ -70,8 +86,11 @@ def posterior_predictive(setup: BayesSetup, traces, n_draws=20, seed=0,
 
     n_m = len(MODEL_PARAM_NAMES)
     n_o = len(OBS_PARAM_NAMES)
+    obs_model = getattr(setup, 'obs_model', 'poisson')
+    n_extra = getattr(setup, 'n_extra_obs', 0)
     m_draws = draws[:, :n_m].astype(np.float32)
-    o_draws = draws[:, n_m:n_m + n_o + setup.n_sent].astype(np.float32)
+    o_draws = draws[:, n_m:n_m + n_o + setup.n_sent
+                    + n_extra].astype(np.float32)
 
     rel, sent, grid = ensemble_projections(setup, m_draws, mesh=mesh)
     grid = np.asarray(grid)                      # (B, n_grid, n_dates)
@@ -83,15 +102,16 @@ def posterior_predictive(setup: BayesSetup, traces, n_draws=20, seed=0,
     for b in range(m_draws.shape[0]):
         xi, em_p, grid_p = o_draws[b, 0], o_draws[b, 1], o_draws[b, 2]
         sent_p = o_draws[b, 4:4 + setup.n_sent]
+        od = o_draws[b, 4 + setup.n_sent] if n_extra else 0.0
         g_rate = grid_p * gs * grid[b]
         out['grid_rate'].append(g_rate)
-        out['grid'].append(rng.poisson(np.maximum(g_rate, 0.0)))
-        rel_b = [rng.poisson(np.maximum(
-            xi * np.asarray(rel[k][b]) * (eff[k] * em_p)[:, None], 0.0))
-            for k in range(len(rel))]
-        sent_b = [rng.poisson(np.maximum(
-            xi * np.asarray(sent[k][b]) * sent_p[:, None], 0.0))
-            for k in range(len(sent))]
+        out['grid'].append(_sample_counts(rng, g_rate, obs_model, od))
+        rel_b = [_sample_counts(
+            rng, xi * np.asarray(rel[k][b]) * (eff[k] * em_p)[:, None],
+            obs_model, od) for k in range(len(rel))]
+        sent_b = [_sample_counts(
+            rng, xi * np.asarray(sent[k][b]) * sent_p[:, None],
+            obs_model, od) for k in range(len(sent))]
         out['release'].append(rel_b)
         out['sentinel'].append(sent_b)
     out['grid'] = np.stack(out['grid'])
@@ -112,7 +132,8 @@ def prior_predictive(setup: BayesSetup, n_draws=20, seed=0, mesh=None):
     m = np.asarray(jax.vmap(sample_prior_model)(
         random.split(k_m, n_draws)))
     o = np.asarray(jax.vmap(lambda k: sample_prior_obs(
-        k, setup.field_areas, setup.min_field_area))(
+        k, setup.field_areas, setup.min_field_area,
+        getattr(setup, 'obs_model', 'poisson')))(
             random.split(k_o, n_draws)))
     rows = np.concatenate([m, o], axis=1)
     return posterior_predictive(setup, rows[None], n_draws=n_draws,
@@ -138,17 +159,20 @@ def simulate_observations(setup: BayesSetup, m_vec, o_vec, rng):
     rel, sent, grid = setup.forward_projections(m)
     xi, em_p, grid_p = o[0], o[1], o[2]
     sent_p = o[4:4 + setup.n_sent]
+    obs_model = getattr(setup, 'obs_model', 'poisson')
+    od = (o[4 + setup.n_sent]
+          if getattr(setup, 'n_extra_obs', 0) else 0.0)
     eff = [np.asarray(e) for e in setup.release_effort]
     out = {
-        'release': [rng.poisson(np.maximum(
-            xi * np.asarray(r) * (eff[k] * em_p)[:, None], 0.0))
-            for k, r in enumerate(rel)],
-        'sentinel': [rng.poisson(np.maximum(
-            xi * np.asarray(s) * sent_p[:, None], 0.0))
+        'release': [_sample_counts(
+            rng, xi * np.asarray(r) * (eff[k] * em_p)[:, None],
+            obs_model, od) for k, r in enumerate(rel)],
+        'sentinel': [_sample_counts(
+            rng, xi * np.asarray(s) * sent_p[:, None], obs_model, od)
             for s in sent],
-        'grid': rng.poisson(np.maximum(
-            grid_p * np.asarray(setup.grid_samples) * np.asarray(grid),
-            0.0)),
+        'grid': _sample_counts(
+            rng, grid_p * np.asarray(setup.grid_samples)
+            * np.asarray(grid), obs_model, od),
     }
     return out
 

@@ -24,7 +24,8 @@ from jax.scipy.stats import norm
 __all__ = ['ModelParams', 'ObsParams', 'log_prior_model', 'log_prior_obs',
            'MODEL_PARAM_NAMES', 'OBS_PARAM_NAMES', 'initial_model_params',
            'initial_obs_params', 'STEP_SCALES', 'sent_obs_prior_alpha',
-           'sample_prior_model', 'sample_prior_obs']
+           'sample_prior_model', 'sample_prior_obs', 'OBS_EXTRA_NAME',
+           'obs_extra_names']
 
 # sampled model-parameter order = the reference's AM block
 # (Bayes_Run.py:186-187)
@@ -96,17 +97,43 @@ class ObsParams(NamedTuple):
     grid_obs_prob: jnp.ndarray
     A_collected: jnp.ndarray
     sent_obs_probs: jnp.ndarray   # (n_sentinel_fields,)
+    # optional observation-model extra parameter (beyond-reference, VERDICT
+    # r3 item 6 — the thinned-Poisson PPC found under-dispersion): the
+    # negative-binomial dispersion r (obs_model='negbin': var = mu+mu²/r,
+    # r -> inf recovers Poisson) or the zero-inflation probability pi
+    # (obs_model='zip').  0.0 = unused (plain Poisson).
+    od: jnp.ndarray = 0.0
+
+
+# observation-model variants: name and prior of the extra parameter.
+# negbin r ~ Gamma(2, 0.1) (mean 20: mild overdispersion a priori, broad
+# enough to reach r ~ 1 heavy tails); zip pi ~ Beta(1, 3) (mean 0.25,
+# mass near 0 so the Poisson limit is easily reached)
+OBS_EXTRA_NAME = {'poisson': None, 'negbin': 'nb_r', 'zip': 'zip_pi'}
+
+
+def obs_extra_names(obs_model='poisson'):
+    """Names of extra obs-parameter slots for the given variant (appended
+    AFTER the sentinel probabilities in every packed obs vector)."""
+    n = OBS_EXTRA_NAME[obs_model]
+    return (n,) if n else ()
 
 
 def initial_model_params():
     return _INIT_MODEL.copy()
 
 
-def initial_obs_params(field_sizes_cells, cell_area):
+def initial_obs_params(field_sizes_cells, cell_area, obs_model='poisson'):
     """Initial obs-parameter vector (Bayes_Run.py:132-164): sentinel
-    observation probabilities start at 0.1*3600/field_area."""
+    observation probabilities start at 0.1*3600/field_area; variant
+    extras start mildly non-Poisson (negbin r=10, zip pi=0.1)."""
     sent0 = 0.1 * 3600.0 / (np.asarray(field_sizes_cells) * cell_area)
-    return np.concatenate([[0.75, 0.05, 0.005, 2500.0], sent0])
+    parts = [[0.75, 0.05, 0.005, 2500.0], sent0]
+    if obs_model == 'negbin':
+        parts.append([10.0])
+    elif obs_model == 'zip':
+        parts.append([0.1])
+    return np.concatenate(parts)
 
 
 # ----------------------------------------------------------------------
@@ -222,12 +249,14 @@ def sample_prior_model(key):
                       mu_r])
 
 
-def sample_prior_obs(key, field_areas, min_field_area):
+def sample_prior_obs(key, field_areas, min_field_area,
+                     obs_model='poisson'):
     """One draw of the observation-parameter vector from its joint prior
     (Bayes_Run.py:132-166), including the hierarchical sentinel
-    observation probabilities Beta(alpha(A_collected), 40)."""
+    observation probabilities Beta(alpha(A_collected), 40) and, for
+    observation-model variants, the extra slot (see ``OBS_EXTRA_NAME``)."""
     from jax import random
-    k_xi, k_em, k_gr, k_a, k_s = random.split(key, 5)
+    k_xi, k_em, k_gr, k_a, k_s, k_od = random.split(key, 6)
     xi = _sample_gamma(k_xi, 1.0, 1.0)
     em = random.uniform(k_em)
     gr = random.uniform(k_gr)
@@ -235,14 +264,22 @@ def sample_prior_obs(key, field_areas, min_field_area):
                                min_field_area)
     alpha = sent_obs_prior_alpha(a_coll, jnp.asarray(field_areas))
     sent = random.beta(k_s, alpha, 40.0)
-    return jnp.concatenate([jnp.stack([xi, em, gr, a_coll]), sent])
+    parts = [jnp.stack([xi, em, gr, a_coll]), sent]
+    if obs_model == 'negbin':
+        parts.append(jnp.stack([_sample_gamma(k_od, 2.0, 0.1)]))
+    elif obs_model == 'zip':
+        parts.append(jnp.stack([random.beta(k_od, 1.0, 3.0)]))
+    return jnp.concatenate(parts)
 
 
-def log_prior_obs(o: ObsParams, field_areas, min_field_area):
+def log_prior_obs(o: ObsParams, field_areas, min_field_area,
+                  obs_model='poisson'):
     """Joint log prior over observation parameters (Bayes_Run.py:132-166).
 
     ``field_areas``: sentinel field areas in m² (cells × cell area);
     ``min_field_area``: truncation upper bound for A_collected.
+    ``obs_model``: adds the variant extra-parameter prior (negbin
+    r ~ Gamma(2, 0.1); zip pi ~ Beta(1, 3)) over ``o.od``.
     """
     lp = _gamma_logpdf(o.xi, 1.0, 1.0)
     lp += _beta_logpdf(o.em_obs_prob, 1.0, 1.0)
@@ -255,4 +292,8 @@ def log_prior_obs(o: ObsParams, field_areas, min_field_area):
     lp += jnp.where(valid,
                     jnp.sum(_beta_logpdf(o.sent_obs_probs, alpha, 40.0)),
                     -jnp.inf)
+    if obs_model == 'negbin':
+        lp += _gamma_logpdf(o.od, 2.0, 0.1)
+    elif obs_model == 'zip':
+        lp += _beta_logpdf(o.od, 1.0, 3.0)
     return lp

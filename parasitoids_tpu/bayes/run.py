@@ -281,7 +281,7 @@ def _nuts_init_point(args, setup, z0_prior):
     st = np.load(mode if mode.endswith('.npz') else mode + '.npz')
     m = np.atleast_2d(st['state_m'])[0]
     o = np.atleast_2d(st['state_o'])[0]
-    n_obs = 4 + setup.n_sent
+    n_obs = 4 + setup.n_sent + getattr(setup, 'n_extra_obs', 0)
     if o.shape[0] != n_obs:
         raise SystemExit('--init trace has {} obs params, model needs {} '
                          '(different site/domain?)'.format(o.shape[0],
@@ -1112,7 +1112,9 @@ def main(argv=None):
             save_chain(db, kept, states,
                        meta={'n_samples': max(done - burn, 0), 'burn': burn,
                              'chains': args.chains,
-                             'obs_sweeps': obs_sweeps})
+                             'obs_sweeps': obs_sweeps,
+                             'obs_model': getattr(setup, 'obs_model',
+                                                  'poisson')})
             _commit_store(db, 'AM checkpoint: {}/{} steps'.format(done,
                                                                   total))
             if done < total:

@@ -90,7 +90,11 @@ def _as_model(vec) -> ModelParams:
 
 
 def _as_obs(vec, n_sent) -> ObsParams:
-    return ObsParams(vec[0], vec[1], vec[2], vec[3], vec[4:4 + n_sent])
+    # vectors from an obs-model variant carry ONE extra trailing slot (the
+    # NB dispersion / ZIP inflation prob); the shape test is static under
+    # jit, so plain-Poisson programs are unchanged
+    od = vec[4 + n_sent] if vec.shape[0] > 4 + n_sent else 0.0
+    return ObsParams(vec[0], vec[1], vec[2], vec[3], vec[4:4 + n_sent], od)
 
 
 def init_chain_state(setup: BayesSetup, key, m0=None, o0=None,
@@ -107,7 +111,7 @@ def init_chain_state(setup: BayesSetup, key, m0=None, o0=None,
         cell_area = setup.cell_res ** 2
         o0 = initial_obs_params(
             [setup.locinfo.field_sizes[k] for k in setup.locinfo.sent_ids],
-            cell_area)
+            cell_area, getattr(setup, 'obs_model', 'poisson'))
     m0 = jnp.asarray(m0, jnp.float32)
     o0 = jnp.asarray(o0, jnp.float32)
     m = _as_model(m0)
@@ -117,7 +121,8 @@ def init_chain_state(setup: BayesSetup, key, m0=None, o0=None,
     return ChainState(
         m=m0, o=o0, loglik=loglik,
         prior_m=log_prior_model(m),
-        prior_o=log_prior_obs(o, setup.field_areas, setup.min_field_area),
+        prior_o=log_prior_obs(o, setup.field_areas, setup.min_field_area,
+                              getattr(setup, 'obs_model', 'poisson')),
         proj=proj, key=key,
         count=jnp.zeros((), jnp.float32),
         mean=jnp.zeros(_N_MODEL), m2=jnp.zeros((_N_MODEL, _N_MODEL)),
@@ -165,7 +170,7 @@ def _obs_sweep(setup: BayesSetup, key, o_vec, prior_o, ll_cur, proj,
     inlining ~152 copies and multiplying compile time accordingly.
     """
     n_sent = setup.n_sent
-    n_obs = 4 + n_sent
+    n_obs = 4 + n_sent + getattr(setup, 'n_extra_obs', 0)
 
     def body(carry, j):
         key, o_vec, prior_o, ll_cur, acc_o = carry
@@ -176,7 +181,8 @@ def _obs_sweep(setup: BayesSetup, key, o_vec, prior_o, ll_cur, proj,
         s_rev = jnp.maximum(jnp.abs(o_prop[j]), 1e-3) * cfg.obs_scale
         o_p = _as_obs(o_prop, n_sent)
         prior_p = log_prior_obs(o_p, setup.field_areas,
-                                setup.min_field_area)
+                                setup.min_field_area,
+                                getattr(setup, 'obs_model', 'poisson'))
 
         ll_p = lax.cond(
             jnp.isfinite(prior_p),

@@ -49,9 +49,12 @@ __all__ = ['run_sbc', 'sbc_uniformity', 'plot_sbc', 'main']
 
 
 def _param_names(setup):
+    from .priors import obs_extra_names
     return (list(MODEL_PARAM_NAMES) + list(OBS_PARAM_NAMES)
             + ['sent_obs_prob_{}'.format(k)
-               for k in setup.locinfo.sent_ids])
+               for k in setup.locinfo.sent_ids]
+            + list(obs_extra_names(getattr(setup, 'obs_model',
+                                           'poisson'))))
 
 
 def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
@@ -152,7 +155,7 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
                     H = jax.hessian(nlp)(z)
                 return inv_mass_from_hessian(H)
 
-    dim = 15 + 4 + setup.n_sent
+    dim = 15 + 4 + setup.n_sent + getattr(setup, 'n_extra_obs', 0)
     ranks = np.zeros((n_replicates, dim), np.int64)
     truths = np.zeros((n_replicates, dim))
     L = len(range(burn, burn + n_samples, thin))
@@ -201,8 +204,9 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
         m_star = np.array(sample_prior_model(k_m))   # writable host copy
         if sampler == 'nuts':
             m_star[13] = 30.0           # condition on the NUTS target
-        o_star = np.asarray(sample_prior_obs(k_o, setup.field_areas,
-                                             setup.min_field_area))
+        o_star = np.asarray(sample_prior_obs(
+            k_o, setup.field_areas, setup.min_field_area,
+            getattr(setup, 'obs_model', 'poisson')))
         rng = np.random.default_rng([seed, r])
         y = simulate_observations(setup, m_star, o_star, rng)
         if sampler == 'nuts':

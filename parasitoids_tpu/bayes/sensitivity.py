@@ -202,9 +202,12 @@ def sensitivity_from_trace(setup: BayesSetup, traces, n_draws=400, seed=0,
 
     n_m = len(MODEL_PARAM_NAMES)
     n_o = len(OBS_PARAM_NAMES)
+    from .priors import obs_extra_names
     names = (list(MODEL_PARAM_NAMES) + list(OBS_PARAM_NAMES)
              + ['sent_obs_prob_{}'.format(k)
-                for k in setup.locinfo.sent_ids])
+                for k in setup.locinfo.sent_ids]
+             + list(obs_extra_names(getattr(setup, 'obs_model',
+                                            'poisson'))))
     draws = np.asarray(rows[:, :len(names)], np.float64)
 
     fa = jnp.asarray(setup.field_areas, jnp.float32)
@@ -215,7 +218,9 @@ def sensitivity_from_trace(setup: BayesSetup, traces, n_draws=400, seed=0,
         o = _as_obs(theta[n_m:len(names)].astype(jnp.float32),
                     setup.n_sent)
         return (log_prior_model(m)
-                + log_prior_obs(o, fa, mfa)).astype(jnp.float32)
+                + log_prior_obs(o, fa, mfa,
+                                getattr(setup, 'obs_model', 'poisson'))
+                ).astype(jnp.float32)
 
     log_prior = np.asarray(
         jax.jit(jax.vmap(_logprior))(jnp.asarray(draws, jnp.float32)),

@@ -199,7 +199,8 @@ def init_smc_particles(setup: BayesSetup, key, n, mesh=None, obs_mask=None):
     k_m, k_o, k_c = random.split(key, 3)
     m0s = jax.vmap(sample_prior_model)(random.split(k_m, n))
     o0s = jax.vmap(lambda k: sample_prior_obs(
-        k, setup.field_areas, setup.min_field_area))(random.split(k_o, n))
+        k, setup.field_areas, setup.min_field_area,
+        getattr(setup, 'obs_model', 'poisson')))(random.split(k_o, n))
     keys = random.split(k_c, n)
     if mesh is not None:
         sh = NamedSharding(mesh, P(mesh.axis_names[0]))

@@ -75,11 +75,16 @@ MODEL_TRANSFORMS = (
 )
 
 
-def obs_transforms(n_sent, max_area):
+def obs_transforms(n_sent, max_area, obs_model='poisson'):
     """Transforms for (xi, em_obs_prob, grid_obs_prob, A_collected,
-    sent_obs_probs...)."""
-    return (Positive(), Unit(), Unit(), Interval(0.0, max_area)) + \
+    sent_obs_probs..., [obs-model extra: negbin r > 0 / zip pi in (0,1)])."""
+    base = (Positive(), Unit(), Unit(), Interval(0.0, max_area)) + \
         tuple(Unit() for _ in range(n_sent))
+    if obs_model == 'negbin':
+        return base + (Positive(),)
+    if obs_model == 'zip':
+        return base + (Unit(),)
+    return base
 
 
 def pack(theta, transforms):

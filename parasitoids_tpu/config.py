@@ -93,6 +93,15 @@ class Params:
         # truncation (ParasitoidModel.py:329,348) — a parity tool (see
         # ops/daily_kernel.KernelConfig.ref_trunc), not for production
         self.ref_trunc = False
+        ### Bayesian observation model (beyond-reference; VERDICT r3 item 6)
+        # 'poisson' = the reference's thinned-Poisson likelihood
+        # (Bayes_Run.py:344-433); 'negbin' adds a Gamma(2, 0.1)-prior
+        # dispersion r (var = mu + mu^2/r); 'zip' adds a Beta(1, 3)-prior
+        # zero-inflation probability.  The 100-draw PPC on the Kalbar NUTS
+        # fit showed the Poisson model under-predicting the peak grid
+        # count and field zero-inflation (runs/nuts_r3_ppc100.json);
+        # compare variants with python -m parasitoids_tpu.bayes.loo.
+        self.obs_model = 'poisson'
 
         self.default_chg()
 
@@ -322,6 +331,12 @@ class Params:
                 self.use_f64 = self._parse_bool(val)
             elif arg == 'ref_trunc':
                 self.ref_trunc = self._parse_bool(val)
+            elif arg == 'obs_model':
+                if val not in ('poisson', 'negbin', 'zip'):
+                    raise ValueError(
+                        "obs_model must be 'poisson', 'negbin' or 'zip'; "
+                        'got {!r}'.format(val))
+                self.obs_model = val
             elif arg in ('sprd_factor', 'use_sprd_factor'):
                 # restore/override after a preset change reset it (presets
                 # re-apply my_datasets, which defaults this to False)
