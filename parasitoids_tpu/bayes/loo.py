@@ -325,6 +325,7 @@ def report(w, l, labels=None, worst=5, unit='points'):
 def main(argv=None):
     import argparse
     import json
+    import os
 
     import jax
 
@@ -387,7 +388,22 @@ def main(argv=None):
                  else args.compare + '.npz')
         with np.load(path2) as npz:
             traces2 = npz['traces']
-        ll2, _ = pointwise_matrix(setup, traces2, n_draws=args.draws,
+        # the second trace may come from a different OBSERVATION MODEL
+        # (obs_model variants, VERDICT r3 item 6): score it under its own
+        # likelihood — recorded in its meta sidecar — while the data and
+        # pointwise column order stay identical, which is exactly what a
+        # paired elpd comparison requires
+        setup2 = setup
+        meta2_path = path2[:-4] + '.meta.json'
+        if os.path.exists(meta2_path):
+            with open(meta2_path) as fh:
+                om2 = json.load(fh).get('obs_model', 'poisson')
+            if om2 != getattr(setup, 'obs_model', 'poisson'):
+                print('scoring {} under its own obs_model={}'.format(
+                    path2, om2))
+                setup2 = build_setup(list(args.overrides)
+                                     + ['obs_model=' + om2])
+        ll2, _ = pointwise_matrix(setup2, traces2, n_draws=args.draws,
                                   seed=args.seed, mesh=mesh)
         if args.group != 'point':
             ll2 = group_loglik(ll2, gids)
