@@ -268,8 +268,10 @@ def plot_predictive(setup: BayesSetup, pred, outfile, label='posterior'):
     else:
         _empty(axes[0], 'grid adult totals per obs day')
 
-    # release-field emergence totals per collection
-    if setup.obs_release:
+    # release-field emergence totals per collection (per-channel SIZE
+    # check, like predictive_pvalues: a present-but-empty channel must
+    # draw the 'no data' placeholder, not a degenerate all-zero violin)
+    if any(np.asarray(o).size for o in setup.obs_release):
         r_tot = np.array([[rb.sum() for rb in draw]
                           for draw in pred['release']])
         obs_r = [np.asarray(o).sum() for o in setup.obs_release]
@@ -283,17 +285,22 @@ def plot_predictive(setup: BayesSetup, pred, outfile, label='posterior'):
     else:
         _empty(axes[1], 'release-field emergence totals')
 
-    # sentinel emergence totals per field
-    s_tot = np.stack([np.concatenate(
-        [sb.sum(axis=1) for sb in draw]) for draw in pred['sentinel']])
-    obs_s = np.concatenate(
-        [np.asarray(o).sum(axis=1) for o in setup.obs_sentinel])
-    xs = np.arange(s_tot.shape[1])
-    axes[2].violinplot([s_tot[:, i] for i in xs], positions=xs, widths=0.7)
-    axes[2].plot(xs, obs_s, 'k_', markersize=20, label='observed')
-    axes[2].set_title('sentinel emergence totals per field')
-    axes[2].set_xlabel('sentinel field')
-    axes[2].legend()
+    # sentinel emergence totals per field (same guard: a sentinel-free
+    # site would otherwise crash np.concatenate([]))
+    if any(np.asarray(o).size for o in setup.obs_sentinel):
+        s_tot = np.stack([np.concatenate(
+            [sb.sum(axis=1) for sb in draw]) for draw in pred['sentinel']])
+        obs_s = np.concatenate(
+            [np.asarray(o).sum(axis=1) for o in setup.obs_sentinel])
+        xs = np.arange(s_tot.shape[1])
+        axes[2].violinplot([s_tot[:, i] for i in xs], positions=xs,
+                           widths=0.7)
+        axes[2].plot(xs, obs_s, 'k_', markersize=20, label='observed')
+        axes[2].set_title('sentinel emergence totals per field')
+        axes[2].set_xlabel('sentinel field')
+        axes[2].legend()
+    else:
+        _empty(axes[2], 'sentinel emergence totals per field')
 
     fig.suptitle('{} predictive ({} draws) vs observed'.format(
         label, pred['grid'].shape[0]))

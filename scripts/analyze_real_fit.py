@@ -74,7 +74,13 @@ def main():
     # data-informed parameters.
     within_sd = tr[:, :, :dim].std(axis=1).mean(axis=0)
     scale = np.maximum(np.abs(mean[:dim]), 1e-12)
-    frozen = within_sd / scale < 1e-4
+    # BOTH conditions (ADVICE r3): the relative test alone would silently
+    # exclude a genuinely well-sampled but tight coordinate from the
+    # *_informed headline; the absolute f32-epsilon floor pins 'frozen'
+    # to the actual pathology (moves at float32 resolution).  With the
+    # round-4 blended metric (map_fit.blend_prior_metric) this set should
+    # be empty — its size is itself a diagnostic.
+    frozen = (within_sd / scale < 1e-4) & (within_sd < 1e-5)
     informed = ~frozen
 
     pred = posterior_predictive(setup, tr[:, :, :dim], n_draws=draws,

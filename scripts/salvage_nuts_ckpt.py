@@ -55,9 +55,31 @@ def main():
         logp = np.asarray(d['logp'][:, :n])
         step_size = np.asarray(d['step_size'])
         inv_mass = np.asarray(d['inv_mass'])
+        sig = [int(v) for v in d['cfg_sig']]
+        gibbs = bool(sig[6]) if len(sig) > 6 else False
+        # a --gibbs-n run samples n_periods: the checkpoint records the
+        # per-draw values in 'ns'; constrain() below pins slot 13 at 30,
+        # so the salvaged trace must restore the sampled column (a
+        # silently wrong n_periods column passes every analysis CLI)
+        ns = np.asarray(d['ns'][:, :n]) if gibbs else None
+        if gibbs and ns.shape[1] != n:
+            print('gibbs checkpoint: ns column count {} != draws {} — '
+                  'refusing to salvage'.format(ns.shape[1], n))
+            sys.exit(1)
     if n == 0:
         print('checkpoint holds no completed draws')
         sys.exit(1)
+
+    # a --mass ridge run checkpoints U-SPACE states: map them back through
+    # the run's whitening sidecar (without it the salvage would silently
+    # mislabel u as z)
+    wh_path = db + '.whiten.npz'
+    if os.path.exists(wh_path):
+        with np.load(wh_path) as wz:
+            L, center = wz['L'], wz['center']
+        samples = (np.asarray(samples, np.float64) @ L.T
+                   + center).astype(np.float32)
+        print('ridge run: mapped u-space draws through {}'.format(wh_path))
 
     # constrain is pure bijection math — no forward model, instant on CPU.
     # Hard-set (not setdefault): the TPU chain environment exports
@@ -77,6 +99,8 @@ def main():
     theta = np.array(jax.vmap(jax.vmap(
         lambda z: jnp.concatenate([constrain(z)[0], constrain(z)[1]])))(
             jnp.asarray(samples)))
+    if gibbs:
+        theta[:, :, 13] = ns      # the sampled n_periods column
     traces = np.concatenate([theta, logp[..., None]], axis=-1)
     np.savez(out_path, traces=traces, z_samples=samples,
              step_size=step_size, inv_mass=inv_mass, sampler='nuts',

@@ -85,3 +85,52 @@ def test_salvage_never_clobbers_completed_store(tmp_path, zdim):
     assert r.returncode == 0
     assert 'already exists' in r.stdout
     assert os.path.getmtime(db + '.npz') == before
+
+
+def test_salvage_gibbs_restores_n_periods_column(tmp_path, zdim):
+    """A --gibbs-n checkpoint records the sampled n_periods in 'ns';
+    constrain() pins slot 13 at 30, so the salvage must rebuild the
+    column (ADVICE r3: a silently wrong n_periods passed every CLI)."""
+    db = str(tmp_path / 'gib')
+    rng = np.random.default_rng(1)
+    chains, cap, i = 2, 10, 6
+    sig = np.zeros(9)
+    sig[6] = 1                        # gibbs flag
+    ns = rng.integers(25, 35, size=(chains, cap)).astype(np.float32)
+    np.savez(db + '.ckpt.npz', phase='draw', i=i, cfg_sig=sig,
+             z=rng.normal(size=(chains, zdim)),
+             n=np.full(chains, 30.0),
+             lp=np.zeros(chains), grad=np.zeros((chains, zdim)),
+             key=np.zeros((chains, 2), np.uint32),
+             step_size=np.full(chains, 0.1),
+             inv_mass=np.broadcast_to(np.eye(zdim), (chains, zdim, zdim)),
+             samples=rng.normal(scale=0.3, size=(chains, cap, zdim)),
+             logp=rng.normal(size=(chains, cap)),
+             astat=np.ones((chains, cap)), div=np.zeros((chains, cap)),
+             ns=ns, nacc=np.ones((chains, cap), bool))
+    r = _run(db)
+    assert r.returncode == 0, r.stderr
+    with np.load(db + '.npz') as d:
+        tr = d['traces']
+        np.testing.assert_array_equal(tr[:, :, 13], ns[:, :6])
+
+
+def test_salvage_ridge_maps_u_space(tmp_path, zdim):
+    """A --mass ridge checkpoint stores u-space draws; with the whitening
+    sidecar present the salvage maps them to z before constraining (u
+    treated as z would silently produce garbage traces)."""
+    db = str(tmp_path / 'ridge')
+    rng = np.random.default_rng(2)
+    _write_ckpt(db + '.ckpt.npz', zdim, i=5)
+    L = np.diag(np.full(zdim, 0.05))
+    center = rng.normal(scale=0.2, size=zdim)
+    np.savez(db + '.whiten.npz', L=L, center=center,
+             anchor=np.zeros(zdim))
+    r = _run(db)
+    assert r.returncode == 0, r.stderr
+    assert 'ridge run' in r.stdout
+    with np.load(db + '.ckpt.npz') as c, np.load(db + '.npz') as d:
+        u = c['samples'][:, :5]
+        expect = (u.astype(np.float64) @ L.T + center).astype(np.float32)
+        np.testing.assert_allclose(d['z_samples'], expect, atol=1e-6)
+        assert np.isfinite(d['traces']).all()
