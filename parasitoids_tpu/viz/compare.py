@@ -17,6 +17,7 @@ from ..models.observe import ObservationOps
 from .plot_result import alpha_viridis, crop_to_support, _extent_meters
 
 __all__ = ['compare_emergence', 'compare_emergence_3d', 'assess_fit',
+           'grid_r_squared',
            'assess_fit_3d', 'banner', 'main']
 
 
@@ -95,13 +96,50 @@ def compare_emergence(fields, days, params, locinfo, outfile=None,
     return outfile
 
 
+def grid_r_squared(fields, days, params, locinfo):
+    """R² of scaled model grid densities against the observed adult
+    counts, per observation day and pooled — the statistic the
+    reference's docstring promises but never implements
+    (CompareToData.py:52-54 'TODO: ... R**2 values for the model
+    densities at grid points compared to observed adult counts').
+
+    The model column is the effort-weighted expected count rescaled to
+    the day's observed total (as in :func:`assess_fit`'s overlay), so R²
+    measures *spatial pattern* agreement: 1 - SS_res/SS_tot against the
+    day's mean count.  Returns ``{'per_day': {dayPR: r2}, 'pooled': r2}``
+    (a day with zero count variance reports nan)."""
+    obs_ops = ObservationOps(locinfo, params.domain_info, len(days))
+    grid_model = np.asarray(obs_ops.project_grid_np(fields))
+    out, all_obs, all_exp = {}, [], []
+    for d in range(grid_model.shape[1]):
+        effort = np.asarray(locinfo.grid_samples[:, d], np.float64)
+        obs = np.asarray(locinfo.grid_obs[:, d], np.float64)
+        expected = grid_model[:, d] * effort
+        scale = obs.sum() / max(expected.sum(), 1e-9)
+        exp_s = expected * scale
+        ss_tot = float(((obs - obs.mean()) ** 2).sum())
+        ss_res = float(((obs - exp_s) ** 2).sum())
+        r2 = 1.0 - ss_res / ss_tot if ss_tot > 0 else float('nan')
+        out[int(locinfo.grid_obs_datesPR[d].days)] = r2
+        all_obs.append(obs)
+        all_exp.append(exp_s)
+    obs = np.concatenate(all_obs)
+    exp_s = np.concatenate(all_exp)
+    ss_tot = float(((obs - obs.mean()) ** 2).sum())
+    pooled = (1.0 - float(((obs - exp_s) ** 2).sum()) / ss_tot
+              if ss_tot > 0 else float('nan'))
+    return {'per_day': out, 'pooled': pooled}
+
+
 def assess_fit(fields, days, params, locinfo, outfile=None, bw=False):
     """Model grid densities vs observed grid counts per observation day
     (ref CompareToData.assess_fit, :344-528): per-point separation with
-    sampling-effort annotation."""
+    sampling-effort annotation and the per-day R² in the panel title
+    (closing the reference's CompareToData.py:52-54 TODO)."""
     plt = _mpl()
     obs_ops = ObservationOps(locinfo, params.domain_info, len(days))
     grid_model = np.asarray(obs_ops.project_grid_np(fields))
+    r2 = grid_r_squared(fields, days, params, locinfo)
     n_days = grid_model.shape[1]
     fig, axes = plt.subplots(1, n_days, figsize=(5 * n_days, 4),
                              squeeze=False)
@@ -121,14 +159,17 @@ def assess_fit(fields, days, params, locinfo, outfile=None, bw=False):
                 **mline)
         ax.plot(locinfo.grid_obs[order, d], '.', label='observed',
                 **mdots)
-        ax.set_title('grid counts, obs day {}'.format(
-            locinfo.grid_obs_datesPR[d].days))
+        day_pr = int(locinfo.grid_obs_datesPR[d].days)
+        ax.set_title('grid counts, obs day {} (R² = {:.3f})'.format(
+            day_pr, r2['per_day'][day_pr]))
         ax.set_xlabel('grid point (sorted by model)')
         ax.legend()
     fig.tight_layout()
     outfile = outfile or 'assess_fit.png'
     fig.savefig(outfile, dpi=130)
     plt.close(fig)
+    print('grid R²: pooled {:.3f}; per day {}'.format(
+        r2['pooled'], {k: round(v, 3) for k, v in r2['per_day'].items()}))
     return outfile
 
 

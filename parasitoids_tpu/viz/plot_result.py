@@ -15,6 +15,7 @@ import os
 import numpy as np
 
 __all__ = ['alpha_viridis', 'crop_to_support', 'vmax_excluding_origin',
+           'satellite_zoom',
            'plot', 'plot_all',
            'create_animation', 'get_satellite', 'main']
 
@@ -69,36 +70,74 @@ def _extent_meters(window, rad_res, cell):
             (rad_res - r1) * cell, (rad_res - r0) * cell)
 
 
+def _ground_res(lat, zoom):
+    """Web-Mercator ground resolution (m/pixel) at latitude/zoom — the
+    reference's ``resfunc`` (Plot_Result.py:94-97)."""
+    import math
+    return 156543.03392 * math.cos(math.radians(lat)) / (2 ** zoom)
+
+
+def satellite_zoom(lat, dist_m, service='Google'):
+    """Zoom-to-resolution search (ref Plot_Result.py:125-139): raise the
+    zoom until the domain half-span ``dist_m`` maps into the service's
+    pixel window — Google 320–640 px at scale 2 (display-area limit),
+    Bing 400–800 px (actual image resolution) — then size the request to
+    cover exactly the 2·dist+1 m domain.  Returns ``(zoom, pixel_len)``.
+    """
+    lo = 320 if service == 'Google' else 400
+    zoom = 4
+    while not dist_m / lo < _ground_res(lat, zoom) <= dist_m / (lo // 2):
+        zoom += 1
+        if zoom > 21:          # service maximum; accept the finest tile
+            zoom = 21
+            break
+    pixel_len = int(round((dist_m * 2 + 1) / _ground_res(lat, zoom)))
+    return zoom, pixel_len
+
+
 def get_satellite(maps_key, coord, dist_m, service='Google'):
-    """Fetch a static satellite image centered on ``coord`` covering at
-    least ±dist_m (ref Plot_Result.py:101-177).  Returns
-    ``(image, half_span_m)`` — the tile's TRUE half-span at the chosen
-    integer zoom (up to 2× the request, and always centered on the
-    release point) so callers can geo-register it — or None without a
-    key/network access."""
+    """Fetch a static satellite image centered on ``coord`` covering the
+    ±``dist_m`` domain (ref Plot_Result.py:101-177), from Google Static
+    Maps or Bing (Virtual Earth) Aerial per ``Params.maps_service``.
+
+    The zoom comes from :func:`satellite_zoom`'s resolution search and
+    the request is sized so the tile spans exactly the domain; returns
+    ``(image, half_span_m)`` with the tile's true half-span for
+    geo-registration, or None without a key/network access."""
     if maps_key is None or coord is None:
         return None
     try:
         import io
+        import urllib.parse
         import urllib.request
         from PIL import Image
         lat, lon = coord
-        # zoom chosen so the tile spans >= 2*dist_m at this latitude
-        import math
-        ground = 156543.03392 * math.cos(math.radians(lat)) * 640
-        zoom = int(np.clip(np.floor(np.log2(ground / (2 * dist_m))),
-                           1, 21))
+        zoom, pixel_len = satellite_zoom(lat, dist_m, service)
         if service == 'Google':
-            url = ('https://maps.googleapis.com/maps/api/staticmap?'
-                   'center={},{}&zoom={}&size=640x640&maptype=satellite'
-                   '&key={}').format(lat, lon, zoom, maps_key)
+            # scale=2 doubles the returned pixels over the same coverage
+            # area (ref Plot_Result.py:151-161)
+            q = urllib.parse.urlencode({
+                'center': '{:03.6f},{:03.6f}'.format(lat, lon),
+                'zoom': str(zoom),
+                'size': '{0:d}x{0:d}'.format(pixel_len),
+                'scale': '2', 'format': 'jpeg', 'maptype': 'satellite',
+                'key': maps_key})
+            url = 'https://maps.googleapis.com/maps/api/staticmap?' + q
+        elif service == 'Bing':
+            # ref Plot_Result.py:141-148
+            q = urllib.parse.urlencode({
+                'mapSize': '{0:d},{0:d}'.format(pixel_len),
+                'format': 'jpeg', 'key': maps_key})
+            url = ('http://dev.virtualearth.net/REST/v1/Imagery/Map/'
+                   'Aerial/{:03.6f}%2C{:03.6f}/{}?'.format(lat, lon, zoom)
+                   + q)
         else:
-            url = ('https://dev.virtualearth.net/REST/v1/Imagery/Map/'
-                   'Aerial/{},{}/{}?mapSize=640,640&key={}').format(
-                       lat, lon, zoom, maps_key)
+            print('Unknown maps service {!r}. Continuing without '
+                  'satellite imagery...'.format(service))
+            return None
         with urllib.request.urlopen(url, timeout=10) as resp:
             img = Image.open(io.BytesIO(resp.read()))
-        return img, ground / (2 ** zoom) / 2.0
+        return img, pixel_len * _ground_res(lat, zoom) / 2.0
     except Exception as e:   # network/keys are optional
         print('satellite fetch failed: {}'.format(e))
         return None

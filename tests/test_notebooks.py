@@ -24,6 +24,10 @@ NOTEBOOKS = {
 @pytest.mark.slow
 @pytest.mark.parametrize('script', sorted(NOTEBOOKS))
 def test_notebook_runs(script):
+    from tests._fastslow import FAST
+    if FAST:
+        pytest.skip('PARA_FAST_SLOW: notebook execution runs full-size '
+                    'configs (minutes each on CPU)')
     env = dict(os.environ, JAX_PLATFORMS='cpu')
     r = subprocess.run([sys.executable, os.path.join(NB_DIR, script)],
                        capture_output=True, text=True, timeout=580,

@@ -10,6 +10,8 @@ stop at shape/parity checks).  Runs on a tiny config; marked slow.
 
 import numpy as np
 import pytest
+
+from tests._fastslow import FAST, n as _n
 import jax
 import jax.numpy as jnp
 from jax import random
@@ -82,13 +84,15 @@ def test_map_moves_toward_truth(synth):
     m0 = np.asarray(m_true, np.float64).copy()
     m0[6] *= 1.6      # sig_x off by 60%
     m0[14] *= 0.6     # mu_r off by 40%
-    fit = map_fit(setup, n_steps=250, use_sprd=False, m0=m0,
+    fit = map_fit(setup, n_steps=_n(250, 50), use_sprd=False, m0=m0,
                   o0=np.asarray(o_true))
 
     losses = fit['losses']
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] - 1.0, 'optimization did not descend'
 
+    if FAST:
+        return             # statistical closeness needs the full 250 steps
     sig_x_hat, mu_r_hat = fit['model'][6], fit['model'][14]
     sig_x_true, mu_r_true = float(m_true[6]), float(m_true[14])
     # strictly closer to truth than the perturbed start
@@ -111,14 +115,16 @@ def test_am_chain_climbs_to_truth_level(synth):
     state = init_chain_state(setup, random.PRNGKey(1), m0=m0,
                              o0=np.asarray(o_true))
     lp0 = float(state.loglik + state.prior_m + state.prior_o)
-    state, traces = run_mcmc(setup, state, MCMCConfig(n_samples=400))
+    state, traces = run_mcmc(setup, state,
+                             MCMCConfig(n_samples=_n(400, 60)))
     lp_trace = np.asarray(traces[:, -1])
 
     assert np.isfinite(lp_trace).all()
     # the chain improves on its perturbed start and reaches the truth's
     # posterior neighborhood (within a generous slack for a short chain)
     assert lp_trace.max() > lp0
-    assert lp_trace.max() > lp_true - 25.0, (lp_trace.max(), lp_true)
+    if not FAST:           # reaching the truth level needs the full chain
+        assert lp_trace.max() > lp_true - 25.0, (lp_trace.max(), lp_true)
 
 
 def test_nuts_climbs_and_mixes(synth):
@@ -142,10 +148,12 @@ def test_nuts_climbs_and_mixes(synth):
     z0 = unconstrain(m_true, o_true, jnp.float32(0.3))
 
     out = nuts_sample(logpdf, z0, random.PRNGKey(3),
-                      NUTSConfig(num_warmup=60, num_samples=60, max_depth=5))
+                      NUTSConfig(num_warmup=_n(60, 10),
+                                 num_samples=_n(60, 10), max_depth=5))
     logp = np.asarray(out['logp'])
     assert np.isfinite(logp).all()
-    assert float(out['accept_rate']) > 0.4
+    if not FAST:
+        assert float(out['accept_rate']) > 0.4
     # the sampler must move (not be stuck at z0)...
     zs = np.asarray(out['samples'])
     assert np.abs(zs - zs[0]).max() > 1e-3
@@ -154,7 +162,8 @@ def test_nuts_climbs_and_mixes(synth):
     m_vec, o_vec, _ = constrain(jnp.asarray(best))
     lp_best = float(setup.log_posterior(_as_model(m_vec),
                                         _as_obs(o_vec, setup.n_sent)))
-    assert lp_best > lp_true - 30.0, (lp_best, lp_true)
+    if not FAST:
+        assert lp_best > lp_true - 30.0, (lp_best, lp_true)
 
 
 def test_posterior_predictive(synth, tmp_path):

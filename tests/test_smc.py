@@ -200,9 +200,10 @@ def test_run_smc_tiny(setup):
 
     # prior particles: anneal start is the exact prior (same key as the
     # run below, so this IS the run's initial population)
-    cfg = SMCConfig(n_particles=16, n_moves=4)
+    from tests._fastslow import FAST, n as _n
+    cfg = SMCConfig(n_particles=_n(16, 8), n_moves=_n(4, 2))
     parts = init_smc_particles(setup, random.PRNGKey(1), cfg.n_particles)
-    assert parts.m.shape == (16, 15)
+    assert parts.m.shape == (cfg.n_particles, 15)
     assert bool(jnp.isfinite(parts.loglik).all())
     prior_mean_ll = float(np.asarray(parts.loglik).mean())
 
@@ -219,7 +220,8 @@ def test_run_smc_tiny(setup):
     # its own prior initialization in mean log-likelihood (at tiny particle
     # counts the population can degenerate, so only this coarse ordering is
     # asserted; real runs want n_particles >= 128)
-    assert ll.mean() > prior_mean_ll
+    if not FAST:       # needs the full particle count to be reliable
+        assert ll.mean() > prior_mean_ll
     # cached loglik is consistent with the particle's own position
     i = int(np.argmax(ll))
     m = _as_model(jnp.asarray(out['states'].m[i]))

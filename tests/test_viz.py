@@ -206,3 +206,48 @@ def test_compare_bw_mode(tmp_path, fields, viz_params, locinfo):
                              locinfo, outfile=str(tmp_path / 'fit_bw.png'),
                              bw=True)
     assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+def test_grid_r_squared(fields, viz_params, locinfo):
+    """The R² grid statistic the reference promised but never implemented
+    (CompareToData.py:52-54): bounded above by 1, nan-free for the Kalbar
+    grid days, and exactly 1 when the observations ARE the scaled model."""
+    from parasitoids_tpu.viz import compare
+
+    r2 = compare.grid_r_squared(fields, list(range(1, NDAYS + 1)),
+                                viz_params, locinfo)
+    assert set(r2) == {'per_day', 'pooled'}
+    vals = list(r2['per_day'].values()) + [r2['pooled']]
+    assert all(v <= 1.0 + 1e-9 for v in vals if np.isfinite(v))
+    # self-consistency: scoring the model against itself gives R² = 1
+    import copy
+    li = copy.copy(locinfo)
+    from parasitoids_tpu.models.observe import ObservationOps
+    om = np.asarray(ObservationOps(
+        locinfo, viz_params.domain_info, NDAYS).project_grid_np(fields))
+    eff = np.asarray(locinfo.grid_samples, np.float64)
+    exp = om * eff
+    scale = np.where(exp.sum(0) > 0, 1.0, 1.0)
+    li.grid_obs = exp * scale
+    r2_self = compare.grid_r_squared(fields, list(range(1, NDAYS + 1)),
+                                     viz_params, li)
+    for v in list(r2_self['per_day'].values()) + [r2_self['pooled']]:
+        assert v == pytest.approx(1.0, abs=1e-6) or np.isnan(v)
+
+
+def test_satellite_zoom_resolution_windows():
+    """Zoom-to-resolution search (ref Plot_Result.py:125-139): the chosen
+    zoom must put the domain half-span in the service's pixel window —
+    Google (320, 640], Bing (400, 800] — and the request covers the
+    domain."""
+    from parasitoids_tpu.viz.plot_result import _ground_res, satellite_zoom
+
+    for dist in (1000.0, 8000.0, 10000.0):
+        for service, lo, hi in (('Google', 320, 640), ('Bing', 400, 800)):
+            zoom, pixel_len = satellite_zoom(-27.95, dist, service)
+            res = _ground_res(-27.95, zoom)
+            assert dist / lo < res <= dist / (lo // 2)
+            assert lo < pixel_len <= hi + 1
+            # the tile spans the domain at this resolution (the
+            # reference's round() sizing is exact to within one pixel)
+            assert pixel_len * res >= 2 * dist - res
