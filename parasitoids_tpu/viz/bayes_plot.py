@@ -22,11 +22,19 @@ __all__ = ['plot_traces', 'plot_f_g', 'plot_sprd_vars',
 
 from . import _mpl   # shared headless-backend helper
 
-def _param_names(n_total):
-    n_sent = n_total - len(MODEL_PARAM_NAMES) - len(OBS_PARAM_NAMES) - 1
+def _param_names(n_total, obs_model='poisson'):
+    """Column names from the trace width.  ``obs_model`` matters for
+    variant traces (obs_model != 'poisson' appends one extra slot after
+    the sentinel probabilities — priors.obs_extra_names); callers with a
+    meta sidecar should pass its recorded value, else the extra column
+    would be miscounted as a sentinel probability."""
+    from ..bayes.priors import obs_extra_names
+    extra = list(obs_extra_names(obs_model))
+    n_sent = (n_total - len(MODEL_PARAM_NAMES) - len(OBS_PARAM_NAMES)
+              - len(extra) - 1)
     return (list(MODEL_PARAM_NAMES) + list(OBS_PARAM_NAMES) +
             ['sent_obs_prob_{}'.format(i) for i in range(n_sent)] +
-            ['log_posterior'])
+            extra + ['log_posterior'])
 
 
 def _flatten(traces):
@@ -37,7 +45,7 @@ def _flatten(traces):
 
 
 def plot_traces(traces, outdir='./diagnostics', start=0, stop=None,
-                select=None):
+                select=None, obs_model='poisson'):
     """Per-parameter trace plot + Geweke z-scores
     (ref Bayes_Plot.py:28-143).
 
@@ -47,7 +55,7 @@ def plot_traces(traces, outdir='./diagnostics', start=0, stop=None,
     plt = _mpl()
     os.makedirs(outdir, exist_ok=True)
     traces = _flatten(traces)[:, start:stop, :]
-    names = _param_names(traces.shape[-1])
+    names = _param_names(traces.shape[-1], obs_model)
     if select:
         unknown = sorted(set(select) - set(names))
         if unknown:
@@ -75,10 +83,11 @@ def plot_traces(traces, outdir='./diagnostics', start=0, stop=None,
     return written
 
 
-def _hist_group(traces, idxs, title, outfile, start=0):
+def _hist_group(traces, idxs, title, outfile, start=0,
+                obs_model='poisson'):
     plt = _mpl()
     traces = _flatten(traces)
-    names = _param_names(traces.shape[-1])
+    names = _param_names(traces.shape[-1], obs_model)
     flat = traces[:, start:, :].reshape(-1, traces.shape[-1])
     n = len(idxs)
     ncol = min(n, 3)
@@ -117,11 +126,13 @@ def plot_sprd_vars(traces, outdir='./diagnostics', start=0):
                        os.path.join(outdir, 'posterior_sprd.png'), start)
 
 
-def plot_sent_obs_probs(traces, outdir='./diagnostics', start=0):
+def plot_sent_obs_probs(traces, outdir='./diagnostics', start=0,
+                        obs_model='poisson'):
     """Sentinel observation probability posteriors
     (ref Bayes_Plot.py:294-328)."""
     traces = _flatten(traces)
-    n_total = traces.shape[-1]
+    from ..bayes.priors import obs_extra_names
+    n_total = traces.shape[-1] - len(obs_extra_names(obs_model))
     first = len(MODEL_PARAM_NAMES) + len(OBS_PARAM_NAMES)
     idxs = list(range(first, n_total - 1))
     os.makedirs(outdir, exist_ok=True)
@@ -212,10 +223,17 @@ def main(argv=None):
               'resume the run first'.format(traces.shape))
         return
     start = int(argv[1]) if len(argv) > 1 else 0
-    plot_traces(traces, start=start)
+    # variant traces carry one extra obs column; the meta sidecar names it
+    obs_model = 'poisson'
+    meta_path0 = path[:-4] + '.meta.json'
+    if os.path.exists(meta_path0):
+        import json
+        with open(meta_path0) as fh:
+            obs_model = json.load(fh).get('obs_model', 'poisson')
+    plot_traces(traces, start=start, obs_model=obs_model)
     plot_f_g(traces, start=start)
     plot_sprd_vars(traces, start=start)
-    plot_sent_obs_probs(traces, start=start)
+    plot_sent_obs_probs(traces, start=start, obs_model=obs_model)
     plot_other(traces, start=start)
     from ..bayes.store import load_extras
     ex = load_extras(path)
