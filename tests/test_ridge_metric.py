@@ -299,3 +299,46 @@ def test_whiten_anchor_flags_pinned_direction():
     zs = to_z(us)
     assert zs[:, 1].std() < 1e-5       # z stays pinned
     assert abs(zs[:, 0].std() - 1.0) < 0.3
+
+
+@pytest.mark.slow
+def test_ridge_cli_end_to_end(tmp_path):
+    """--mass ridge through the real CLI at tiny config: MAP + blended
+    metric + whitened sampling -> trace store with finite constrained
+    draws, the committed-able whitening sidecar, and n_periods pinned."""
+    import sys
+
+    from tests._fastslow import n as _n
+
+    db = str(tmp_path / 'ridge_run')
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    r = subprocess.run(
+        [sys.executable, '-m', 'parasitoids_tpu.bayes.run',
+         '--new', str(_n(6, 3)), '8', db, '--sampler', 'nuts',
+         '--chains', '2', '--mass', 'ridge', '--init-map-steps',
+         str(_n(15, 6)), '--steps-per-call', '3', '--max-depth', '3',
+         'domain_info=(10000.0,50)', 'interp_num=2', 'kernel_rad=6',
+         'kernel_rad_local=3', 'quad_nodes=8', 'ndays=3'],
+        capture_output=True, text=True, timeout=1200, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert os.path.exists(db + '.whiten.npz')
+    with np.load(db + '.whiten.npz') as wz:
+        assert wz['L'].shape[0] == wz['L'].shape[1]
+        assert wz['anchor'].sum() >= 1.0          # pinned n_periods dir
+    with np.load(db + '.npz') as d:
+        tr = d['traces']
+        assert str(d['sampler']) == 'nuts'
+        assert tr.shape[0] == 2
+        assert np.isfinite(tr).all()
+        assert (tr[:, :, 13] == 30.0).all()       # n_periods pinned
+        # z_samples are in z-space (mapped back from u): constraining
+        # them must reproduce the stored constrained traces
+        from parasitoids_tpu.bayes.nuts import make_transformed_logpdf
+        from tests.test_nuts import _tiny_setup
+        _, constrain, _ = make_transformed_logpdf(_tiny_setup())
+        z = jnp.asarray(d['z_samples'][0, -1], jnp.float32)
+        m, o, _ = constrain(z)
+        got = np.concatenate([np.asarray(m), np.asarray(o)])
+        np.testing.assert_allclose(got, tr[0, -1, :-1], rtol=2e-5,
+                                   atol=1e-5)
