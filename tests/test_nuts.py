@@ -12,6 +12,7 @@ import jax.numpy as jnp
 from jax import random
 
 from parasitoids_tpu.bayes.nuts import NUTSConfig, nuts_sample
+from tests._fastslow import FAST, n as _n
 
 
 def _corr_gauss_logpdf(z):
@@ -504,18 +505,20 @@ def test_gibbs_nuts_discrete_marginal():
     unit Gaussian."""
     from parasitoids_tpu.bayes.nuts import nuts_sample_stepwise
 
-    cfg = NUTSConfig(num_warmup=50, num_samples=600, max_depth=5, n_step=2)
+    N = _n(600, 200)
+    cfg = NUTSConfig(num_warmup=50, num_samples=N, max_depth=5, n_step=2)
     z0s = jnp.zeros((2, 2))
     keys = random.split(random.PRNGKey(0), 2)
     out = nuts_sample_stepwise(None, z0s, keys, cfg,
                                gibbs_n=_gibbs_target, n0=5.0)
     ns = np.asarray(out['n_periods'])
-    assert ns.shape == (2, 600)
+    assert ns.shape == (2, N)
     assert (ns >= 1.0).all()
     assert np.allclose(ns, np.round(ns))     # stays on the integer lattice
-    # truncated Poisson(5): mean 5.034, var 4.86 (1,200 correlated draws)
-    assert abs(ns.mean() - 5.03) < 0.6
-    assert 3.3 < ns.var() < 7.0
+    # truncated Poisson(5): mean 5.034, var 4.86 (1,200 correlated draws;
+    # FAST runs a shorter window with proportionally looser bounds)
+    assert abs(ns.mean() - 5.03) < _n(0.6, 1.1)
+    assert (3.3 if not FAST else 2.2) < ns.var() < _n(7.0, 9.0)
     assert 0.1 < float(out['n_accept_rate']) < 1.0
     zs = np.asarray(out['samples'])
     assert abs(zs.mean()) < 0.15 and abs(zs.var() - 1.0) < 0.25
@@ -529,16 +532,17 @@ def test_gibbs_nuts_coupled_moments():
     from parasitoids_tpu.bayes.nuts import nuts_sample_stepwise
 
     target = partial(_gibbs_target, slope=0.2)
-    cfg = NUTSConfig(num_warmup=60, num_samples=600, max_depth=5, n_step=2)
+    cfg = NUTSConfig(num_warmup=60, num_samples=_n(600, 200),
+                     max_depth=5, n_step=2)
     z0s = jnp.zeros((2, 2))
     keys = random.split(random.PRNGKey(1), 2)
     out = nuts_sample_stepwise(None, z0s, keys, cfg,
                                gibbs_n=target, n0=5.0)
     ns = np.asarray(out['n_periods'])
     zs = np.asarray(out['samples'])
-    assert abs(ns.mean() - 5.03) < 0.6
-    assert abs(zs[..., 0].mean() - 0.2 * ns.mean()) < 0.25
-    assert abs(zs[..., 1].mean()) < 0.2
+    assert abs(ns.mean() - 5.03) < _n(0.6, 1.1)
+    assert abs(zs[..., 0].mean() - 0.2 * ns.mean()) < _n(0.25, 0.45)
+    assert abs(zs[..., 1].mean()) < _n(0.2, 0.4)
 
 
 def test_gibbs_nuts_checkpoint_resume_exact(tmp_path):
