@@ -297,23 +297,30 @@ def _measure_nuts_801(n_draws, n_warmup, map_steps, steps_per_call):
 def _child_subprocess(mode, timeout_s, env_extra=None):
     """Run one measurement in a bounded child (the hosted-TPU tunnel can
     wedge mid-run; in-process runs cannot recover).  Returns the child's
-    JSON dict or None on failure/timeout; never raises."""
+    JSON dict, or a short ``'failed(...)'`` string for the record —
+    BENCH_r04's AM extra came back null with no trace of why (the child's
+    stderr was discarded); a failure reason is a visible record, a bare
+    null is another kind of silence.  Never raises."""
     if timeout_s <= 0:
-        return None
+        return 'failed(no budget)'
     env = dict(os.environ)
     env.update(env_extra or {})
     try:
         r = subprocess.run([sys.executable, os.path.abspath(__file__), mode],
                            timeout=timeout_s, capture_output=True,
                            text=True, env=env)
-    except (subprocess.SubprocessError, OSError):
-        return None
+    except subprocess.TimeoutExpired:
+        return 'failed(timeout {}s)'.format(int(timeout_s))
+    except (subprocess.SubprocessError, OSError) as e:
+        return 'failed({})'.format(type(e).__name__)
     if r.returncode != 0:
-        return None
+        tail = (r.stderr or r.stdout or '').strip().splitlines()
+        tail = tail[-1][-160:] if tail else ''
+        return 'failed(rc={}: {})'.format(r.returncode, tail)
     try:
         return json.loads(r.stdout.strip().splitlines()[-1])
     except (ValueError, IndexError):
-        return None
+        return 'failed(unparseable child output)'
 
 
 def main():
@@ -347,8 +354,9 @@ def main():
             '--child-tpu',
             min(float(os.environ.get('PARA_TPU_BENCH_TIMEOUT', 1e9)),
                 0.6 * _BUDGET_S, _remaining() - 60))
-        if res is None:
-            platform = 'cpu-fallback (TPU run timed out/failed)'
+        if not isinstance(res, dict):
+            platform = 'cpu-fallback (TPU run {})'.format(res)
+            res = None
     else:
         platform = 'cpu-fallback (TPU tunnel unreachable)'
     if res is None:
@@ -359,6 +367,9 @@ def main():
         # JAX_PLATFORMS, which in the driver shell says 'axon'
         res = _child_subprocess('--child-cpu', _remaining() - 30,
                                 env_extra={'JAX_PLATFORMS': 'cpu'})
+        if not isinstance(res, dict):
+            platform += ' / cpu {}'.format(res)
+            res = None
 
     vs_baseline = None
     ref_total = None
