@@ -347,7 +347,13 @@ def main():
     # extras bookkeeping + final print)
     platform = 'tpu'
     res = None
-    if _tpu_reachable(timeout_s=max(60, min(180, _remaining() * 0.2))):
+    # don't even probe the tunnel when the budget cannot fund a TPU run:
+    # the probe itself costs up to 3 min and touches the (possibly busy)
+    # tunnel worker
+    if _remaining() < 90:
+        platform = ('cpu-fallback (budget {}s cannot fund a TPU probe)'
+                    .format(int(_BUDGET_S)))
+    elif _tpu_reachable(timeout_s=min(180, _remaining() - 30)):
         # cap at 60% of the budget so a wedged TPU child still leaves the
         # CPU fallback (and the final print) room to land
         res = _child_subprocess(
