@@ -106,12 +106,15 @@ def main():
         'min_ess': round(float(ess.min()), 1),
         'median_ess': round(float(np.median(ess)), 1),
         'frozen_params': [n for n, fz in zip(names, frozen) if fz],
-        'frozen_note': 'non-moving coordinates: n_periods is fixed at 30 '
-                       'under NUTS by design (reference '
-                       'Bayes_MAP.py:144-147); em/grid_obs_prob have no '
-                       'data channel at this sentinel-only site and are '
-                       'frozen by the dense Laplace metric; excluded '
-                       'from *_informed convergence stats',
+        'frozen_note': 'non-moving coordinates (excluded from *_informed '
+                       'stats): n_periods is fixed at 30 under NUTS by '
+                       'design (reference Bayes_MAP.py:144-147).  Any '
+                       'OTHER entry here indicates a metric pathology — '
+                       'round 3 froze em/grid_obs_prob this way; the '
+                       'round-4 blended metric (map_fit.blend_prior_'
+                       'metric) restores channel-less parameters to '
+                       'prior-scale sampling, so the expected list is '
+                       "['n_periods'] exactly.",
         'max_rhat_informed': (round(float(np.nanmax(rhat[informed])), 3)
                               if rhat is not None and informed.any()
                               else None),
