@@ -104,7 +104,6 @@ def test_variant_packing_and_posterior(obs_model):
     assert setup.n_extra_obs == 1
     assert obs_extra_names(obs_model)[0] in ('nb_r', 'zip_pi')
     logpdf, constrain, z0 = make_transformed_logpdf(setup)
-    base = _variant_setup.__wrapped__('poisson') if False else None
     assert z0.shape[0] == 15 + 4 + setup.n_sent + 1
     lp, g = jax.value_and_grad(logpdf)(z0)
     assert np.isfinite(float(lp))
@@ -155,3 +154,52 @@ def test_variant_pointwise_matches_loglik():
     pw = np.asarray(setup.pointwise_loglik(proj, o))
     assert np.isfinite(total)
     np.testing.assert_allclose(pw.sum(), total, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_negbin_dispersion_moves_toward_overdispersed_truth():
+    """Statistical smoke: on data simulated with heavy overdispersion
+    (r* = 2), the negbin fit's dispersion posterior must move DOWN from
+    its prior-mean start (20) toward the overdispersed regime, and the
+    chain must remain healthy.  (Full recovery needs long chains; this
+    pins the direction of information flow through the new likelihood.)"""
+    from tests._fastslow import n as _n
+
+    from parasitoids_tpu.bayes.predictive import simulate_observations
+    from parasitoids_tpu.bayes.priors import (initial_model_params,
+                                              initial_obs_params)
+    from parasitoids_tpu.bayes.sampler import (MCMCConfig, init_chain_state,
+                                               run_mcmc)
+
+    setup = _variant_setup('negbin')
+    m_true = initial_model_params()
+    o_true = initial_obs_params(
+        [setup.locinfo.field_sizes[k] for k in setup.locinfo.sent_ids],
+        setup.cell_res ** 2, 'negbin')
+    # boost observation probabilities so the tiny config yields counts
+    o_true[1] = 0.3
+    o_true[2] = 0.02
+    o_true[4:4 + setup.n_sent] = np.minimum(
+        o_true[4:4 + setup.n_sent] * 20.0, 0.5)
+    o_true[-1] = 2.0          # heavy overdispersion in the generator
+    rng = np.random.default_rng(7)
+    y = simulate_observations(setup, m_true, o_true, rng)
+    setup2 = setup.with_observations(y)
+
+    # start the SAMPLER at the prior-ish dispersion, not the truth
+    o_start = np.asarray(o_true).copy()
+    o_start[-1] = 20.0
+    state = init_chain_state(setup2, random.PRNGKey(0), m0=m_true,
+                             o0=o_start)
+    od_idx = 4 + setup.n_sent + 15   # trace column of the od slot
+    _, trace = jax.block_until_ready(
+        run_mcmc(setup2, state,
+                 MCMCConfig(n_samples=_n(400, 120), obs_sweeps=4)))
+    tr = np.asarray(trace)
+    od = tr[:, od_idx]
+    assert np.isfinite(tr).all()
+    assert (od > 0).all()
+    # information flows the right way: the posterior mass moves below the
+    # start toward the overdispersed truth
+    tail = od[len(od) // 2:]
+    assert np.median(tail) < 15.0, np.median(tail)
