@@ -27,10 +27,12 @@ __all__ = ['build_report', 'main']
 
 
 def _posterior_table(traces, setup):
-    from .priors import MODEL_PARAM_NAMES, OBS_PARAM_NAMES
+    from .priors import MODEL_PARAM_NAMES, OBS_PARAM_NAMES, obs_extra_names
 
     names = (list(MODEL_PARAM_NAMES) + list(OBS_PARAM_NAMES)
-             + ['sent_prob[{}]'.format(k) for k in setup.locinfo.sent_ids])
+             + ['sent_prob[{}]'.format(k) for k in setup.locinfo.sent_ids]
+             + list(obs_extra_names(getattr(setup, 'obs_model',
+                                            'poisson'))))
     flat = traces.reshape(-1, traces.shape[-1])
     lines = ['| parameter | mean | sd | 5% | 95% |',
              '|---|---|---|---|---|']
