@@ -62,17 +62,42 @@ fi
 log "chain11 gone; sweeping gaps ($(left) s left)"
 
 # -- [S1] obs-model fits + LOO + PPC, if missing ---------------------------
+# chain11's [M1] attempts died with "TPU worker process crashed" a few
+# minutes in: today's tunnel kills even ~70 s monolithic programs (the
+# bench's plain-poisson AM child failed identically), and
+# --checkpoint-every 2500 makes each AM chunk one such program.  400-step
+# chunks keep programs ~12 s; a crashed run leaves a resumable store
+# (save_chain per chunk), so retries TOP UP instead of restarting.
+am_have() {  # $1 = db; prints recorded n_samples (0 if none)
+    python - "$1" <<'EOF'
+import json, sys
+try:
+    print(json.load(open(sys.argv[1] + '.meta.json')).get('n_samples', 0))
+except Exception:
+    print(0)
+EOF
+}
 for om in negbin zip; do
     db=runs/kalbar_am_${om}
-    if [ ! -f "$db.npz" ]; then
-        run_phase "[S1] AM $om" 3000 "$db.log" \
-            python -m parasitoids_tpu.bayes.run --new 10000 1000 "$db" \
-                --obs-sweeps 8 --checkpoint-every 2500 \
-                obs_model=$om 'domain_info=(10000.0,400)' \
-            || log "[S1] $om FAILED"
-        commit_artifacts "Record the Kalbar AM fit under obs_model=$om" \
-            "$db.npz" "$db.meta.json" "$db.log"
-    fi
+    for attempt in 1 2 3; do
+        have=$(am_have "$db")
+        [ "$have" -ge 9000 ] && break
+        if [ ! -f "$db.npz" ]; then
+            run_phase "[S1] AM $om (new $attempt)" 3600 "$db.log" \
+                python -m parasitoids_tpu.bayes.run --new 10000 1000 \
+                    "$db" --obs-sweeps 8 --checkpoint-every 400 \
+                    obs_model=$om 'domain_info=(10000.0,400)' \
+                || log "[S1] $om attempt $attempt failed"
+        else
+            run_phase "[S1] AM $om (top-up $attempt)" 3600 "$db.log" \
+                python -m parasitoids_tpu.bayes.run --resume "$db" \
+                    $(( 10000 - have )) --checkpoint-every 400 \
+                    obs_model=$om 'domain_info=(10000.0,400)' \
+                || log "[S1] $om top-up $attempt failed"
+        fi
+    done
+    commit_artifacts "Record the Kalbar AM fit under obs_model=$om" \
+        "$db.npz" "$db.meta.json" "$db.log"
 done
 for om in negbin zip; do
     db=runs/kalbar_am_${om}
