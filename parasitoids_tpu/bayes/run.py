@@ -103,16 +103,23 @@ parser.add_argument('--particles', type=int, default=None,
                     help='SMC: particle count (default: the <iterations> '
                          'argument, or 64) — these become the posterior '
                          'draws')
-parser.add_argument('--moves', type=int, default=5,
-                    help='SMC: rejuvenation MCMC steps per anneal stage')
+parser.add_argument('--moves', type=int, default=None,
+                    help='SMC: rejuvenation MCMC steps per anneal stage '
+                         '(default 5; on --resume, overrides the stored '
+                         'value when given — the end-game knob for '
+                         'raising rejuvenation effort as beta -> 1)')
 parser.add_argument('--ess-target', type=float, default=0.5,
                     help='SMC: each temperature increment keeps '
                          'ESS >= target * particles')
-parser.add_argument('--min-accepts', type=float, default=2.0,
+parser.add_argument('--min-accepts', type=float, default=None,
                     help='SMC: repeat move rounds until the average '
-                         'particle has accepted this many jumps per stage')
-parser.add_argument('--max-move-rounds', type=int, default=10,
-                    help='SMC: cap on adaptive move rounds per stage')
+                         'particle has accepted this many jumps per stage '
+                         '(default 2.0; on --resume, overrides the stored '
+                         'value when given)')
+parser.add_argument('--max-move-rounds', type=int, default=None,
+                    help='SMC: cap on adaptive move rounds per stage '
+                         '(default 10; on --resume, overrides the stored '
+                         'value when given)')
 parser.add_argument('--max-stages', type=int, default=200,
                     help='SMC: hard cap on anneal stages')
 parser.add_argument('--max-depth', type=int, default=6,
@@ -738,17 +745,27 @@ def run_smc_cli(args, setup):
                              'the matching --sampler'.format(db))
         ex = load_extras(db)
         seed = int(meta['seed'])
+        # move-effort knobs: stored value unless explicitly re-given — the
+        # anneal end-game raises rejuvenation effort as beta -> 1 instead
+        # of letting acceptance sag (resume is a fresh process, so a
+        # changed n_moves simply compiles a new move program)
         cfg = SMCConfig(n_particles=int(states.m.shape[0]),
-                        n_moves=int(meta['n_moves']),
+                        n_moves=(args.moves if args.moves is not None
+                                 else int(meta['n_moves'])),
                         ess_target=float(meta['ess_target']),
                         obs_scale=float(meta.get('obs_scale', 0.05)),
                         obs_sweeps=(args.obs_sweeps
                                     if args.obs_sweeps is not None
                                     else int(meta.get('obs_sweeps', 1))),
                         max_stages=args.max_stages,
-                        min_accepts=float(meta.get('min_accepts', 2.0)),
-                        max_move_rounds=int(meta.get('max_move_rounds',
-                                                     10)))
+                        min_accepts=(args.min_accepts
+                                     if args.min_accepts is not None
+                                     else float(meta.get('min_accepts',
+                                                         2.0))),
+                        max_move_rounds=(
+                            args.max_move_rounds
+                            if args.max_move_rounds is not None
+                            else int(meta.get('max_move_rounds', 10))))
         payload = {'states': states, 'logw': ex['logw'],
                    'beta': float(meta['beta']), 'logz': float(meta['logz']),
                    'log_scale': float(meta['log_scale']),
@@ -764,11 +781,14 @@ def run_smc_cli(args, setup):
                                 args.new[2])
         n_part = args.particles or (n_samples if n_samples > 0 else 64)
         seed = args.seed
-        cfg = SMCConfig(n_particles=n_part, n_moves=args.moves,
+        cfg = SMCConfig(n_particles=n_part,
+                        n_moves=(5 if args.moves is None else args.moves),
                         ess_target=args.ess_target,
                         max_stages=args.max_stages,
-                        min_accepts=args.min_accepts,
-                        max_move_rounds=args.max_move_rounds,
+                        min_accepts=(2.0 if args.min_accepts is None
+                                     else args.min_accepts),
+                        max_move_rounds=(10 if args.max_move_rounds is None
+                                         else args.max_move_rounds),
                         obs_sweeps=args.obs_sweeps or 1)
         payload = None
 

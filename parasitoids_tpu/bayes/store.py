@@ -43,9 +43,16 @@ def save_chain(path, traces, state: ChainState, meta=None, extra=None):
         payload['state_' + f] = np.asarray(getattr(state, f))
     for k, v in (extra or {}).items():
         payload['x_' + k] = np.asarray(v)
-    np.savez(path, **payload)
-    with open(path + '.meta.json', 'w') as fh:
+    # write-temp-then-rename: a SIGTERM/timeout landing mid-write must never
+    # truncate the store a resume loop depends on (os.replace is atomic on
+    # POSIX); same for the meta sidecar the loop reads its beta from
+    tmp = path + '.tmp.npz'
+    np.savez(tmp, **payload)
+    os.replace(tmp, path + '.npz')
+    tmp_meta = path + '.meta.json.tmp'
+    with open(tmp_meta, 'w') as fh:
         json.dump(meta or {}, fh)
+    os.replace(tmp_meta, path + '.meta.json')
 
 
 def load_extras(path):

@@ -6,8 +6,10 @@ posterior regions of the take-off ridge (per-chain g_aw 1.29 +/- 0.43 vs
 other.  The SMC population CAN: its final weighted particles carry each
 mode's actual posterior mass.  This script reports
 
-* the posterior weight of each g_aw mode (weighted particles AND the
-  unweighted resampled trace — two estimates, one systematic),
+* the posterior weight of each g_aw mode — the weighted-particle estimate
+  plus its resampled (quantization-noise) counterpart; the trace is drawn
+  by resampling the same weighted particles, so the second number checks
+  only resampling noise, NOT an independent systematic,
 * per-mode posterior means/sds for every parameter,
 * the per-mode agreement with the two NUTS chains (are the SMC modes the
   same two regions the chains found?),
@@ -106,6 +108,15 @@ def main():
             cmu = chains[c, :, 0].mean()
             label = 'low_g_aw' if cmu < thresh else 'high_g_aw'
             mode = out['modes'][label]
+            if mode.get('n_particles', 0) == 0:
+                # resampling extinguished this mode: no moments exist, and
+                # NaN z-scores would make the JSON unparseable by strict
+                # readers — report the absence instead
+                agree['chain{}'.format(c)] = {
+                    'matched_mode': label,
+                    'g_aw_mean': round(float(cmu), 3),
+                    'mode_absent': True}
+                continue
             zs = {}
             for j, nm in enumerate(names):
                 mu, sd = mode.get(nm, (np.nan, np.nan))
@@ -127,8 +138,13 @@ def main():
               out['stages'], kish, m.shape[0]))
     if chains is not None:
         for c, a in out['nuts_chain_agreement'].items():
-            print('  {} (g_aw {:.2f}) -> {} (max param z {:.1f})'.format(
-                c, a['g_aw_mean'], a['matched_mode'], a['max_param_z']))
+            if a.get('mode_absent'):
+                print('  {} (g_aw {:.2f}) -> {} (mode absent from final '
+                      'population)'.format(c, a['g_aw_mean'],
+                                           a['matched_mode']))
+            else:
+                print('  {} (g_aw {:.2f}) -> {} (max param z {:.1f})'.format(
+                    c, a['g_aw_mean'], a['matched_mode'], a['max_param_z']))
     print('wrote', path)
 
 
