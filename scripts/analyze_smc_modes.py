@@ -120,8 +120,9 @@ def main():
             zs = {}
             for j, nm in enumerate(names):
                 mu, sd = mode.get(nm, (np.nan, np.nan))
-                csd = chains[c, :, j].std() + 1e-12
-                zs[nm] = round(abs(chains[c, :, j].mean() - mu)
+                csd = float(chains[c, :, j].std()) + 1e-12
+                # float(): numpy scalars poison json.dump
+                zs[nm] = round(float(abs(chains[c, :, j].mean() - mu))
                                / max(sd, csd, 1e-12), 2)
             agree['chain{}'.format(c)] = {
                 'matched_mode': label, 'g_aw_mean': round(float(cmu), 3),
