@@ -290,6 +290,21 @@ class BayesSetup:
         new.forward_mesh = mesh
         return new
 
+    def with_batched_bvn(self):
+        """Shallow copy whose forward simulations use the ensemble-batched
+        BVN scheme (ops/bvn.bvn_cell_masses_batched: fixed-G two-branch
+        select instead of the rho ``lax.switch``, XLA scatter path instead
+        of Pallas) — the kernel configuration a particle-``vmap``
+        (bayes/ensemble.py) needs so a batched program executes two BVN
+        branch bodies instead of all four.  The copy is a distinct jit
+        cache key; single-particle use of it is a pessimization."""
+        import copy
+        new = copy.copy(self)
+        new.setup = self.setup._replace(
+            kcfg=self.setup.kcfg._replace(batched_bvn=True, pallas=False,
+                                          interpret=False))
+        return new
+
     # ------------------------------------------------------------------
     def _pre_spread_kernel(self, m: ModelParams, sprd_factor):
         """Kalbar pre-wind local-spread kernel (Bayes_Run.py:243-267):
@@ -302,10 +317,14 @@ class BayesSetup:
         dint = np.floor(drift / res).astype(int)        # cell offsets (x, y)
         drem = drift - dint * res                        # sub-cell remainder
         K, Kl, G = kcfg.K, kcfg.K_local, kcfg.G
-        long_spread = bvn_cell_masses(jnp.asarray(drem), m.sig_x, m.sig_y,
-                                      m.corr, res, K, G)
-        short_spread = bvn_cell_masses(jnp.zeros(2), m.sig_xl, m.sig_yl,
-                                       m.corr_l, res, Kl, G)
+        if getattr(kcfg, 'batched_bvn', False):
+            from ..ops.bvn import bvn_cell_masses_batched as _masses
+        else:
+            _masses = bvn_cell_masses
+        long_spread = _masses(jnp.asarray(drem), m.sig_x, m.sig_y,
+                              m.corr, res, K, G)
+        short_spread = _masses(jnp.zeros(2), m.sig_xl, m.sig_yl,
+                               m.corr_l, res, Kl, G)
         field = jnp.zeros((D, D), long_spread.dtype)
         c = kcfg.rad_res
         # rows shift by -y drift, cols by +x drift (screen coordinates)

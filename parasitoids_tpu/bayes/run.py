@@ -808,9 +808,18 @@ def run_smc_cli(args, setup):
         else:
             print('SMC: continuing at beta={:.5f} (stage {})...'.format(
                 payload['beta'], payload['stage']))
+        # PARA_SMC_BATCHED=1: vmapped rejuvenation with the select-BVN
+        # forward config (bayes/smc._move_prog batched mode) — opt-in
+        # after on-chip measurement (scripts/measure_batched_ensemble.py);
+        # the annealer state/checkpoints are execution-scheme-independent,
+        # so a mid-anneal resume may flip this freely
+        batched = bool(int(os.environ.get('PARA_SMC_BATCHED', '0') or 0))
+        if batched:
+            print('  batched (vmap) rejuvenation enabled')
         payload = run_smc(setup, random.PRNGKey(seed), cfg, mesh=mesh,
                           seed=seed, verbose=True, resume=payload,
-                          checkpoint=lambda p: _save_smc(db, p, seed, cfg))
+                          checkpoint=lambda p: _save_smc(db, p, seed, cfg),
+                          batched=batched)
         dt = time.time() - tic
         print('SMC finished: {:.1f} s, {} stages'.format(
             dt, payload['stage']))

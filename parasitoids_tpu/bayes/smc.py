@@ -165,10 +165,19 @@ def _init_prog(setup, mesh):
 
 
 @lru_cache(maxsize=None)
-def _move_prog(setup, n_moves, obs_scale, mesh, obs_sweeps=1):
+def _move_prog(setup, n_moves, obs_scale, mesh, obs_sweeps=1,
+               batched=False):
     """``n_moves`` AM transitions at inverse temperature ``beta`` on every
     particle; ``beta`` and ``obs_mask`` are traced operands so every stage
-    (and every cross-validation fold) reuses one compiled program."""
+    (and every cross-validation fold) reuses one compiled program.
+
+    ``batched=True`` advances the particles under ``vmap`` instead of
+    ``lax.map`` — callers must pass a ``setup`` prepared with
+    ``with_batched_bvn()`` (the fixed-G select BVN scheme) or the batched
+    predicate ``lax.switch`` executes every ρ branch (the measured-33×
+    trap, parallel/chains.py).  Measured head-to-head by
+    scripts/measure_batched_ensemble.py; the CLI opt-in is
+    ``PARA_SMC_BATCHED``."""
     mcfg = MCMCConfig(n_samples=n_moves, adapt_start=_ADAPT_START,
                       obs_scale=obs_scale, obs_sweeps=obs_sweeps)
 
@@ -182,6 +191,9 @@ def _move_prog(setup, n_moves, obs_scale, mesh, obs_sweeps=1):
         return s
 
     def stacked(states, beta, obs_mask):
+        if batched:
+            return jax.vmap(
+                lambda s: particle_fn(s, beta, obs_mask))(states)
         return lax.map(lambda s: particle_fn(s, beta, obs_mask), states)
 
     if mesh is None:
@@ -237,7 +249,8 @@ def _population_cov(m, logw):
 
 
 def run_smc(setup: BayesSetup, key, cfg: SMCConfig, mesh=None, seed=0,
-            verbose=False, checkpoint=None, resume=None, obs_mask=None):
+            verbose=False, checkpoint=None, resume=None, obs_mask=None,
+            batched=False):
     """Anneal a prior particle population to the posterior.
 
     ``seed`` drives the host-side resampling stream (stage-keyed, so a
@@ -264,8 +277,15 @@ def run_smc(setup: BayesSetup, key, cfg: SMCConfig, mesh=None, seed=0,
     if mesh is not None and N % mesh.devices.size != 0:
         raise ValueError('n_particles must divide evenly over the mesh '
                          '({} over {} devices)'.format(N, mesh.devices.size))
-    move = _move_prog(setup, cfg.n_moves, cfg.obs_scale, mesh,
-                      cfg.obs_sweeps)
+    # batched rejuvenation: vmap the move kernel over particles with the
+    # select-BVN forward config (the anneal itself — weights, schedule,
+    # resampling — is unchanged; rejuvenation is a valid MCMC kernel under
+    # either execution scheme, so a mid-anneal switch preserves
+    # correctness).  Opt-in after measurement: see
+    # scripts/measure_batched_ensemble.py.
+    move_setup = setup.with_batched_bvn() if batched else setup
+    move = _move_prog(move_setup, cfg.n_moves, cfg.obs_scale, mesh,
+                      cfg.obs_sweeps, batched)
 
     if resume is not None:
         states = resume['states']

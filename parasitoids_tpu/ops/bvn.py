@@ -55,7 +55,8 @@ import numpy as np
 from jax import lax
 from jax.scipy.special import ndtr, ndtri
 
-__all__ = ['bvn_cell_masses', 'bvn_cell_masses_quad', 'bvn_upper_grid',
+__all__ = ['bvn_cell_masses', 'bvn_cell_masses_batched',
+           'bvn_cell_masses_quad', 'bvn_upper_grid', 'bvn_upper_grid_select',
            'gauss_legendre']
 
 _TWO_PI = 2.0 * np.pi
@@ -150,14 +151,35 @@ def bvn_upper_grid(h, k, rho, phi_prod=None):
         operand=None)
 
 
-@partial(jax.custom_jvp, nondiff_argnums=(5,))
-def _cell_masses_core(mu, sig_x, sig_y, rho, cell, K):
-    """Corner-CDF cell masses on sanitized inputs (see
-    :func:`bvn_cell_masses` for the contract).  Carries a custom JVP: the
-    quadrature evaluates only the *value*; tangents use the closed-form BVN
-    CDF derivatives (no quadrature, no ``lax.switch``), which makes
-    reverse-mode gradients (MAP/NUTS) cost ~a forward pass instead of
-    differentiating through every Gauss–Legendre node."""
+def bvn_upper_grid_select(h, k, rho, phi_prod=None):
+    """Batch-friendly variant of :func:`bvn_upper_grid`: a two-branch
+    ``jnp.where`` select over the fixed-G (20-node) low-corr quadrature and
+    the high-corr series instead of the 4-way ``lax.switch``.
+
+    Rationale (VERDICT r4 item 4): a *batched* predicate ``lax.switch``
+    lowers to executing EVERY branch with a select — 6+12+20-node low-corr
+    sweeps plus the high-corr series, ~58 node-sweeps per call.  Under an
+    ensemble ``vmap`` (per-particle traced ρ) that cost is unavoidable per
+    branch structure, so this variant keeps only the two members whose
+    union covers (−1, 1): G=20 low-corr (Genz's own node count for
+    |ρ| < 0.925 — strictly more accurate than the 6/12-node tiers it
+    replaces) and the asymptotic-series high-corr form.  Both branches are
+    NaN-free over the full clipped ρ range (the low-corr exponent is ≤ 0
+    for every node since |sin θ| ≤ |ρ| < 1; the high-corr form is
+    arg-clipped), so the unselected branch never poisons the select.
+
+    For a SCALAR-ρ program this is a pessimization (both branches always
+    execute); use :func:`bvn_upper_grid`."""
+    low = _upper_lowcorr(h, k, rho, 20, phi_prod)
+    high = _upper_highcorr(h, k, rho)
+    return jnp.where(jnp.abs(rho) <= 0.925, low, high)
+
+
+def _cell_masses_value(mu, sig_x, sig_y, rho, cell, K, upper_fn):
+    """Corner-CDF cell masses on sanitized inputs — the shared value
+    computation behind :func:`_cell_masses_core` (scalar-ρ ``lax.switch``
+    node selection) and :func:`_cell_masses_core_sel` (batch-friendly
+    two-branch select)."""
     dtype = mu.dtype
     n = 2 * K + 1
 
@@ -170,7 +192,7 @@ def _cell_masses_core(mu, sig_x, sig_y, rho, cell, K):
     # the independence term is separable on the corner lattice: two 1-D
     # ndtr sweeps instead of 2(n+1)^2 full-grid evaluations
     phi_prod = ndtr(-xe)[:, None] * ndtr(-ye)[None, :]
-    U = bvn_upper_grid(H, Kg, rho, phi_prod)  # [x_edge, y_edge]
+    U = upper_fn(H, Kg, rho, phi_prod)        # [x_edge, y_edge]
 
     # cell (row i, col j): x ∈ [xe[j], xe[j+1]], y ∈ [ye[i+1], ye[i]]
     rect = (U[:-1, 1:] - U[1:, 1:]) - (U[:-1, :-1] - U[1:, :-1])
@@ -178,8 +200,28 @@ def _cell_masses_core(mu, sig_x, sig_y, rho, cell, K):
     return jnp.maximum(rect.T, 0.0)           # -> [row, col]
 
 
-@_cell_masses_core.defjvp
-def _cell_masses_jvp(K, primals, tangents):
+@partial(jax.custom_jvp, nondiff_argnums=(5,))
+def _cell_masses_core(mu, sig_x, sig_y, rho, cell, K):
+    """Corner-CDF cell masses on sanitized inputs (see
+    :func:`bvn_cell_masses` for the contract).  Carries a custom JVP: the
+    quadrature evaluates only the *value*; tangents use the closed-form BVN
+    CDF derivatives (no quadrature, no ``lax.switch``), which makes
+    reverse-mode gradients (MAP/NUTS) cost ~a forward pass instead of
+    differentiating through every Gauss–Legendre node."""
+    return _cell_masses_value(mu, sig_x, sig_y, rho, cell, K,
+                              bvn_upper_grid)
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(5,))
+def _cell_masses_core_sel(mu, sig_x, sig_y, rho, cell, K):
+    """As :func:`_cell_masses_core` but with the two-branch select node
+    scheme (:func:`bvn_upper_grid_select`) — the ensemble-batched variant
+    (``vmap`` over particles with per-particle ρ)."""
+    return _cell_masses_value(mu, sig_x, sig_y, rho, cell, K,
+                              bvn_upper_grid_select)
+
+
+def _cell_masses_tangent(K, primals, tangents, primal_out):
     """Closed-form tangent of the corner-CDF cell masses.
 
     With L(h, k; ρ) = P(X > h, Y > k) the upper-orthant probability,
@@ -191,13 +233,12 @@ def _cell_masses_jvp(K, primals, tangents):
     — all branch-free and quadrature-free.  The cell-mass tangent is the
     same four-corner difference applied to dU.  Linear in the input
     tangents, so JAX transposes this rule to get the reverse-mode VJP.
+    Shared by both core variants (the tangent is scheme-independent).
     """
     mu, sig_x, sig_y, rho, cell = primals
     dmu, dsig_x, dsig_y, drho, dcell = tangents
     dtype = mu.dtype
     n = 2 * K + 1
-
-    primal_out = _cell_masses_core(mu, sig_x, sig_y, rho, cell, K)
 
     jcol = jnp.arange(n + 1, dtype=dtype) - K - 0.5          # x multipliers
     irow = K + 0.5 - jnp.arange(n + 1, dtype=dtype)          # y multipliers
@@ -222,8 +263,21 @@ def _cell_masses_jvp(K, primals, tangents):
     dU = dxe[:, None] * Lh + dye[None, :] * Lk + drho * Lrho
     rect_t = (dU[:-1, 1:] - dU[1:, 1:]) - (dU[:-1, :-1] - dU[1:, :-1])
     # the primal clamps tail differencing noise at 0; zero those tangents
-    tangent_out = jnp.where(primal_out > 0, rect_t.T, 0.0)
-    return primal_out, tangent_out
+    return jnp.where(primal_out > 0, rect_t.T, 0.0)
+
+
+@_cell_masses_core.defjvp
+def _cell_masses_jvp(K, primals, tangents):
+    primal_out = _cell_masses_core(*primals, K)
+    return primal_out, _cell_masses_tangent(K, primals, tangents,
+                                            primal_out)
+
+
+@_cell_masses_core_sel.defjvp
+def _cell_masses_sel_jvp(K, primals, tangents):
+    primal_out = _cell_masses_core_sel(*primals, K)
+    return primal_out, _cell_masses_tangent(K, primals, tangents,
+                                            primal_out)
 
 
 @partial(jax.jit, static_argnames=('K', 'G'))
@@ -253,6 +307,25 @@ def bvn_cell_masses(mu, sig_x, sig_y, rho, cell, K, G=None):
     rho = jnp.clip(jnp.asarray(rho, dtype), -1 + 1e-6, 1 - 1e-6)
     cell = jnp.asarray(cell, dtype)
     return _cell_masses_core(mu, sig_x, sig_y, rho, cell, K)
+
+
+@partial(jax.jit, static_argnames=('K', 'G'))
+def bvn_cell_masses_batched(mu, sig_x, sig_y, rho, cell, K, G=None):
+    """Ensemble-batched variant of :func:`bvn_cell_masses`: identical
+    contract and closed-form JVP, but the ρ node-count ``lax.switch`` is
+    replaced by a fixed-G (20-node) two-branch ``jnp.where`` select
+    (:func:`bvn_upper_grid_select`) so a particle-``vmap`` with
+    per-particle ρ executes exactly two branch bodies instead of four
+    (VERDICT r4 item 4).  Accuracy is the same or better than the scalar
+    path (G=20 everywhere |ρ| < 0.925; the identical series beyond).  For
+    scalar-ρ programs prefer :func:`bvn_cell_masses`."""
+    dtype = jnp.result_type(float)
+    mu = jnp.asarray(mu, dtype)
+    sig_x = jnp.maximum(jnp.asarray(sig_x, dtype), 1e-8)
+    sig_y = jnp.maximum(jnp.asarray(sig_y, dtype), 1e-8)
+    rho = jnp.clip(jnp.asarray(rho, dtype), -1 + 1e-6, 1 - 1e-6)
+    cell = jnp.asarray(cell, dtype)
+    return _cell_masses_core_sel(mu, sig_x, sig_y, rho, cell, K)
 
 
 @partial(jax.jit, static_argnames=('K', 'G'))

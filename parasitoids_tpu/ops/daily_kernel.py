@@ -68,6 +68,12 @@ class KernelConfig(NamedTuple):
     # — not for production runs, where the full window is strictly more
     # accurate.  XLA path only (forces the scatter accumulate).
     ref_trunc: bool = False
+    # ensemble-batched BVN scheme (ops/bvn.bvn_cell_masses_batched): the
+    # fixed-G two-branch select that a particle-vmap needs to avoid
+    # executing all four rho lax.switch branches (VERDICT r4 item 4).
+    # XLA path only (forces the scatter accumulate; the Pallas kernel has
+    # its own lax.cond dispatch that a vmap would pay both sides of).
+    batched_bvn: bool = False
 
 
 def r_small_vals_dense(field, prob_model=False, negval=_NEGVAL):
@@ -136,10 +142,10 @@ def _advection_means(wind_flat, wind_cumsum, day_idx, n_periods, periods,
 
 
 @partial(jax.jit, static_argnames=('K', 'G', 'buf_len', 'chunk',
-                                   'ref_trunc'))
+                                   'ref_trunc', 'batched_bvn'))
 def xla_accumulate_day(h_scat, cdf_mu, idx, clipped, Dparams, cell,
                        K: int, G: int, buf_len: int, chunk: int = 240,
-                       ref_trunc: bool = False):
+                       ref_trunc: bool = False, batched_bvn: bool = False):
     """Accumulate all per-minute BVN blocks of one day (XLA path): chunked
     ``vmap`` block build + ``lax.scatter_add`` with CLIP mode.  Same
     contract as ``ops.pallas_kernel.pallas_accumulate_day`` (whose backward
@@ -150,13 +156,15 @@ def xla_accumulate_day(h_scat, cdf_mu, idx, clipped, Dparams, cell,
     dtype = h_scat.dtype
     T = h_scat.shape[0]
     sig_x, sig_y, rho = Dparams
+    from .bvn import bvn_cell_masses_batched
+    masses = bvn_cell_masses_batched if batched_bvn else bvn_cell_masses
     if ref_trunc:
         build_block = jax.vmap(
             lambda mu: ring_truncate(
-                bvn_cell_masses(mu, sig_x, sig_y, rho, cell, K, G), K))
+                masses(mu, sig_x, sig_y, rho, cell, K, G), K))
     else:
         build_block = jax.vmap(
-            lambda mu: bvn_cell_masses(mu, sig_x, sig_y, rho, cell, K, G))
+            lambda mu: masses(mu, sig_x, sig_y, rho, cell, K, G))
 
     C = min(chunk, T)
     n_chunks = -(-T // C)
@@ -262,8 +270,11 @@ def finish_day(buf, outside_loss, clip_loss, Dlparams, config: KernelConfig,
     # --- "didn't fly" local-diffusion remainder ------------------------
     total_flight_prob = pmf.sum() + loss
     sl_x, sl_y, sl_rho = Dlparams
-    local = bvn_cell_masses(jnp.zeros(2, dtype), sl_x, sl_y, sl_rho, cell,
-                            Kl, G)
+    if getattr(config, 'batched_bvn', False):
+        from .bvn import bvn_cell_masses_batched as _masses
+    else:
+        _masses = bvn_cell_masses
+    local = _masses(jnp.zeros(2, dtype), sl_x, sl_y, sl_rho, cell, Kl, G)
     if config.ref_trunc:
         # the reference builds Sl's kernel with the same ring expansion
         # (ParasitoidModel.py:581-584)
@@ -313,7 +324,8 @@ def build_daily_kernel(wind_flat, wind_cumsum, day_idx, hparams, Dparams,
         wind_flat, wind_cumsum, day_idx, hparams, mu_r, n_periods,
         start_idx, config, rad_dist)
 
-    if config.pallas and not config.ref_trunc:
+    batched = getattr(config, 'batched_bvn', False)
+    if config.pallas and not config.ref_trunc and not batched:
         # fused on-chip build+accumulate (ops/pallas_kernel.py); its
         # backward rule is a dedicated Pallas kernel (_day_bwd_kernel),
         # gradient-parity-tested against the XLA path below
@@ -322,13 +334,14 @@ def build_daily_kernel(wind_flat, wind_cumsum, day_idx, hparams, Dparams,
             h_scat, cdf_mu, idx, clip_f, Dparams, cell,
             K, G, D + 4 * K, config.interpret)
     else:
-        # ref_trunc (the cdf_eps parity-emulation mode) always takes the
-        # XLA scatter path — truncation is a per-block mask on top of the
-        # vmapped block build
+        # ref_trunc (the cdf_eps parity-emulation mode) and batched_bvn
+        # (the ensemble-vmap mode) always take the XLA scatter path —
+        # truncation is a per-block mask on top of the vmapped block
+        # build; the batched select replaces the rho lax.switch
         buf, clip_loss = xla_accumulate_day(
             h_scat, cdf_mu, idx, clip_f, Dparams, cell,
             K, G, D + 4 * K, chunk=min(config.chunk, T),
-            ref_trunc=config.ref_trunc)
+            ref_trunc=config.ref_trunc, batched_bvn=batched)
 
     return finish_day(buf, outside_loss, clip_loss, Dlparams, config,
                       rad_dist)

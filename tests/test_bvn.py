@@ -165,3 +165,57 @@ def test_closed_form_gradient_matches_fd(case):
     _, jv = jax.jvp(f, (theta,), (tangent,))
     np.testing.assert_allclose(float(jv), float(g @ np.asarray(tangent)),
                                rtol=1e-3, atol=1e-5)
+
+
+# ----------------------------------------------------------------------
+# ensemble-batched variant (fixed-G two-branch select, VERDICT r4 item 4)
+# ----------------------------------------------------------------------
+
+@pytest.mark.parametrize('mu,sx,sy,rho,cell,K', CASES)
+def test_batched_matches_oracle(mu, sx, sy, rho, cell, K):
+    from parasitoids_tpu.ops.bvn import bvn_cell_masses_batched
+    got = np.asarray(bvn_cell_masses_batched(jnp.array(mu), sx, sy, rho,
+                                             cell, K))
+    want = oracle_cell_masses(mu, sx, sy, rho, cell, K)
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+@pytest.mark.parametrize('rho', [0.0, -0.5, 0.9, 0.95, -0.99])
+def test_batched_matches_scalar_scheme(rho):
+    """The select scheme agrees with the switch scheme everywhere in rho
+    (identical high-corr series; G=20 low-corr is a superset of the
+    6/12/20 tiers)."""
+    from parasitoids_tpu.ops.bvn import bvn_cell_masses_batched
+    mu = jnp.array([0.4, -0.2])
+    a = np.asarray(bvn_cell_masses(mu, 4.0, 3.0, rho, 2.0, 8))
+    b = np.asarray(bvn_cell_masses_batched(mu, 4.0, 3.0, rho, 2.0, 8))
+    np.testing.assert_allclose(a, b, atol=5e-7)
+
+
+def test_batched_vmap_per_particle_rho():
+    """The design target: a particle axis with per-particle rho spanning
+    both branches vmaps correctly (each row matches its scalar call)."""
+    from parasitoids_tpu.ops.bvn import bvn_cell_masses_batched
+    rhos = jnp.array([0.0, 0.6, -0.93, 0.98])
+    mu = jnp.array([0.4, -0.2])
+    f = jax.vmap(lambda r: bvn_cell_masses_batched(mu, 4.0, 3.0, r, 2.0, 6))
+    got = np.asarray(jax.jit(f)(rhos))
+    for i, r in enumerate(np.asarray(rhos)):
+        want = oracle_cell_masses((0.4, -0.2), 4.0, 3.0, float(r), 2.0, 6)
+        np.testing.assert_allclose(got[i], want, atol=2e-6)
+
+
+def test_batched_gradients_match_scalar():
+    """Both variants share the closed-form tangent rule, so gradients are
+    identical up to the (tiny) primal-clamp mask difference."""
+    from parasitoids_tpu.ops.bvn import bvn_cell_masses_batched
+
+    def loss(fn, rho):
+        out = fn(jnp.array([0.3, 0.1]), 4.0, 3.0, rho, 2.0, 6)
+        return jnp.sum(out * out)
+
+    for rho in (0.2, 0.95):
+        ga = jax.grad(lambda r: loss(bvn_cell_masses, r))(rho)
+        gb = jax.grad(lambda r: loss(bvn_cell_masses_batched, r))(rho)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=1e-4, atol=1e-8)
