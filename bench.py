@@ -416,13 +416,22 @@ def main():
         vs_baseline = ref_total / dt
     if flops:
         tflops = flops / dt / 1e12
+        # tracked floor (VERDICT r4 item 9): the round-4 on-chip capture
+        # achieved 1.114 TF/s (BENCH_r04.json); a result below this floor
+        # is a flagged MFU regression, not a narrative.  vs_baseline is
+        # the ratio to the floor so >= 1.0 means "no regression".
+        floor = 1.0 if 'tpu' in platform else None
+        regress = (floor is not None and tflops < floor)
         extras['forward_tflops'] = {
             'value': round(tflops, 3),
             'unit': 'achieved TFLOP/s, forward sim (analytic FLOP model, '
-                    '~2x), MFU {:.2f}% of {} TF/s v5e bf16 peak'.format(
+                    '~2x), MFU {:.2f}% of {} TF/s v5e bf16 peak{}'.format(
                         100.0 * tflops / _V5E_PEAK_TFLOPS,
-                        _V5E_PEAK_TFLOPS),
-            'vs_baseline': None}
+                        _V5E_PEAK_TFLOPS,
+                        '; REGRESSION below the {} TF/s floor'.format(floor)
+                        if regress else ''),
+            'vs_baseline': (round(tflops / floor, 3)
+                            if floor is not None else None)}
 
     # ------------------------------------------------------------------
     # inference-layer extras (TPU only — each step is a full forward sim;
