@@ -60,7 +60,7 @@ def _param_names(setup):
 def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
             thin=5, seed=0, verbose=False, sampler='am', max_depth=6,
             stepwise=False, steps_per_call=25, obs_sweeps=1, chains=1,
-            checkpoint_path=None, warm_start=False):
+            checkpoint_path=None, warm_start=False, ridge=False):
     """SBC rank statistics for a sampler (``'am'`` or ``'nuts'``).
 
     Returns ``{'ranks': (R, dim) int array, 'L': draws per replicate,
@@ -107,6 +107,21 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
     so the SBC null (uniform ranks) is unchanged.  The Hessian is
     evaluated through the XLA path (the Pallas backward admits no forward
     mode, same constraint as map_fit.laplace_approximation).
+
+    ``ridge`` (NUTS only; VERDICT r4 item 3): the controlled experiment
+    the warm arm's χ² attribution demanded.  Instead of a FIXED
+    Hessian-at-truth metric, each replicate gets the production ``--mass
+    ridge`` recipe anchored at its own truth: truth-Hessian →
+    ``blend_prior_metric`` (noise-thresholded likelihood curvature +
+    exact prior curvature) → ``regularize_cov_z`` → ``whiten_transform``,
+    and NUTS samples the whitened u-target from an identity metric with
+    dense Welford adaptation ON — the exact machinery that repaired the
+    801² ridge mixing (ESS/draw 0.02 → ~0.3, docs/ROUND4.md §2).  If the
+    warm arm's 5/25 χ² flags were the finite-window slow-ridge artifact,
+    this arm's flags go to ≈0; if they persist, the defect is real.
+    The whitening map enters the NUTS target as TRACED operands
+    (L, center, anchor alongside the replicate dataset), so all
+    replicates still share ONE compiled program.
     """
     import jax
     import jax.numpy as jnp
@@ -129,7 +144,7 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
             setup, traced_obs=True)
         _, _, unconstrain = _make_objective(setup, False)
         hess_fn = None
-        if warm_start:
+        if warm_start or ridge:
             # Hessians need forward-over-reverse; the Pallas day kernel's
             # custom_vjp has no forward rule, so curvature runs on the XLA
             # twin (primals agree to ~2e-7; map_fit.xla_twin carries
@@ -153,7 +168,42 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
                                                  dtype=z.dtype))
                 else:
                     H = jax.hessian(nlp)(z)
+                if ridge:
+                    return H            # raw curvature: the blend's input
                 return inv_mass_from_hessian(H)
+        if ridge:
+            # ridge whitening per replicate, shared compiled programs:
+            # prior-curvature Hessians (forward-model-free, cheap) + MC
+            # prior variances once, the blend/eigen work on host f64, and
+            # the u-space target takes (obs, L, center, anchor) as TRACED
+            # operands so the replicate loop never retraces NUTS
+            from .map_fit import (_make_objective as _mo, _neg_logprior_z,
+                                  blend_prior_metric, prior_var_z,
+                                  regularize_cov_z)
+            from .nuts import whiten_transform
+            _, constrain_z, _ = _mo(setup, False)
+            _hess_negprior = jax.jit(jax.hessian(_neg_logprior_z(
+                setup, constrain_z, with_jacobian=False)))
+            _hess_prior_T = jax.jit(jax.hessian(_neg_logprior_z(
+                setup, constrain_z, with_jacobian=True)))
+            _pv = prior_var_z(setup)
+
+            def ridge_map(z_true, obs_r):
+                H_raw = np.asarray(hess_fn(z_true, obs_r), np.float64)
+                Hn = np.asarray(_hess_negprior(z_true), np.float64)
+                Hp = np.asarray(_hess_prior_T(z_true), np.float64)
+                cov = blend_prior_metric(H_raw, Hn, Hp, _pv)
+                cov_reg = regularize_cov_z(cov, _pv)
+                _, _, L, anchor = whiten_transform(cov_reg,
+                                                   np.asarray(z_true,
+                                                              np.float64))
+                return (jnp.asarray(L, jnp.float32),
+                        jnp.asarray(np.asarray(z_true, np.float32)),
+                        jnp.asarray(anchor, jnp.float32))
+
+            def logpdf_u(u, obs, L, center, anchor):
+                return (logpdf(center + L @ u, obs)
+                        - 0.5 * jnp.sum(anchor * u * u))
 
     dim = 15 + 4 + setup.n_sent + getattr(setup, 'n_extra_obs', 0)
     ranks = np.zeros((n_replicates, dim), np.int64)
@@ -183,10 +233,12 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
         existing += 1
         with np.load(cand) as d:
             old_warm = int(d['warm']) if 'warm' in d.files else 0
+            old_ridge = int(d['ridge']) if 'ridge' in d.files else 0
             if (int(d['L']) == L and d['ranks'].shape[1] == dim
                     and int(d['seed']) == seed
                     and str(d['sampler']) == sampler
-                    and old_warm == int(bool(warm_start))):
+                    and old_warm == int(bool(warm_start))
+                    and old_ridge == int(bool(ridge))):
                 done = min(int(d['done']), n_replicates)
                 if done > start:
                     start, best = done, cand
@@ -216,24 +268,45 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
                                  jnp.float32(0.3))
             ncfg = NUTSConfig(num_warmup=burn, num_samples=n_samples,
                               max_depth=max_depth,
-                              dense_mass=warm_start,
-                              fixed_mass=warm_start)
-            im = None
-            if warm_start:
-                im = jax.block_until_ready(
-                    hess_fn(jnp.asarray(z_true), obs_r))
-            if stepwise:
-                out = nuts_sample_stepwise(
-                    logpdf, z_true[None], random.split(k_chain, 1),
-                    ncfg, logpdf_args=(obs_r,),
-                    steps_per_call=steps_per_call,
-                    init_inv_mass=None if im is None else im[None])
-                zdraws, logp = out['samples'][0], out['logp'][0]
+                              dense_mass=bool(warm_start or ridge),
+                              fixed_mass=bool(warm_start and not ridge))
+            if ridge:
+                # per-replicate ridge whitening anchored at the truth;
+                # NUTS starts at u = 0 (the truth) with an identity
+                # metric and Welford dense adaptation ON
+                Lw, cw, aw = ridge_map(jnp.asarray(z_true), obs_r)
+                u0 = jnp.zeros_like(z_true)
+                if stepwise:
+                    out = nuts_sample_stepwise(
+                        logpdf_u, u0[None], random.split(k_chain, 1),
+                        ncfg, logpdf_args=(obs_r, Lw, cw, aw),
+                        steps_per_call=steps_per_call)
+                    udraws, logp = out['samples'][0], out['logp'][0]
+                else:
+                    out = jax.block_until_ready(nuts_sample(
+                        logpdf_u, u0, k_chain, ncfg,
+                        logpdf_args=(obs_r, Lw, cw, aw)))
+                    udraws, logp = out['samples'], out['logp']
+                zdraws = (np.asarray(udraws, np.float64)
+                          @ np.asarray(Lw, np.float64).T
+                          + np.asarray(cw, np.float64)).astype(np.float32)
             else:
-                out = jax.block_until_ready(nuts_sample(
-                    logpdf, z_true, k_chain, ncfg, logpdf_args=(obs_r,),
-                    init_inv_mass=im))
-                zdraws, logp = out['samples'], out['logp']
+                im = None
+                if warm_start:
+                    im = jax.block_until_ready(
+                        hess_fn(jnp.asarray(z_true), obs_r))
+                if stepwise:
+                    out = nuts_sample_stepwise(
+                        logpdf, z_true[None], random.split(k_chain, 1),
+                        ncfg, logpdf_args=(obs_r,),
+                        steps_per_call=steps_per_call,
+                        init_inv_mass=None if im is None else im[None])
+                    zdraws, logp = out['samples'][0], out['logp'][0]
+                else:
+                    out = jax.block_until_ready(nuts_sample(
+                        logpdf, z_true, k_chain, ncfg,
+                        logpdf_args=(obs_r,), init_inv_mass=im))
+                    zdraws, logp = out['samples'], out['logp']
             theta = jax.vmap(
                 lambda zz: jnp.concatenate(constrain(zz)[:2]))(
                     jnp.asarray(zdraws))
@@ -271,6 +344,7 @@ def run_sbc(setup: BayesSetup, n_replicates, key, n_samples=200, burn=100,
             payload = dict(ranks=ranks, truths=truths, done=r + 1, L=L,
                            seed=seed, sampler=sampler,
                            warm=int(bool(warm_start)),
+                           ridge=int(bool(ridge)),
                            names=np.asarray(_param_names(setup)))
             for dest in (checkpoint_path, durable_path):
                 tmp = dest + '.tmp.npz'
@@ -404,6 +478,12 @@ def main(argv=None):
                          'at each replicate truth (warmup = step size '
                          'only; same posterior, far fewer gradient evals '
                          '— pair with a short --burn ~50)')
+    ap.add_argument('--ridge', action='store_true',
+                    help='NUTS: per-replicate ridge whitening at the '
+                         'truth (blend_prior_metric + whiten_transform) '
+                         'with dense Welford adaptation ON — the '
+                         'controlled experiment for the warm arm\'s '
+                         'slow-ridge chi2 flags (VERDICT r4 item 3)')
     ap.add_argument('-o', '--outname', default='sbc')
     ap.add_argument('overrides', nargs='*')
     args = ap.parse_args(argv)
@@ -422,7 +502,7 @@ def main(argv=None):
                   max_depth=args.max_depth, stepwise=args.stepwise,
                   steps_per_call=args.steps_per_call,
                   obs_sweeps=args.obs_sweeps, chains=args.chains,
-                  warm_start=args.warm_start)
+                  warm_start=args.warm_start, ridge=args.ridge)
     print('SBC finished: {:.1f} s'.format(time.time() - tic))
     pvals = sbc_uniformity(out['ranks'], out['L'])
     ks = sbc_ecdf_pvals(out['ranks'], out['L'], seed=args.seed)

@@ -39,12 +39,13 @@ def pooled(stores):
 
 
 def main():
-    negbin_store = sys.argv[1] if len(sys.argv) > 1 else \
-        'runs/nuts_r5_negbin.npz'
+    negbin_stores = sys.argv[1:] or ['runs/nuts_r5_negbin.npz',
+                                     'runs/nuts_r5_negbinb.npz']
+    negbin_stores = [p for p in negbin_stores if os.path.exists(p)]
     from parasitoids_tpu.bayes.priors import MODEL_PARAM_NAMES
 
     po = pooled(['runs/nuts_r4.npz', 'runs/nuts_r4b.npz'])
-    nb = pooled([negbin_store])
+    nb = pooled(negbin_stores)
     names = list(MODEL_PARAM_NAMES)
 
     # physical (model-block) parameters; observation-layer params shift by
@@ -71,7 +72,7 @@ def main():
            if abs(v['shift_in_poisson_sd']) >= 0.5 and k != 'n_periods'}
     out = {
         'poisson_stores': ['runs/nuts_r4.npz', 'runs/nuts_r4b.npz'],
-        'negbin_store': negbin_store,
+        'negbin_stores': negbin_stores,
         'n_draws': {'poisson': int(po.shape[0] * po.shape[1]),
                     'negbin': int(nb.shape[0] * nb.shape[1])},
         'params': rows,

@@ -5,10 +5,13 @@
 # n_periods FREE via Gibbs-within-NUTS (the reference's own flagship samples
 # it, Bayes_Run.py:130,186-196).
 #
-#   [N0] 4-chain ridge-NUTS, negbin + gibbs-n, 150 warmup + 1000 draws,
-#        depth 7 — one run gives the 4-chain R-hat/ESS verdict directly
-#        (r4 used 2x2 pairs; 4 chains under one lax.map halves the MAP/
-#        compile overhead at identical per-draw cost)
+#   [N0] two 2-chain ridge-NUTS pairs (seeds 0/1), negbin + gibbs-n,
+#        150 warmup + 1000 draws, depth 7 each -> 4-chain combined verdict.
+#        NOT one 4-chain process: a 4-chain x spc-3 x depth-7 warmup
+#        program is ~2x the r4-proven per-program size and the tunnel
+#        worker killed it twice ("TPU device error" at the first warmup
+#        block, runs/nuts_r5_negbin.log) — the r4 lesson that per-program
+#        execution limits bind holds at 4 chains.
 #   [N1] convergence analysis vs the stricter r5 targets (ESS>=300,
 #        R-hat<=1.01 on ALL params, min ESS/hr>=300)
 #   [N2] 100-draw PPC (the release-max p=0.98 flag under negbin-AM)
@@ -63,43 +66,58 @@ run_phase() {
 log "chain17 start; deadline in $(left) s"
 
 DB=runs/nuts_r5_negbin
+DBB=runs/nuts_r5_negbinb
 OV=(obs_model=negbin 'domain_info=(10000.0,400)')
 
-# -- [N0] 4-chain negbin gibbs-n ridge NUTS --------------------------------
-if [ ! -f "$DB.npz" ]; then
-    for attempt in 1 2 3 4 5; do
-        [ -f "$DB.npz" ] && break
-        if [ ! -f "$DB.ckpt.npz" ] && [ ! -f "$DB.ckpt_durable.npz" ]; then
-            run_phase "[N0] negbin gibbs ridge NUTS (new $attempt)" 7200 \
-                "$DB.log" \
-                python -m parasitoids_tpu.bayes.run --new 1000 150 "$DB" \
-                    --sampler nuts --chains 4 --mass ridge --gibbs-n \
-                    --init-map-steps 300 --steps-per-call 3 --max-depth 7 \
-                    --checkpoint-every 25 "${OV[@]}"
-        else
-            [ -f "$DB.ckpt.npz" ] || cp "$DB.ckpt_durable.npz" "$DB.ckpt.npz"
-            run_phase "[N0] resume $attempt" 7200 "$DB.log" \
-                python -m parasitoids_tpu.bayes.run --resume "$DB" 0 \
-                    --sampler nuts --steps-per-call 3 "${OV[@]}"
-        fi
-    done
-fi
-if [ ! -f "$DB.npz" ]; then
-    [ -f "$DB.ckpt.npz" ] || cp "$DB.ckpt_durable.npz" "$DB.ckpt.npz" 2>/dev/null
-    run_phase "[N0s] salvage" 1200 "$DB.log" \
-        python scripts/salvage_nuts_ckpt.py "$DB" "${OV[@]}" \
-        || log "[N0s] nothing to salvage"
-fi
-commit_artifacts "Record the 801^2 Kalbar negbin gibbs-n ridge-NUTS flagship (4 chains)" \
-    "$DB.npz" "$DB.whiten.npz" "$DB.log" chain17_status.log
+# -- [N0] two 2-chain negbin gibbs-n ridge NUTS pairs ----------------------
+nuts_pair() {
+    local db=$1 seed=$2 label=$3
+    if [ ! -f "$db.npz" ]; then
+        for attempt in 1 2 3 4; do
+            [ -f "$db.npz" ] && break
+            if [ ! -f "$db.ckpt.npz" ] && [ ! -f "$db.ckpt_durable.npz" ]; then
+                run_phase "$label (new $attempt)" 7200 "$db.log" \
+                    python -m parasitoids_tpu.bayes.run --new 1000 150 \
+                        "$db" --sampler nuts --chains 2 --mass ridge \
+                        --gibbs-n --seed "$seed" --init-map-steps 300 \
+                        --steps-per-call 3 --max-depth 7 \
+                        --checkpoint-every 25 "${OV[@]}"
+            else
+                [ -f "$db.ckpt.npz" ] || cp "$db.ckpt_durable.npz" "$db.ckpt.npz"
+                run_phase "$label (resume $attempt)" 7200 "$db.log" \
+                    python -m parasitoids_tpu.bayes.run --resume "$db" 0 \
+                        --sampler nuts --steps-per-call 3 "${OV[@]}"
+            fi
+        done
+    fi
+    if [ ! -f "$db.npz" ]; then
+        [ -f "$db.ckpt.npz" ] || cp "$db.ckpt_durable.npz" "$db.ckpt.npz" 2>/dev/null
+        run_phase "$label salvage" 1200 "$db.log" \
+            python scripts/salvage_nuts_ckpt.py "$db" "${OV[@]}" \
+            || log "$label nothing to salvage"
+    fi
+    commit_artifacts "Record a negbin gibbs-n ridge-NUTS pair ($db)" \
+        "$db.npz" "$db.whiten.npz" "$db.log" chain17_status.log
+}
 
-# -- [N1] convergence analysis ---------------------------------------------
-if [ -f "$DB.npz" ]; then
-    run_phase "[N1] convergence analysis" 900 runs/nuts_r5_analyze.log \
+nuts_pair "$DB" 0 "[N0a] negbin pair seed0"
+nuts_pair "$DBB" 1 "[N0b] negbin pair seed1"
+
+# -- [N1] combined 4-chain convergence analysis ----------------------------
+if [ -f "$DB.npz" ] && [ -f "$DBB.npz" ]; then
+    run_phase "[N1] combined 4-chain analysis" 900 runs/nuts_r5_analyze.log \
+        env JAX_PLATFORMS=cpu python scripts/combine_nuts_runs.py \
+            "$DB.npz" "$DBB.npz" --targets 300,1.01 \
+            -o runs/nuts_r5_combined_summary.json \
+        && commit_artifacts "Record the negbin flagship 4-chain verdict" \
+            runs/nuts_r5_combined_summary.json runs/nuts_r5_analyze.log \
+            chain17_status.log
+    # per-pair ESS/hr (item 7 evidence; rates come from the run logs)
+    run_phase "[N1b] pair-A rate analysis" 600 runs/nuts_r5_analyze.log \
         env JAX_PLATFORMS=cpu python scripts/analyze_nuts_run.py "$DB.npz" \
-            --log "$DB.log" --targets 300,1.01,300 \
-        && commit_artifacts "Record the negbin flagship convergence verdict" \
-            "${DB}_summary.json" runs/nuts_r5_analyze.log chain17_status.log
+            --log "$DB.log" --targets 100,1.05,300 || log "[N1b] FAILED"
+    commit_artifacts "Record the negbin pair-A rate summary" \
+        "${DB}_summary.json" chain17_status.log
 fi
 
 # -- [N2] 100-draw PPC ------------------------------------------------------
@@ -116,7 +134,7 @@ fi
 if [ -f "$DB.npz" ]; then
     run_phase "[N3a] posterior-shift table" 600 runs/nuts_r5_analyze.log \
         env JAX_PLATFORMS=cpu python scripts/make_negbin_shift_table.py \
-            "$DB.npz" || log "[N3a] FAILED"
+            "$DB.npz" "$DBB.npz" || log "[N3a] FAILED"
     run_phase "[N3b] n_periods marginal" 600 runs/nuts_r5_analyze.log \
         env JAX_PLATFORMS=cpu python scripts/analyze_n_marginal.py \
             "$DB.npz" || log "[N3b] FAILED"

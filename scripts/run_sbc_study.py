@@ -58,9 +58,15 @@ def main():
     ap.add_argument('--warm-start', action='store_true',
                     help='NUTS: fixed dense mass matrix from the Hessian '
                          'at each replicate truth (bayes/sbc.py run_sbc)')
+    ap.add_argument('--ridge', action='store_true',
+                    help='NUTS: per-replicate ridge whitening at the '
+                         'truth with Welford adaptation ON (the warm '
+                         'arm\'s controlled experiment, VERDICT r4 '
+                         'item 3); summary block name gains a _ridge '
+                         'suffix')
     args = ap.parse_args()
     if args.nuts_burn is None:
-        args.nuts_burn = 48 if args.warm_start else 150
+        args.nuts_burn = 48 if (args.warm_start or args.ridge) else 150
 
     from jax import random
 
@@ -89,22 +95,27 @@ def main():
             print('ignoring unreadable {}: {}'.format(summary_path, e),
                   flush=True)
 
-    plans = []
+    plans = []   # (label, sampler, kwargs): the label names the artifacts/
+    # summary block (nuts_ridge for the ridge-whitened arm), the sampler is
+    # what run_sbc dispatches on
     if args.sampler in ('am', 'both'):
-        plans.append(('am', dict(n_samples=args.am_samples,
-                                 burn=args.am_burn, thin=args.am_thin,
-                                 obs_sweeps=args.obs_sweeps,
-                                 chains=args.am_chains)))
+        plans.append(('am', 'am', dict(n_samples=args.am_samples,
+                                       burn=args.am_burn,
+                                       thin=args.am_thin,
+                                       obs_sweeps=args.obs_sweeps,
+                                       chains=args.am_chains)))
     if args.sampler in ('nuts', 'both'):
-        plans.append(('nuts', dict(n_samples=args.nuts_samples,
-                                   burn=args.nuts_burn,
-                                   thin=args.nuts_thin,
-                                   max_depth=args.max_depth,
-                                   stepwise=True,
-                                   steps_per_call=args.steps_per_call,
-                                   warm_start=args.warm_start)))
+        plans.append(('nuts_ridge' if args.ridge else 'nuts', 'nuts',
+                      dict(n_samples=args.nuts_samples,
+                           burn=args.nuts_burn,
+                           thin=args.nuts_thin,
+                           max_depth=args.max_depth,
+                           stepwise=True,
+                           steps_per_call=args.steps_per_call,
+                           warm_start=args.warm_start,
+                           ridge=args.ridge)))
 
-    for name, kw in plans:
+    for name, samp, kw in plans:
         print('=== SBC [{}]: {} replicates ==='.format(
             name, args.replicates), flush=True)
         # per-replicate checkpoint: a killed/timed-out arm resumes exactly
@@ -112,7 +123,7 @@ def main():
         ckpt = os.path.join(args.outdir, 'sbc_{}.ckpt.npz'.format(name))
         tic = time.time()
         out = run_sbc(setup, args.replicates, random.PRNGKey(args.seed),
-                      seed=args.seed, verbose=True, sampler=name,
+                      seed=args.seed, verbose=True, sampler=samp,
                       checkpoint_path=ckpt, **kw)
         dt = time.time() - tic
         chi2 = sbc_uniformity(out['ranks'], out['L'])

@@ -357,3 +357,21 @@ def test_sbc_uniformity_statistic():
     bad = np.zeros((400, 2), int)
     pb = sbc_uniformity(bad, L)
     assert (pb < 1e-6).all()
+
+
+@pytest.mark.slow
+def test_sbc_ridge_arm_mechanics(setup):
+    """The ridge-whitened NUTS arm (VERDICT r4 item 3): per-replicate
+    blend+whiten at the truth, Welford adaptation on, one shared compiled
+    program.  Ranks must be valid and deterministic."""
+    from parasitoids_tpu.bayes.sbc import run_sbc
+
+    kw = dict(n_samples=12, burn=6, thin=2, seed=5, sampler='nuts',
+              max_depth=3, ridge=True)
+    out = run_sbc(setup, 2, random.PRNGKey(1), **kw)
+    dim = 15 + 4 + setup.n_sent
+    assert out['ranks'].shape == (2, dim)
+    assert (out['ranks'] >= 0).all() and (out['ranks'] <= out['L']).all()
+    assert np.isfinite(out['truths']).all()
+    out2 = run_sbc(setup, 2, random.PRNGKey(1), **kw)
+    np.testing.assert_array_equal(out['ranks'], out2['ranks'])
