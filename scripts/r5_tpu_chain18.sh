@@ -4,9 +4,9 @@
 #   [P]  finish pair B of the negbin flagship if chain17's deadline cut
 #        it (resume to 1000 draws), then the combined verdict + PPC +
 #        shift table + n-marginal analyses that depend on both pairs
+#   [N4] real-Carnarvon negbin AM + paired LOO (item 2's last criterion)
 #   [E]  evidence-estimator cross-check (item 6): PT TI/SS, SMC logZ
 #        (2 seeds), VI ELBO/IS at 401^2 Kalbar + the agreement table
-#   [N4] real-Carnarvon negbin AM + paired LOO (item 2's last criterion)
 #   [S]  SBC ridge arm (item 3) with ALL remaining time — durable
 #        per-replicate commits; on deadline, an honest partial-ranks
 #        analysis is produced from whatever completed
@@ -56,12 +56,20 @@ run_phase() {
 log "chain18v2 start; deadline in $(left) s"
 
 # -- [W] wait for chain17 to release the chip ------------------------------
+# liveness = an actual chain17 (or its sampler) process existing; the
+# status-log age is NOT a liveness signal (phases run silently for up to
+# 2 h — the v1 stale guard fired against a healthy run).  /proc cmdline
+# scan is read-only (never used to kill anything).
+chain17_alive() {
+    local p
+    for p in /proc/[0-9]*/cmdline; do
+        tr '\0' ' ' < "$p" 2>/dev/null | grep -q "r5_tpu_chain17\|nuts_r5_negbin" && return 0
+    done
+    return 1
+}
 while [ "$(left)" -gt 600 ]; do
     grep -q "chain17 done" chain17_status.log 2>/dev/null && break
-    if [ -f chain17_status.log ]; then
-        age=$(( $(date +%s) - $(stat -c %Y chain17_status.log) ))
-        [ "$age" -gt 2700 ] && { log "[W] chain17 stale (${age}s); proceeding"; break; }
-    fi
+    chain17_alive || { log "[W] no chain17 process; proceeding"; break; }
     sleep 120
 done
 log "[W] chip handover"
@@ -118,6 +126,47 @@ if [ -f "$DB.npz" ] && [ ! -f "${DB}_ppc100.json" ] && [ "$(left)" -gt 1200 ]; t
     commit_artifacts "Record the 100-draw PPC for the negbin flagship" \
         "${DB}_ppc100.json" "${DB}_predictive.png" "${DB}_ppc.log" \
         chain18_status.log
+fi
+
+# -- [N4] real-Carnarvon negbin AM + paired LOO ----------------------------
+CR=carn_study/real/am_negbin
+CROV=(obs_model=negbin dataset=carnreal 'domain_info=(10000.0,200)')
+if [ "$(left)" -gt 1500 ]; then
+    for attempt in 1 2; do
+        have=$(python - "$CR" <<'PY' 2>/dev/null
+import json, sys
+try:
+    print(json.load(open(sys.argv[1] + '.meta.json')).get('n_samples', 0))
+except Exception:
+    print(0)
+PY
+)
+        [ "${have:-0}" -ge 9000 ] && break
+        if [ ! -f "$CR.npz" ]; then
+            run_phase "[N4] carnreal AM negbin (new $attempt)" 2400 "$CR.log" \
+                python -m parasitoids_tpu.bayes.run --new 10000 1000 "$CR" \
+                    --obs-sweeps 8 --checkpoint-every 400 "${CROV[@]}" \
+                || log "[N4] attempt $attempt failed"
+        else
+            run_phase "[N4] carnreal AM negbin (top-up $attempt)" 2400 "$CR.log" \
+                python -m parasitoids_tpu.bayes.run --resume "$CR" \
+                    $(( 10000 - have )) --checkpoint-every 400 "${CROV[@]}" \
+                || log "[N4] top-up $attempt failed"
+        fi
+    done
+    commit_artifacts "Record the real-Carnarvon AM fit under obs_model=negbin" \
+        "$CR.npz" "$CR.meta.json" "$CR.log" chain18_status.log
+    if [ -f "$CR.npz" ] && [ "$(left)" -gt 900 ]; then
+        run_phase "[N4b] LOO carnreal poisson-vs-negbin" 2400 \
+            carn_study/real/loo_negbin.log \
+            python -m parasitoids_tpu.bayes.loo carn_study/real/nuts_r4.npz \
+                --draws 400 --compare "$CR.npz" \
+                dataset=carnreal 'domain_info=(10000.0,200)' \
+            || log "[N4b] FAILED"
+        commit_artifacts "Record the real-Carnarvon obs-model LOO comparison" \
+            carn_study/real/nuts_r4_loo.json carn_study/real/nuts_r4_loo.png \
+            carn_study/real/loo_negbin.log chain18_status.log
+    fi
 fi
 
 # -- [E] evidence cross-check at the Kalbar MAP domain ---------------------
@@ -186,47 +235,6 @@ if [ -f runs/pt_ev.npz ] || [ -f runs/smc_ev.npz ]; then
         || log "[E4] FAILED"
     commit_artifacts "Record the four-estimator evidence cross-check table" \
         runs/evidence_table.json runs/evidence_table.log chain18_status.log
-fi
-
-# -- [N4] real-Carnarvon negbin AM + paired LOO ----------------------------
-CR=carn_study/real/am_negbin
-CROV=(obs_model=negbin dataset=carnreal 'domain_info=(10000.0,200)')
-if [ "$(left)" -gt 1500 ]; then
-    for attempt in 1 2; do
-        have=$(python - "$CR" <<'PY' 2>/dev/null
-import json, sys
-try:
-    print(json.load(open(sys.argv[1] + '.meta.json')).get('n_samples', 0))
-except Exception:
-    print(0)
-PY
-)
-        [ "${have:-0}" -ge 9000 ] && break
-        if [ ! -f "$CR.npz" ]; then
-            run_phase "[N4] carnreal AM negbin (new $attempt)" 2400 "$CR.log" \
-                python -m parasitoids_tpu.bayes.run --new 10000 1000 "$CR" \
-                    --obs-sweeps 8 --checkpoint-every 400 "${CROV[@]}" \
-                || log "[N4] attempt $attempt failed"
-        else
-            run_phase "[N4] carnreal AM negbin (top-up $attempt)" 2400 "$CR.log" \
-                python -m parasitoids_tpu.bayes.run --resume "$CR" \
-                    $(( 10000 - have )) --checkpoint-every 400 "${CROV[@]}" \
-                || log "[N4] top-up $attempt failed"
-        fi
-    done
-    commit_artifacts "Record the real-Carnarvon AM fit under obs_model=negbin" \
-        "$CR.npz" "$CR.meta.json" "$CR.log" chain18_status.log
-    if [ -f "$CR.npz" ] && [ "$(left)" -gt 900 ]; then
-        run_phase "[N4b] LOO carnreal poisson-vs-negbin" 2400 \
-            carn_study/real/loo_negbin.log \
-            python -m parasitoids_tpu.bayes.loo carn_study/real/nuts_r4.npz \
-                --draws 400 --compare "$CR.npz" \
-                dataset=carnreal 'domain_info=(10000.0,200)' \
-            || log "[N4b] FAILED"
-        commit_artifacts "Record the real-Carnarvon obs-model LOO comparison" \
-            carn_study/real/nuts_r4_loo.json carn_study/real/nuts_r4_loo.png \
-            carn_study/real/loo_negbin.log chain18_status.log
-    fi
 fi
 
 # -- [S] SBC ridge arm with all remaining time -----------------------------
