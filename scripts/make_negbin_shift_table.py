@@ -58,18 +58,22 @@ def main():
     for j, nm in enumerate(names):
         mp, sp = float(po[..., j].mean()), float(po[..., j].std())
         mn, sn = float(nb[..., j].mean()), float(nb[..., j].std())
-        shift = (mn - mp) / max(sp, 1e-12)
+        # a pinned Poisson-run parameter (sd 0: the fixed n_periods) has
+        # no meaningful sd-normalized shift
+        shift = (mn - mp) / sp if sp > 1e-9 else float('nan')
         note = ''
         if nm == 'n_periods':
             note = ' (pinned 30 vs gibbs-free)'
         rows[nm] = {'poisson': [round(mp, 4), round(sp, 4)],
                     'negbin': [round(mn, 4), round(sn, 4)],
-                    'shift_in_poisson_sd': round(shift, 2)}
+                    'shift_in_poisson_sd': (round(shift, 2)
+                                            if shift == shift else None)}
         print('| {}{} | {:.3f} +/- {:.3f} | {:.3f} +/- {:.3f} | '
               '{:+.2f} |'.format(nm, note, mp, sp, mn, sn, shift))
 
     big = {k: v['shift_in_poisson_sd'] for k, v in rows.items()
-           if abs(v['shift_in_poisson_sd']) >= 0.5 and k != 'n_periods'}
+           if v['shift_in_poisson_sd'] is not None
+           and abs(v['shift_in_poisson_sd']) >= 0.5 and k != 'n_periods'}
     out = {
         'poisson_stores': ['runs/nuts_r4.npz', 'runs/nuts_r4b.npz'],
         'negbin_stores': negbin_stores,
