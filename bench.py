@@ -440,8 +440,29 @@ def main():
     # NUTS rate.  Each extra runs only if the remaining budget covers its
     # floor (warm-cache estimate + margin); otherwise it reports
     # 'skipped_for_budget' — a skipped number is a visible record, a
-    # timeout is silence.
+    # timeout is silence.  When the 801^2 NUTS extra is skipped, the
+    # record still cites the latest on-chip flagship measurement (the
+    # *_summary.json artifacts analyze_nuts_run.py writes from real TPU
+    # runs): a pointer to a recorded number beats a bare skip.
     skipped = 'skipped_for_budget'
+    here = os.path.dirname(os.path.abspath(__file__))
+    rec, rec_t = None, -1.0
+    for name in sorted(os.listdir(os.path.join(here, 'runs'))
+                       if os.path.isdir(os.path.join(here, 'runs')) else []):
+        if not (name.startswith('nuts_r') and name.endswith('_summary.json')):
+            continue
+        p = os.path.join(here, 'runs', name)
+        try:
+            with open(p) as f:
+                d = json.load(f)
+            v = d.get('min_ess_per_hr')
+            if v is not None and os.path.getmtime(p) > rec_t:
+                rec, rec_t = (float(v), 'runs/' + name), os.path.getmtime(p)
+        except (ValueError, OSError):
+            continue
+    skipped801 = (skipped if rec is None else
+                  '{} (recorded on-chip: min ESS/hr {:.1f}, {})'.format(
+                      skipped, rec[0], rec[1]))
     if platform == 'tpu':
         if _remaining() > 420:
             am = _child_subprocess('--child-am', _remaining() - 60)
@@ -474,7 +495,7 @@ def main():
                 '--child-nuts801', _remaining() - 45,
                 env_extra={'PARA_N801_DRAWS': str(n_draws)})
         else:
-            n801, n_draws = skipped, 0
+            n801, n_draws = skipped801, 0
         if isinstance(n801, dict):
             spt = n801['s_per_transition']
             extras['nuts_801_transitions_per_hr'] = {
@@ -489,6 +510,9 @@ def main():
                             n801['median_ess_per_hr'], n_draws),
                 'vs_baseline': None}
         else:
+            if rec is not None and n801 != skipped801:
+                n801 = '{} (recorded on-chip: min ESS/hr {:.1f}, {})'.format(
+                    n801, rec[0], rec[1])
             extras['nuts_801_transitions_per_hr'] = n801
             extras['nuts_801_ess_per_hr'] = n801
 
