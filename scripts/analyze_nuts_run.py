@@ -26,20 +26,36 @@ os.chdir(REPO)
 
 
 def sampling_wall_s(log_path, n_samples):
-    """Sampling-phase wall seconds from the progress stamps: linear fit
-    of t against i over the ``sample i/N (t s)`` lines, evaluated from
-    i=0 to i=N (robust to a missing first/last stamp)."""
-    pts = []
+    """Sampling-phase wall seconds from the progress stamps.
+
+    The elapsed counter in ``sample i/N (t s)`` restarts at every resume
+    segment (each ``NUTS: ... (resuming)...`` header starts a fresh
+    timer), so a single global fit of t against i can even go *negative*
+    on a resumed log.  Instead: split the stamps into segments at each
+    sampler header, pool the consecutive (di, dt) deltas within
+    segments, and scale the pooled per-sample rate to the full run."""
+    segments, cur = [], []
     with open(log_path) as f:
         for line in f:
+            if re.search(r'NUTS: .*samples', line):
+                if len(cur) > 1:
+                    segments.append(cur)
+                cur = []
+                continue
             m = re.search(r'sample (\d+)/(\d+) \(([\d.]+) s\)', line)
             if m:
-                pts.append((int(m.group(1)), float(m.group(3))))
-    if len(pts) < 2:
+                cur.append((int(m.group(1)), float(m.group(3))))
+    if len(cur) > 1:
+        segments.append(cur)
+    di_tot = dt_tot = 0.0
+    for seg in segments:
+        for (i0, t0), (i1, t1) in zip(seg, seg[1:]):
+            if i1 > i0 and t1 > t0:
+                di_tot += i1 - i0
+                dt_tot += t1 - t0
+    if di_tot <= 0:
         return None
-    i, t = np.array([p[0] for p in pts]), np.array([p[1] for p in pts])
-    rate = np.polyfit(i, t, 1)[0]
-    return float(rate * n_samples)
+    return dt_tot / di_tot * n_samples
 
 
 def main():
