@@ -151,3 +151,50 @@ def test_rank_analysis_uniform_is_quiet():
     assert res['co_occurrence_var_ratio'] < 2.0
     assert res['max_abs_shift_z'] < 4
     assert all(v == 'uniform-ish' for v in res['shape'].values())
+
+
+# ---------------------------------------------------------------------------
+# analyze_nuts_run.sampling_wall_s: resumed logs restart the elapsed timer
+
+
+def _load_analyze_nuts():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'analyze_nuts_run', os.path.join(REPO, 'scripts',
+                                         'analyze_nuts_run.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_wall_time_single_segment(tmp_path):
+    log = tmp_path / 'run.log'
+    log.write_text('NUTS: 2 chains, 10 warmup + 100 samples, max depth 7...\n'
+                   '  sample 25/100 (50.0 s)\n'
+                   '  sample 50/100 (100.0 s)\n'
+                   '  sample 75/100 (150.0 s)\n')
+    mod = _load_analyze_nuts()
+    assert mod.sampling_wall_s(str(log), 100) == 200.0
+
+
+def test_wall_time_resumed_log_is_positive(tmp_path):
+    # Regression: the flagship pair-A log (3 resume segments, elapsed
+    # restarting each time) made the old global linear fit NEGATIVE.
+    log = tmp_path / 'run.log'
+    log.write_text('NUTS: 2 chains, 10 warmup + 100 samples, max depth 7...\n'
+                   '  sample 25/100 (5000.0 s)\n'
+                   '  sample 50/100 (5050.0 s)\n'
+                   'NUTS: 2 chains, 10 warmup + 100 samples, max depth 7 '
+                   '(resuming)...\n'
+                   '  sample 75/100 (50.0 s)\n'
+                   '  sample 100/100 (100.0 s)\n')
+    mod = _load_analyze_nuts()
+    wall = mod.sampling_wall_s(str(log), 100)
+    assert wall == 200.0     # pooled per-sample rate 2 s x 100
+
+
+def test_wall_time_too_few_stamps(tmp_path):
+    log = tmp_path / 'run.log'
+    log.write_text('  sample 25/100 (50.0 s)\n')
+    mod = _load_analyze_nuts()
+    assert mod.sampling_wall_s(str(log), 100) is None
