@@ -446,7 +446,7 @@ def main():
     # runs): a pointer to a recorded number beats a bare skip.
     skipped = 'skipped_for_budget'
     here = os.path.dirname(os.path.abspath(__file__))
-    rec, rec_t = None, -1.0
+    rec, rec_key = None, (-1, -1.0)
     for name in sorted(os.listdir(os.path.join(here, 'runs'))
                        if os.path.isdir(os.path.join(here, 'runs')) else []):
         if not (name.startswith('nuts_r') and name.endswith('_summary.json')):
@@ -456,8 +456,11 @@ def main():
             with open(p) as f:
                 d = json.load(f)
             v = d.get('min_ess_per_hr')
-            if v is not None and os.path.getmtime(p) > rec_t:
-                rec, rec_t = (float(v), 'runs/' + name), os.path.getmtime(p)
+            # prefer the largest recorded run (total draws), newest on ties
+            key = (int(d.get('chains', 1)) * int(d.get('draws_per_chain', 0)),
+                   os.path.getmtime(p))
+            if v is not None and key > rec_key:
+                rec, rec_key = (float(v), 'runs/' + name), key
         except (ValueError, OSError):
             continue
     skipped801 = (skipped if rec is None else
