@@ -173,7 +173,10 @@ parser.add_argument('--gibbs-n', action='store_true',
                          'parameter set')
 parser.add_argument('--n-step', type=_positive_int, default=1,
                     help='NUTS --gibbs-n: n_periods proposal is a '
-                         'symmetric +/-U{1..n_step} walk')
+                         'symmetric +/-U{1..n_step} walk.  5-6 measured '
+                         '5.6-6.9x the n ESS/draw of the +/-1 default at '
+                         'the 801^2 flagship, same cost/transition '
+                         '(docs/PERF.md item 15, runs/nuts_r5_nstep6*)')
 parser.add_argument('--vi-mc', type=int, default=4,
                     help='VI: Monte-Carlo draws per ELBO gradient step')
 parser.add_argument('--vi-lr', type=float, default=0.02,
